@@ -1,0 +1,270 @@
+"""Generator base contract + functional tap/edit instrumentation.
+
+The reference implements layer capture by monkey-patching ``layer.forward`` on
+torch modules (``netdissect/nethook.py:15-266``) and early exit by
+hand-unrolled ``partial_forward`` methods (``models/wrappers.py:40-42``).
+Neither mechanism survives ``jax.jit``.  The TPU-native design:
+
+* every generator's synthesis is ONE pure function, annotated with named
+  **tap points** (reference-compatible torch module paths);
+* ``retain``/``stop_at``/edit-keys are *static* jit arguments — requesting a
+  tap specializes the computation and XLA dead-code-eliminates all later
+  stages, so ``partial_forward`` costs nothing extra to maintain;
+* edits are traced array arguments applied at the tap exactly like the
+  reference hook (``nethook.py:211-231``):
+      retained <- x (pre-edit, detached)
+      x <- x * (1 - ablation) + replacement * ablation
+      x <- x + offset
+
+``InstrumentedModel`` is a thin host-side bag of (retain set, edit dict) that
+models consult when called — mirroring the public API of
+``nethook.InstrumentedModel`` (``retain_layer``, ``retained_features``,
+``edit_layer``, ``remove_edits``, ``close``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Edits
+# ---------------------------------------------------------------------------
+
+EDIT_FIELDS = ("ablation", "replacement", "offset")
+
+
+def _match_rank(v: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Reference broadcast rule (``nethook.make_matching_tensor``,
+    ``nethook.py:243-266``): missing dims are filled as
+    (1, *v.shape, 1, ...) — leading batch dim, trailing spatial dims."""
+    v = jnp.asarray(v, dtype=x.dtype)
+    if v.ndim < x.ndim:
+        v = v.reshape((1,) + v.shape + (1,) * (x.ndim - v.ndim - 1))
+    return v
+
+
+def apply_edit(x: jnp.ndarray, edit: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Ablation/replacement then offset, as in ``nethook.py:219-231``."""
+    a = edit.get("ablation")
+    if a is not None:
+        a = _match_rank(a, x)
+        x = x * (1 - a)
+        r = edit.get("replacement")
+        if r is not None:
+            x = x + _match_rank(r, x) * a
+    b = edit.get("offset")
+    if b is not None:
+        x = x + _match_rank(b, x)
+    return x
+
+
+class TapState:
+    """Per-trace mutable carrier for retained activations and early exit.
+
+    Created inside the jitted function each trace; all control decisions
+    (which taps retain / edit / stop) are Python-level constants during
+    tracing, so the compiled program contains only the live stages.
+    """
+
+    __slots__ = ("retain", "edits", "stop_at", "retained", "stopped")
+
+    def __init__(self, retain: Tuple[str, ...], edits: Dict[str, Dict[str, jnp.ndarray]],
+                 stop_at: Optional[str]):
+        self.retain = frozenset(retain)
+        self.edits = edits or {}
+        self.stop_at = stop_at
+        self.retained: Dict[str, jnp.ndarray] = {}
+        self.stopped = False
+
+    def tap(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        if name in self.retain:
+            self.retained[name] = x
+        e = self.edits.get(name)
+        if e is not None:
+            x = apply_edit(x, e)
+        if name == self.stop_at:
+            self.stopped = True
+        return x
+
+
+def canonical_tap(tap_names: Sequence[str], layer_name: str) -> str:
+    """Resolve a user layer path to the canonical tap that covers it.
+
+    The reference matches by substring in execution order
+    (``wrappers.py:243-255``), which mis-fires for e.g. ``convs.10`` vs
+    ``convs.1``; we match on exact name or dotted-prefix boundary instead.
+    """
+    for t in tap_names:
+        if layer_name == t or layer_name.startswith(t + ".") or t.startswith(layer_name + "."):
+            return t
+    raise ValueError(
+        f"Layer '{layer_name}' not found. Available taps:\n" + "\n".join(tap_names))
+
+
+# ---------------------------------------------------------------------------
+# Generator base
+# ---------------------------------------------------------------------------
+
+class BaseGenerator(ABC):
+    """Public surface mirroring reference ``BaseModel`` (``wrappers.py:27-94``)."""
+
+    def __init__(self, model_name: str, class_name: Optional[str]):
+        self.model_name = model_name
+        self.outclass = class_name
+        self.inst: Optional["InstrumentedModel"] = None  # set by InstrumentedModel
+
+    # -- abstract -----------------------------------------------------------
+    @abstractmethod
+    def forward(self, x) -> jnp.ndarray:
+        """Full forward; output mapped [-1,1] -> [0,1], shape [B,3,H,W]."""
+
+    @abstractmethod
+    def partial_forward(self, x, layer_name: str) -> None:
+        """Run only up to ``layer_name`` (activations land in ``self.inst``)."""
+
+    @abstractmethod
+    def sample_latent(self, n_samples: int = 1, seed=None, truncation=None) -> jnp.ndarray:
+        """Seeded host-side latent sampling (see ``ganspace_tpu.sampling``)."""
+
+    @abstractmethod
+    def tap_names(self) -> Tuple[str, ...]:
+        """Canonical tap points in execution order."""
+
+    # -- defaults (reference wrappers.py:49-94) -----------------------------
+    def get_max_latents(self) -> int:
+        return 1
+
+    def latent_space_name(self) -> str:
+        return "Z"
+
+    def get_latent_shape(self) -> Tuple[int, ...]:
+        return tuple(np.asarray(self.sample_latent(1)).shape)
+
+    def get_latent_dims(self) -> int:
+        return int(np.prod(self.get_latent_shape()))
+
+    def set_output_class(self, new_class):
+        self.outclass = new_class
+
+    def sample_np(self, z=None, n_samples: int = 1, seed=None) -> np.ndarray:
+        """Generate images, return clipped HWC numpy in [0,1] (squeezed)."""
+        if z is None:
+            z = self.sample_latent(n_samples, seed=seed)
+        elif isinstance(z, list):
+            z = [jnp.asarray(l) for l in z]
+        else:
+            z = jnp.asarray(z)
+        img = self.forward(z)
+        img_np = np.asarray(jnp.transpose(img, (0, 2, 3, 1)))
+        return np.clip(img_np, 0.0, 1.0).squeeze()
+
+    def get_conditional_state(self, z):
+        return None
+
+    def set_conditional_state(self, z, c):
+        return z
+
+    # -- instrumentation plumbing ------------------------------------------
+    def _instrumentation(self):
+        """(retain tuple, edits dict, after-run callback) from the wrapper."""
+        if self.inst is None:
+            return (), {}, None
+        return self.inst._retain_tuple(), self.inst._edit_tree(), self.inst._store_retained
+
+    def resolve_tap(self, layer_name: str) -> str:
+        return canonical_tap(self.tap_names(), layer_name)
+
+
+class InstrumentedModel:
+    """Host-side retention/edit state, API-compatible with the reference
+    ``nethook.InstrumentedModel`` where it matters to the pipeline."""
+
+    def __init__(self, model: BaseGenerator):
+        self.model = model
+        model.inst = self
+        self._retained: Dict[str, Any] = {}
+        self._edits: Dict[str, Dict[str, np.ndarray]] = {}
+        # feature/input/output shape annotations (modelconfig.py:110-144)
+        self.feature_shape: Dict[str, Tuple[int, ...]] = {}
+        self.input_shape: Optional[Tuple[int, ...]] = None
+        self.output_shape: Optional[Tuple[int, ...]] = None
+
+    # -- retention ----------------------------------------------------------
+    def retain_layer(self, layername: str):
+        self.retain_layers([layername])
+
+    def retain_layers(self, layernames):
+        for name in layernames:
+            canon = self.model.resolve_tap(name)  # validate
+            del canon
+            if name not in self._retained:
+                self._retained[name] = None
+
+    def stop_retaining_layers(self, layernames):
+        for name in layernames:
+            self._retained.pop(name, None)
+
+    def retained_features(self) -> Dict[str, jnp.ndarray]:
+        return dict(self._retained)
+
+    def retained_layer(self, aka=None, clear=False):
+        if aka is None:
+            aka = next(iter(self._retained))
+        result = self._retained[aka]
+        if clear:
+            self._retained[aka] = None
+        return result
+
+    # -- edits --------------------------------------------------------------
+    def edit_layer(self, layername: str, ablation=None, replacement=None, offset=None):
+        self.model.resolve_tap(layername)  # validate
+        if ablation is None and replacement is not None:
+            ablation = 1.0
+        e = self._edits.setdefault(layername, {})
+        if ablation is not None:
+            e["ablation"] = np.asarray(ablation, dtype=np.float32)
+        if replacement is not None:
+            e["replacement"] = np.asarray(replacement, dtype=np.float32)
+        if offset is not None:
+            e["offset"] = np.asarray(offset, dtype=np.float32)
+
+    def remove_edits(self, layername=None, remove_offset=True, remove_replacement=True):
+        names = [layername] if layername is not None else list(self._edits)
+        for name in names:
+            e = self._edits.get(name)
+            if e is None:
+                continue
+            if remove_replacement:
+                e.pop("ablation", None)
+                e.pop("replacement", None)
+            if remove_offset:
+                e.pop("offset", None)
+            if not e:
+                del self._edits[name]
+
+    def close(self):
+        """Reference ``close()`` unhooks everything; here: clear all state."""
+        self._retained.clear()
+        self._edits.clear()
+
+    # -- model-facing -------------------------------------------------------
+    def _retain_tuple(self) -> Tuple[str, ...]:
+        # Canonical tap names, sorted for a stable jit cache key.
+        return tuple(sorted({self.model.resolve_tap(n) for n in self._retained}))
+
+    def _edit_tree(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        return {
+            self.model.resolve_tap(name): {k: jnp.asarray(v) for k, v in e.items()}
+            for name, e in self._edits.items() if e
+        }
+
+    def _store_retained(self, tap_outputs: Dict[str, jnp.ndarray]):
+        for user_name in self._retained:
+            canon = self.model.resolve_tap(user_name)
+            if canon in tap_outputs:
+                self._retained[user_name] = tap_outputs[canon]

@@ -1,0 +1,75 @@
+"""Host-side latent sampling with bit-exact reference RNG parity.
+
+The reference draws all latents on the host with numpy and ships them to the
+device; the sampling discipline is load-bearing for cache reproducibility:
+
+* every ``sample_latent`` call without an explicit seed first draws
+  ``seed = randint(int32_max)`` from the *global* numpy stream (seeded with
+  ``SEED_SAMPLING=1`` by the decomposition driver, reference
+  ``decomposition.py:34,226-227``), then samples from a fresh
+  ``RandomState(seed)`` (reference ``models/wrappers.py:167-179``);
+* StyleGAN/StyleGAN2 latents are ``standard_normal(512 * n).reshape(n, 512)``
+  (reference ``wrappers.py:172-174``);
+* BigGAN latents are scipy ``truncnorm.rvs(-2, 2, size=(n, 128))`` scaled by
+  the truncation value (reference ``pytorch_pretrained_biggan/utils.py:21-33``);
+* ProGAN latents are ``standard_normal(n * depth).reshape(n, depth)`` from
+  ``RandomState(seed)`` directly — NOT via the global stream draw chain
+  (reference ``netdissect/zdataset.py:26-40`` — but note the wrapper at
+  ``wrappers.py:494-498`` does draw the seed from the global stream).
+
+We replicate those exact draw sequences here, isolated in a ``SeedStream`` so
+library code never touches numpy's actual global state.  Sampling ~512 floats
+per latent on the host is negligible next to synthesis; the arrays are shipped
+to the device afterwards.
+
+Seed map (reference ``decomposition.py:34-37``):
+  SAMPLING=1, RANDOM_DIRS=2, LINREG=3, VISUALIZATION=5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import truncnorm
+
+SEED_SAMPLING = 1
+SEED_RANDOM_DIRS = 2
+SEED_LINREG = 3
+SEED_VISUALIZATION = 5
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+class SeedStream:
+    """Stand-in for the reference's use of the global numpy RandomState.
+
+    ``np.random.seed(s)`` followed by ``np.random.randint(int32_max)`` draws
+    the same values as ``RandomState(s).randint(int32_max)``, so an isolated
+    RandomState reproduces the reference's seed sequence exactly.
+    """
+
+    def __init__(self, seed: int):
+        self._rs = np.random.RandomState(seed)
+
+    def next_seed(self) -> int:
+        return int(self._rs.randint(_INT32_MAX))
+
+
+def gaussian_latents(n_samples: int, dim: int, seed: int) -> np.ndarray:
+    """Reference ``wrappers.py:171-174`` / ``zdataset.py:33-37``."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(dim * n_samples).reshape(n_samples, dim).astype(np.float32)
+
+
+def truncated_latents(n_samples: int, dim: int, truncation: float, seed: int) -> np.ndarray:
+    """Reference ``pytorch_pretrained_biggan/utils.py:21-33``."""
+    state = np.random.RandomState(seed)
+    values = truncnorm.rvs(-2, 2, size=(n_samples, dim), random_state=state).astype(np.float32)
+    return truncation * values
+
+
+def random_directions(components: int, dimensions: int) -> np.ndarray:
+    """Unit-norm random baseline directions (reference ``decomposition.py:42-46``)."""
+    gen = np.random.RandomState(seed=SEED_RANDOM_DIRS)
+    dirs = gen.normal(size=(components, dimensions))
+    dirs /= np.sqrt(np.sum(dirs ** 2, axis=1, keepdims=True))
+    return dirs.astype(np.float32)
