@@ -1,0 +1,361 @@
+"""End-to-end decomposition pipeline (reference ``decomposition.py``).
+
+Sample latents -> run the generator to the tap layer -> stream activations
+into an estimator -> regress components back to latent space -> cache as a
+compressed ``.npz`` whose keys AND filename scheme match the reference
+(``decomposition.py:332-341, 384-394``), so downstream tooling is drop-in
+compatible.
+
+TPU-native deltas from the reference pipeline:
+
+* batch size comes from a static HBM-footprint estimate instead of CUDA
+  VRAM probing (``decomposition.py:49-74``) — shapes are known ahead of time;
+* activations NEVER round-trip to the host on the streaming path: the
+  partial-forward output feeds ``fit_partial`` directly in HBM (the reference
+  copies every minibatch to CPU for sklearn, ``decomposition.py:245-267``);
+* the latent regression accumulates normal equations (c x c Gram psum-able
+  over the mesh) instead of materializing a [n, c] matrix for LAPACK gelsd
+  (``decomposition.py:77-139``);
+* data parallelism: latent batches are sharded over the device mesh; the
+  estimator's feature-axis sharding turns its contractions into per-shard
+  matmuls + ICI psums (see ``estimators/ipca.py``).
+
+RNG discipline is bit-compatible (seed map ``decomposition.py:34-37``,
+host-side numpy draws — see ``ganspace_tpu.sampling``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ganspace_tpu.config import Config
+from ganspace_tpu.estimators import get_estimator
+from ganspace_tpu.estimators.utils import mm
+from ganspace_tpu.models import get_instrumented_model
+from ganspace_tpu.models.base import InstrumentedModel
+from ganspace_tpu.sampling import (
+    SEED_LINREG,
+    SEED_RANDOM_DIRS,
+    SEED_SAMPLING,
+    random_directions,
+)
+
+get_random_dirs = random_directions  # reference-compatible alias
+
+# Fallback minibatch cap, the reference's probe ceiling (decomposition.py:39,57).
+B = 20
+
+# Activation budget per minibatch for the static batch-size rule (bytes).
+_ACT_BUDGET_BYTES = int(os.environ.get("GANSPACE_ACT_BUDGET", 256 * 1024 * 1024))
+
+
+def get_max_batch_size(inst: InstrumentedModel, device=None, layer_name=None) -> int:
+    """Static batch-size rule replacing the reference's CUDA VRAM probe.
+
+    The dominant per-sample footprint of a partial forward is bounded by a
+    few times the largest feature map up to the tap; we size the minibatch
+    so that stays within a fixed HBM budget, clamp to [4, 4096], and round
+    to a power of two for stable jit cache reuse.
+    """
+    model = inst.model
+    if layer_name is not None and inst.feature_shape.get(layer_name) is not None:
+        feat_elems = int(np.prod(inst.feature_shape[layer_name][1:]))
+    else:
+        res = getattr(model, "resolution", 256)
+        feat_elems = 3 * res * res
+    # partial forward keeps ~4 live feature maps of comparable size
+    per_sample = max(feat_elems, 512) * 4 * 4
+    b = int(_ACT_BUDGET_BYTES // max(per_sample, 1))
+    b = max(4, min(4096, b))
+    return 1 << (b.bit_length() - 1)
+
+
+# ---------------------------------------------------------------------------
+# Latent regression (reference decomposition.py:77-148)
+# ---------------------------------------------------------------------------
+
+def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
+    """Solve min_M ||M A - Z|| where A are stdev-scaled PCA coordinates.
+
+    Streaming normal equations: G = sum A_b^T A_b (c x c), R = sum A_b^T Z_b
+    (c x latent_dims) accumulate on device block by block; the tiny SPD solve
+    replaces the reference's host-side gelsd on a [n, c] matrix.
+    """
+    print("Performing least squares regression", flush=True)
+    np.random.seed(SEED_LINREG)
+
+    model = inst.model
+    comp = jnp.asarray(comp_np, jnp.float32)
+    mean = jnp.asarray(mean_np, jnp.float32)
+    stdev = jnp.asarray(stdev_np, jnp.float32)
+
+    batch = get_max_batch_size(inst, layer_name=config.layer)
+    n_samp = max(10_000, config.n) // batch * batch
+    n_comp = comp.shape[0]
+    latent_dims = model.get_latent_dims()
+
+    g = jnp.zeros((n_comp, n_comp), jnp.float32)
+    r = jnp.zeros((n_comp, latent_dims), jnp.float32)
+    z_sum = jnp.zeros((latent_dims,), jnp.float32)
+
+    comp_flat = comp.reshape(n_comp, -1)
+    layer = config.layer
+    for _ in range(n_samp // batch):
+        z = model.sample_latent(batch)
+        model.partial_forward(z, layer)
+        act = inst.retained_features()[layer].reshape(batch, -1)
+        coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
+        zf = jnp.asarray(z).reshape(batch, -1)
+        g = g + mm(coords.T, coords)
+        r = r + mm(coords.T, zf)
+        z_sum = z_sum + jnp.sum(zf, axis=0)
+
+    # M^T = (A^T A)^-1 A^T Z ; rows of M^T are the latent-space directions.
+    m_t = np.asarray(jnp.linalg.solve(g, r))
+    z_comp = m_t[:n_comp, :]
+    z_mean = np.asarray(z_sum)[None, :] / n_samp
+    return z_comp, z_mean
+
+
+def regression(comp, mean, stdev, inst, config):
+    # Sanity check: verify orthonormality (reference decomposition.py:141-148)
+    m = np.dot(comp, comp.T)
+    if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
+        det = np.linalg.det(m)
+        print(f"WARNING: Computed basis is not orthonormal (determinant={det})")
+    return linreg_lstsq(comp, mean, stdev, inst, config)
+
+
+# ---------------------------------------------------------------------------
+# Main computation (reference decomposition.py:150-358)
+# ---------------------------------------------------------------------------
+
+def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
+    timestamp = lambda: datetime.datetime.now().strftime("%d.%m %H:%M")  # noqa: E731
+    print(f"[{timestamp()}] Computing", dump_name.name)
+
+    np.random.seed(0)
+    layer_key = config.layer
+
+    if instrumented_model is None:
+        inst = get_instrumented_model(config.model, config.output_class, layer_key)
+        model = inst.model
+    else:
+        print("Reusing InstrumentedModel instance")
+        inst = instrumented_model
+        model = inst.model
+        inst.remove_edits()
+        model.set_output_class(config.output_class)
+
+    if config.use_w:
+        print("Using W latent space")
+        model.use_w()
+
+    inst.retain_layer(layer_key)
+    model.partial_forward(model.sample_latent(1), layer_key)
+    sample_shape = tuple(np.asarray(inst.retained_features()[layer_key]).shape)
+    sample_dims = int(np.prod(sample_shape))
+    print("Feature shape:", sample_shape)
+
+    input_shape = model.get_latent_shape()
+    input_dims = model.get_latent_dims()
+
+    config.components = min(config.components, sample_dims)
+    transformer = get_estimator(config.estimator, config.components, config.sparsity)
+
+    x_global_mean = None
+
+    # Decomposition on non-Gaussian latent space (reference decomposition.py:239)
+    samples_are_latents = (layer_key in ("g_mapping", "style")
+                           and model.latent_space_name() == "W")
+
+    # Static batch-size selection (no VRAM probing needed on TPU).
+    if config.batch_size:
+        batch = config.batch_size
+    elif samples_are_latents:
+        batch = 4096  # mapping-only workload: keep the MXU fed
+    else:
+        batch = get_max_batch_size(inst, layer_name=layer_key)
+
+    n_total = config.n // batch * batch
+
+    if not transformer.batch_support:
+        budget = 20 * 1_000_000_000
+        feat_bytes = sample_dims * np.dtype("float64").itemsize
+        if n_total > budget // feat_bytes:
+            print("WARNING: estimator does not support batching, given config "
+                  "will use {:.1f} GB memory.".format(feat_bytes / 1e9 * n_total))
+
+    if config.estimator == "ica":
+        lapack_max_n = np.floor_divide(np.iinfo(np.int32).max // 4, sample_dims)
+        if n_total > lapack_max_n:
+            raise RuntimeError(f"Matrices too large for ICA, please use N <= {lapack_max_n}")
+
+    print("B={}, N={}, dims={}, N/dims={:.1f}".format(
+        batch, n_total, sample_dims, n_total / sample_dims), flush=True)
+
+    # Must not depend on chosen batch size (reproducibility)
+    nb = max(batch, max(2_000, 3 * config.components))
+
+    samples = None
+    if not transformer.batch_support:
+        samples = np.zeros((n_total + nb, sample_dims), dtype=np.float32)
+
+    np.random.seed(config.seed or SEED_SAMPLING)
+
+    # Pre-sample every latent up front so the fit stream is independent of
+    # later RNG use (reference decomposition.py:229-236).  Latents live in
+    # host RAM (N can be 1M+); W-mapping runs on device, batched.
+    n_lat = ((n_total + nb - 1) // batch + 1) * batch
+    latents = np.zeros((n_lat, *input_shape[1:]), dtype=np.float32)
+    for i in range(n_lat // batch):
+        latents[i * batch:(i + 1) * batch] = np.asarray(
+            model.sample_latent(n_samples=batch)).reshape(batch, *input_shape[1:])
+
+    canceled = False
+    gi = 0
+    try:
+        action = "Fitting" if transformer.batch_support else "Collecting"
+        n_blocks = max(1, n_total // nb)
+        for bi, gi in enumerate(range(0, n_total, nb)):
+            chunks = []
+            for mb in range(0, nb, batch):
+                z = jnp.asarray(latents[gi + mb:gi + mb + batch])
+                if samples_are_latents:
+                    chunks.append(z.reshape(batch, -1))
+                else:
+                    model.partial_forward(z, layer_key)
+                    chunks.append(inst.retained_features()[layer_key].reshape(batch, -1))
+            x_block = jnp.concatenate(chunks, axis=0)[:nb]
+
+            if transformer.batch_support:
+                if not transformer.fit_partial(x_block):
+                    break
+            else:
+                samples[gi:gi + nb, :] = np.asarray(x_block)
+            print(f"\r{action} batches (NB={nb}): {bi + 1}/{n_blocks}",
+                  end="", flush=True)
+        print()
+    except KeyboardInterrupt:
+        if not transformer.batch_support:
+            sys.exit(1)  # no progress yet
+        # Save partial result under a corrected sample count
+        # (reference decomposition.py:268-274).
+        dump_name = dump_name.parent / dump_name.name.replace(f"n{n_total}", f"n{gi}")
+        print(f'Saving current state to "{dump_name.name}" before exiting')
+        canceled = True
+
+    if not transformer.batch_support:
+        x_data = samples
+        x_global_mean = x_data.mean(axis=0, keepdims=True, dtype=np.float32)
+        x_data -= x_global_mean
+        print(f"[{timestamp()}] Fitting whole batch")
+        t_start_fit = datetime.datetime.now()
+        transformer.fit(x_data)
+        print(f"[{timestamp()}] Done in {datetime.datetime.now() - t_start_fit}")
+        assert np.all(np.abs(transformer.mean_) < 1e-3), \
+            "Mean of normalized data should be zero"
+    else:
+        x_global_mean = transformer.mean_.reshape((1, sample_dims))
+        x_data = np.asarray(x_block) - x_global_mean  # last block, for stdev baselines
+
+    x_comp, x_stdev, x_var_ratio = transformer.get_components()
+
+    assert x_comp.shape[1] == sample_dims \
+        and x_comp.shape[0] == config.components \
+        and x_global_mean.shape[1] == sample_dims \
+        and x_stdev.shape[0] == config.components, "Invalid shape"
+
+    # 'Activations' are really latents in a secondary latent space
+    if samples_are_latents:
+        z_comp = np.array(x_comp)
+        z_global_mean = np.array(x_global_mean)
+    else:
+        z_comp, z_global_mean = regression(x_comp, x_global_mean, x_stdev, inst, config)
+
+    z_comp = z_comp / np.linalg.norm(z_comp, axis=-1, keepdims=True)
+
+    # Random-direction stdev baselines (reference decomposition.py:310-316)
+    random_dirs = get_random_dirs(config.components, np.prod(sample_shape))
+    n_rand_samples = min(5000, x_data.shape[0])
+    x_stdev_random = np.dot(random_dirs, x_data[:n_rand_samples, :].T).std(axis=1)
+
+    # Inflate back to proper shapes (for easier broadcasting)
+    x_comp = np.array(x_comp).reshape(-1, *sample_shape)
+    x_global_mean = np.array(x_global_mean).reshape(sample_shape)
+    z_comp = z_comp.reshape(-1, *input_shape)
+    z_global_mean = z_global_mean.reshape(input_shape)
+
+    # Compute stdev in latent space if non-Gaussian
+    lat_stdev = np.ones_like(x_stdev)
+    if config.use_w:
+        ws = np.asarray(model.sample_latent(5000)).reshape(5000, input_dims)
+        coords = np.dot(z_comp.reshape(-1, input_dims), ws.T)
+        lat_stdev = coords.std(axis=1)
+
+    os.makedirs(dump_name.parent, exist_ok=True)
+    np.savez_compressed(dump_name, **{
+        "act_comp": x_comp.astype(np.float32),
+        "act_mean": x_global_mean.astype(np.float32),
+        "act_stdev": np.asarray(x_stdev, np.float32),
+        "lat_comp": z_comp.astype(np.float32),
+        "lat_mean": z_global_mean.astype(np.float32),
+        "lat_stdev": lat_stdev.astype(np.float32),
+        "var_ratio": np.asarray(x_var_ratio, np.float32),
+        "random_stdevs": x_stdev_random.astype(np.float32),
+    })
+
+    if canceled:
+        sys.exit(1)
+
+    if instrumented_model is None:
+        inst.close()
+
+
+# ---------------------------------------------------------------------------
+# Cache layer (reference decomposition.py:360-402)
+# ---------------------------------------------------------------------------
+
+def component_cache_name(config) -> str:
+    """Exact reference filename scheme (``decomposition.py:384-392``)."""
+    transformer = get_estimator(config.estimator, config.components, config.sparsity)
+    return "{}-{}_{}_{}_n{}{}{}.npz".format(
+        config.model.lower(),
+        (config.output_class or "None").replace(" ", "_"),
+        config.layer.lower(),
+        transformer.get_param_str(),
+        config.n,
+        "_w" if config.use_w else "",
+        f"_seed{config.seed}" if config.seed else "",
+    )
+
+
+def get_or_compute(config, model: Optional[InstrumentedModel] = None,
+                   submit_config=None, force_recompute: bool = False) -> Path:
+    """Return the cached component file path, computing it if needed."""
+    if submit_config is not None:
+        basedir = Path(submit_config.run_dir)
+    else:
+        basedir = Path(os.environ.get("GANSPACE_OUTPUT_DIR", Path.cwd()))
+
+    if config.n is None:
+        raise RuntimeError("Must specify number of samples with -n=XXX")
+    if model is not None and not isinstance(model, InstrumentedModel):
+        raise RuntimeError('Passed model has to be wrapped in "InstrumentedModel"')
+    if config.use_w and "StyleGAN" not in config.model:
+        raise RuntimeError(f"Cannot change latent space of non-StyleGAN model {config.model}")
+
+    dump_path = basedir / "cache" / "components" / component_cache_name(config)
+    if not dump_path.is_file() or force_recompute:
+        print("Not cached")
+        t_start = datetime.datetime.now()
+        compute(config, dump_path, model)
+        print("Total time:", datetime.datetime.now() - t_start)
+    return dump_path

@@ -1,0 +1,153 @@
+"""Progressive GAN generator (reference ``netdissect/proggan.py``, 299 LoC).
+
+Sequential pixel-norm / wscale-conv / lrelu column with nearest-neighbour
+upsampling every other layer (reference ``proggan.py:98-171``), resolution ->
+channel-schedule table (``proggan.py:61-69``), and the GANDissect LSUN
+checkpoints' layer naming: ``layer1 .. layerN`` plus ``output_KxK``
+(``proggan.py:70-88``).  Seven LSUN classes (reference ``wrappers.py:474-491``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ganspace_tpu import sampling
+from ganspace_tpu.models.base import BaseGenerator, TapState
+from ganspace_tpu.ops.precision import get_precision
+from ganspace_tpu.ops.upfirdn import nearest_upsample2x
+
+VALID_CLASSES = ["bedroom", "churchoutdoor", "conferenceroom", "diningroom",
+                 "kitchen", "livingroom", "restaurant"]
+
+# Resolution -> feature-depth schedule (reference proggan.py:61-69).
+SIZES_FOR_RESOLUTION = {
+    8: [512, 512, 512],
+    16: [512, 512, 512, 512],
+    32: [512, 512, 512, 512, 256],
+    64: [512, 512, 512, 512, 256, 128],
+    128: [512, 512, 512, 512, 256, 128, 64],
+    256: [512, 512, 512, 512, 256, 128, 64, 32],
+    1024: [512, 512, 512, 512, 512, 256, 128, 64, 32, 16],
+}
+
+
+@dataclass(frozen=True)
+class ProGANConfig:
+    sizes: Tuple[int, ...]
+
+    @classmethod
+    def for_resolution(cls, resolution: int) -> "ProGANConfig":
+        return cls(tuple(SIZES_FOR_RESOLUTION[resolution]))
+
+    def layer_plan(self):
+        """[(name, cin, cout, kernel, pad, upsample)] mirroring proggan.py:72-87."""
+        s = self.sizes
+        plan = [("layer1", s[0], s[1], 4, 3, False),
+                ("layer2", s[1], s[1], 3, 1, False)]
+        idx = 3
+        for si, so in zip(s[1:-1], s[2:]):
+            plan.append((f"layer{idx}", si, so, 3, 1, True))
+            plan.append((f"layer{idx + 1}", so, so, 3, 1, False))
+            idx += 2
+        dim = 4 * (2 ** (len(plan) // 2 - 1))
+        plan.append((f"output_{dim}x{dim}", s[-1], 3, 1, 0, False))
+        return plan
+
+
+def init_params(cfg: ProGANConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    rs = np.random.RandomState(seed)
+    p: Dict[str, np.ndarray] = {}
+    for name, cin, cout, k, _, _ in cfg.layer_plan():
+        p[f"{name}.conv.weight"] = rs.randn(cout, cin, k, k).astype(np.float32)
+        p[f"{name}.wscale.b"] = 0.1 * rs.randn(cout).astype(np.float32)
+    return p
+
+
+def _pixel_norm_nchw(x):
+    # proggan.py:102-103: x / sqrt(mean(x^2, dim=1) + 1e-8)
+    return x * jnp.reciprocal(
+        jnp.sqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + 1e-8))
+
+
+def synthesize(params, z, edits, *, cfg: ProGANConfig,
+               retain: Tuple[str, ...], stop_at: Optional[str]):
+    ts = TapState(retain, edits, stop_at)
+    x = z.reshape(z.shape[0], z.shape[1], 1, 1)
+    plan = cfg.layer_plan()
+    for li, (name, cin, cout, k, pad, up) in enumerate(plan):
+        is_output = li == len(plan) - 1
+        x = _pixel_norm_nchw(x)
+        if up:
+            x = nearest_upsample2x(x)
+        w = params[f"{name}.conv.weight"].astype(x.dtype)
+        x = lax.conv_general_dilated(
+            x, w, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=get_precision())
+        # WScaleLayer (proggan.py:110-121): gain/sqrt(fan_in) with
+        # gain = sqrt(2)/kernel_size for conv blocks, 1 for the output block.
+        gain = 1.0 if is_output else math.sqrt(2.0) / k
+        scale = gain / math.sqrt(cin)
+        b = params[f"{name}.wscale.b"].astype(x.dtype)
+        x = x * scale + b.reshape(1, -1, 1, 1)
+        if not is_output:
+            x = jnp.where(x >= 0, x, 0.2 * x)
+        x = ts.tap(name, x)
+        if ts.stopped:
+            return None, ts.retained
+    return x, ts.retained
+
+
+class ProGAN(BaseGenerator):
+    """Drop-in equivalent of the reference ``ProGAN`` wrapper
+    (``models/wrappers.py:469-522``)."""
+
+    def __init__(self, lsun_class: Optional[str] = None, resolution: int = 256,
+                 cfg: Optional[ProGANConfig] = None,
+                 params: Optional[Dict[str, np.ndarray]] = None, init_seed: int = 0):
+        super().__init__("ProGAN", lsun_class)
+        if self.outclass is not None and self.outclass not in VALID_CLASSES:
+            raise ValueError(
+                f"Invalid LSUN class {self.outclass}, should be one of {VALID_CLASSES}")
+        self.cfg = cfg or ProGANConfig.for_resolution(resolution)
+        self.resolution = 4 * 2 ** (len(self.cfg.sizes) - 2)
+        self.name = f"ProGAN-{self.outclass}"
+        self.has_latent_residual = False
+        self.params = jax.tree.map(
+            jnp.asarray, params if params is not None else init_params(self.cfg, init_seed))
+        self._jit_core = partial(jax.jit, static_argnames=("retain", "stop_at"))(
+            partial(synthesize, cfg=self.cfg))
+
+    def tap_names(self):
+        return tuple(name for name, *_ in self.cfg.layer_plan())
+
+    def sample_latent(self, n_samples=1, seed=None, truncation=None):
+        if seed is None:
+            seed = np.random.randint(np.iinfo(np.int32).max)
+        # zdataset.z_sample_for_model semantics (netdissect/zdataset.py:26-40).
+        return jnp.asarray(sampling.gaussian_latents(n_samples, self.cfg.sizes[0], seed))
+
+    def _run(self, x, stop_at):
+        if isinstance(x, list):
+            assert len(x) == 1, "ProGAN only supports a single global latent"
+            x = x[0]
+        retain, edits, store = self._instrumentation()
+        img, retained = self._jit_core(self.params, jnp.asarray(x), edits,
+                                       retain=retain, stop_at=stop_at)
+        if store is not None:
+            store(retained)
+        return img
+
+    def forward(self, x):
+        return 0.5 * (self._run(x, None) + 1)
+
+    def partial_forward(self, x, layer_name):
+        self._run(x, self.resolve_tap(layer_name))
+        return None

@@ -1,0 +1,116 @@
+"""Estimator suite numeric golden tests vs sklearn on synthetic data
+(rebuild test strategy per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+from sklearn.decomposition import PCA, FastICA, IncrementalPCA
+
+from ganspace_tpu.estimators import get_estimator
+
+N, D, C = 2000, 48, 6
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(0)
+    basis = np.linalg.qr(rs.randn(D, D))[0]
+    scales = np.concatenate([np.linspace(10, 2, 12), 0.1 * np.ones(D - 12)])
+    x = ((rs.randn(N, D) * scales) @ basis.T + 5.0).astype(np.float32)
+    return x
+
+
+def cos_rows(a, b):
+    return np.abs(np.sum(a * b, -1)
+                  / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)))
+
+
+def test_ipca_matches_sklearn(data):
+    ours = get_estimator("ipca", C)
+    sk = IncrementalPCA(C)
+    for i in range(0, N, 400):
+        assert ours.fit_partial(data[i:i + 400])
+        sk.partial_fit(data[i:i + 400])
+    comp, stdev, var_ratio = ours.get_components()
+    # signed comparison: sign convention must match sklearn's svd_flip
+    assert np.abs(comp - sk.components_).max() < 1e-4
+    assert np.allclose(stdev, np.sqrt(sk.explained_variance_), rtol=1e-4)
+    assert np.allclose(var_ratio, sk.explained_variance_ratio_, atol=1e-5)
+    assert np.abs(ours.mean_ - sk.mean_).max() < 1e-4
+
+
+def test_ipca_fit_full(data):
+    ours = get_estimator("ipca", C)
+    ours.fit(data)
+    sk = IncrementalPCA(C, batch_size=ours.batch_size)
+    sk.fit(data)
+    comp, _, _ = ours.get_components()
+    assert cos_rows(comp, sk.components_).min() > 0.999
+
+
+def test_ipca_rejects_small_batch():
+    ours = get_estimator("ipca", C)
+    assert not ours.fit_partial(np.zeros((C - 1, D), np.float32))
+
+
+def test_pca_matches_sklearn(data):
+    xc = data - data.mean(0, keepdims=True)
+    ours = get_estimator("pca", C)
+    ours.fit(xc.copy())
+    sk = PCA(C, svd_solver="full")
+    sk.fit(xc)
+    comp, stdev, var_ratio = ours.get_components()
+    assert cos_rows(comp, sk.components_).min() > 0.9999
+    assert np.allclose(stdev, np.sqrt(sk.explained_variance_), rtol=1e-2)
+    assert np.all(np.abs(ours.mean_) < 1e-3)
+
+
+def test_fbpca_matches_full_pca(data):
+    xc = data - data.mean(0, keepdims=True)
+    ours = get_estimator("fbpca", C)
+    ours.fit(xc.copy())
+    sk = PCA(C, svd_solver="full")
+    sk.fit(xc)
+    comp, _, _ = ours.get_components()
+    assert cos_rows(comp, sk.components_).min() > 0.999
+    assert ours.get_param_str() == f"fbpca_c{C}_it2_l{2*C}"
+
+
+def test_ica_recovers_sources():
+    rs = np.random.RandomState(0)
+    s = rs.laplace(size=(N, C)).astype(np.float32)
+    a = rs.randn(C, D).astype(np.float32)
+    x = s @ a
+    x -= x.mean(0, keepdims=True)
+    ours = get_estimator("ica", C)
+    ours.fit(x)
+    comp, stdev, var_ratio = ours.get_components()
+    sk = FastICA(C, random_state=0, whiten="unit-variance", max_iter=10000)
+    sk.fit(x)
+    skc = sk.components_ / np.linalg.norm(sk.components_, axis=-1, keepdims=True)
+    match = np.abs(comp @ skc.T)
+    assert match.max(axis=1).min() > 0.99  # every sklearn IC recovered
+    assert np.all(np.diff(stdev) <= 1e-6)  # sorted descending
+
+
+def test_spca_sparsity_scales_with_alpha(data):
+    xc = data - data.mean(0, keepdims=True)
+    sparsities = []
+    for alpha in (1.0, 5.0):
+        est = get_estimator("spca", C, alpha)
+        est.fit(xc.copy())
+        comp, stdev, _ = est.get_components()
+        sparsities.append(np.mean(np.abs(comp) < 1e-8))
+        assert np.allclose(np.linalg.norm(comp, axis=1), 1.0, atol=1e-4)
+        assert np.all(np.diff(stdev) <= 1e-5)
+    assert sparsities[1] > sparsities[0] > 0.05
+
+
+def test_param_strings():
+    # Cache filenames depend on these exact strings (decomposition.py:384-394).
+    assert get_estimator("ipca", 80).get_param_str() == "ipca_c80"
+    assert get_estimator("pca", 80).get_param_str() == "pca-full_c80"
+    assert get_estimator("fbpca", 80).get_param_str() == "fbpca_c80_it2_l160"
+    assert get_estimator("ica", 80).get_param_str() == "ica_c80_w"
+    assert get_estimator("spca", 80, 10.0).get_param_str() == "spca_c80_a10.0"
+    with pytest.raises(RuntimeError):
+        get_estimator("nope", 80)
