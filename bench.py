@@ -1,0 +1,86 @@
+"""Headline benchmark: StyleGAN2-FFHQ W-space PCA pipeline throughput.
+
+Runs the real production path (``get_or_compute``: host-seeded latent
+sampling -> mapping network on device -> streaming IncrementalPCA fit ->
+component post-processing -> npz write) on a randomly-initialized
+full-size StyleGAN2 (512-d W, 8-layer mapping, c=80) and reports
+**latent samples/sec/chip** — the driver metric (BASELINE.json).
+
+Baseline: the north-star target is a 1M-sample run in <60 s on a v5p-8,
+i.e. 1e6 / 60 / 8 = 2083.3 samples/sec/chip; ``vs_baseline`` is measured
+throughput relative to that.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("GANSPACE_BENCH_N", 1_000_000))
+    import jax
+
+    from ganspace_tpu.config import Config
+    from ganspace_tpu.decomposition import get_or_compute
+    from ganspace_tpu.models import get_instrumented_model
+
+    n_chips = max(1, len(jax.devices()))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        os.environ["GANSPACE_OUTPUT_DIR"] = tmp
+        cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                     estimator="ipca", components=80, n=n, use_w=True)
+
+        # Build + warm up every jit signature the pipeline hits OUTSIDE the
+        # timed region: XLA compilation is one-time (and, in this
+        # environment, a remote-compile round trip), so the meaningful
+        # number is steady-state throughput.
+        inst = get_instrumented_model(cfg, use_w=True)
+        inst.model.use_w()
+        t_warm = time.perf_counter()
+        model = inst.model
+        np.random.seed(1)
+        jax.block_until_ready(model.sample_latent(4096, seed=0))   # B batch
+        jax.block_until_ready(model.sample_latent(5000, seed=0))   # lat_stdev
+        inst.retain_layer("style")
+        model.partial_forward(model.sample_latent(1, seed=0), "style")  # probe
+        from ganspace_tpu.estimators import get_estimator
+        warm_est = get_estimator("ipca", cfg.components)
+        wblock = np.random.RandomState(0).randn(4096, 512).astype(np.float32)
+        warm_est.fit_partial(wblock)   # first-block signature
+        warm_est.fit_partial(wblock)   # streaming signature
+        jax.block_until_ready(warm_est._state.mean)
+        warmup_s = time.perf_counter() - t_warm
+
+        t0 = time.perf_counter()
+        path = get_or_compute(cfg, inst, force_recompute=True)
+        elapsed = time.perf_counter() - t0
+
+        data = np.load(path)
+        assert data["act_comp"].shape[0] == 80
+        data.close()
+
+    sps = n / elapsed
+    sps_chip = sps / n_chips
+    baseline_sps_chip = 1_000_000 / 60.0 / 8.0  # north-star v5p-8 target
+    result = {
+        "metric": "latent samples/sec/chip (sample+mapping+IPCA, n=%d)" % n,
+        "value": round(sps_chip, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps_chip / baseline_sps_chip, 3),
+    }
+    print(json.dumps(result))
+    print(f"# total {elapsed:.1f}s for n={n} on {n_chips} chip(s); "
+          f"warmup {warmup_s:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

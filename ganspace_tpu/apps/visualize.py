@@ -1,0 +1,216 @@
+"""Batch visualizer CLI (reference ``visualize.py``).
+
+Loads-or-computes components, then renders:
+
+* per-component summary grids at +-sigma for each applicable edit mode
+  ('latent' vs 'activation', pruned to 'latent' only when W-space makes them
+  identical — reference ``visualize.py:237-240``);
+* random-direction baseline grids using the PC stdevs
+  (``visualize.py:268-279``);
+* N random-sample grids;
+* ``--video``: per-component sweep videos (150 frames, sigma and 3*sigma),
+  MP4 via ffmpeg when available, GIF otherwise.
+
+Output tree matches the reference: ``out/{model}/{layer}/{est}/{comp,inst,summ}``
+(``visualize.py:212-218``).  Grids are composed with numpy/PIL (labels in
+filenames) rather than matplotlib figures.
+
+Usage:
+    python -m ganspace_tpu.apps.visualize --model StyleGAN2 --class ffhq \
+        --layer style --use_w --est ipca -c 80 -n 300000 [--video]
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from os import makedirs
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from ganspace_tpu.config import Config
+from ganspace_tpu.decomposition import get_max_batch_size, get_or_compute, get_random_dirs
+from ganspace_tpu.edit import create_strip_centered
+from ganspace_tpu.models import get_instrumented_model
+from ganspace_tpu.sampling import SEED_VISUALIZATION
+from ganspace_tpu.utils import pad_frames, to_uint8
+from ganspace_tpu.utils.video import make_mp4
+
+
+def make_grid(inst, layer_key, latent, lat_mean, lat_comp, lat_stdev, act_mean,
+              act_comp, act_stdev, scale=1, n_rows=10, n_cols=5, edit_type="latent"):
+    """Rows of centered edit strips, one per component (reference
+    ``visualize.py:79-120`` minus the matplotlib chrome)."""
+    inst.remove_edits()
+    rows = []
+    for r in range(n_rows):
+        out_batch = create_strip_centered(
+            inst, edit_type, layer_key, [latent],
+            act_comp[r:r + 1], lat_comp[r:r + 1], act_stdev[r], lat_stdev[r],
+            act_mean, lat_mean, scale, 0, -1, n_cols)[0]
+        rows.append(out_batch[:n_cols])
+    inst.remove_edits()
+    return rows
+
+
+def save_grid_image(rows, outpath):
+    strips = [np.hstack(pad_frames([np.atleast_3d(img) for img in row]))
+              for row in rows]
+    grid = np.vstack(strips)
+    Image.fromarray(to_uint8(grid)).save(outpath)
+
+
+def main(args=None):
+    args = args if isinstance(args, Config) else Config().from_args(args)
+    t_start = datetime.datetime.now()
+    timestamp = lambda: datetime.datetime.now().strftime("%d.%m %H:%M")  # noqa: E731
+    print(f"[{timestamp()}] {args.model}, {args.layer}, {args.estimator}")
+
+    np.random.seed(0)
+    layer_key = args.layer
+    layer_name = layer_key
+
+    basedir = Path(os.environ.get("GANSPACE_OUTPUT_DIR", Path.cwd()))
+    outdir = basedir / "out"
+
+    inst = get_instrumented_model(args.model, args.output_class, layer_key,
+                                  use_w=args.use_w)
+    model = inst.model
+    feature_shape = inst.feature_shape[layer_key]
+    latent_shape = model.get_latent_shape()
+    print("Feature shape:", feature_shape)
+
+    # Layout of activations (visualize.py:159-165)
+    if len(feature_shape) != 4:  # non-spatial
+        axis_mask = np.ones(len(feature_shape), dtype=np.int32)
+    else:
+        axis_mask = np.array([0, 1, 1, 1])  # whole activation volume
+    sample_shape = np.array(feature_shape) * axis_mask
+    sample_shape[sample_shape == 0] = 1
+
+    dump_name = get_or_compute(args, inst)
+    data = np.load(dump_name, allow_pickle=False)
+    t = SimpleNamespace(
+        X_comp=jnp.asarray(data["act_comp"]),
+        X_global_mean=jnp.asarray(data["act_mean"]),
+        X_stdev=jnp.asarray(data["act_stdev"]),
+        Z_comp=jnp.asarray(data["lat_comp"]),
+        Z_global_mean=jnp.asarray(data["lat_mean"]),
+        Z_stdev=jnp.asarray(data["lat_stdev"]),
+    )
+    x_var_ratio = data["var_ratio"]
+    n_comp = data["act_comp"].shape[0]
+    data.close()
+
+    max_batch = args.batch_size or get_max_batch_size(inst, layer_name=layer_key)
+    print("Batch size:", max_batch)
+    print(f"[{timestamp()}] Creating visualizations")
+
+    np.random.seed(SEED_VISUALIZATION)
+
+    est_id = f"spca_{args.sparsity}" if args.estimator == "spca" else args.estimator
+    outdir_comp = outdir / model.name / layer_key.lower() / est_id / "comp"
+    outdir_inst = outdir / model.name / layer_key.lower() / est_id / "inst"
+    outdir_summ = outdir / model.name / layer_key.lower() / est_id / "summ"
+    for d in (outdir_comp, outdir_inst, outdir_summ):
+        makedirs(d, exist_ok=True)
+
+    sparsity = np.mean(np.asarray(t.X_comp) == 0)
+    print(f"Sparsity: {sparsity:.2f}")
+
+    def get_edit_name(mode):
+        if mode == "activation":
+            is_stylegan = "StyleGAN" in args.model
+            is_w = layer_key in ("style", "g_mapping")
+            return "W" if (is_stylegan and is_w) else "ACT"
+        if mode == "latent":
+            return model.latent_space_name()
+        if mode == "both":
+            return "BOTH"
+        raise RuntimeError(f"Unknown edit mode {mode}")
+
+    # Only visualize applicable edit modes (visualize.py:237-240)
+    if args.use_w and layer_key in ("style", "g_mapping"):
+        edit_modes = ["latent"]  # activation edit is identical
+    else:
+        edit_modes = ["activation", "latent"]
+
+    n_rows = min(14, n_comp)
+
+    # Summary grid, real components
+    for edit_mode in edit_modes:
+        rows = make_grid(inst, layer_key, t.Z_global_mean, t.Z_global_mean,
+                         t.Z_comp, t.Z_stdev, t.X_global_mean, t.X_comp,
+                         t.X_stdev, scale=args.sigma, edit_type=edit_mode,
+                         n_rows=n_rows)
+        save_grid_image(rows, outdir_summ / f"components_{get_edit_name(edit_mode)}.jpg")
+
+    if args.make_video:
+        components = min(15, n_comp)
+        instances = 150
+        for sigma in [args.sigma, 3 * args.sigma]:
+            for c in range(components):
+                for edit_mode in edit_modes:
+                    rows = make_grid(inst, layer_key, t.Z_global_mean,
+                                     t.Z_global_mean, t.Z_comp[c:c + 1],
+                                     t.Z_stdev[c:c + 1], t.X_global_mean,
+                                     t.X_comp[c:c + 1], t.X_stdev[c:c + 1],
+                                     n_rows=1, n_cols=instances, scale=sigma,
+                                     edit_type=edit_mode)
+                    frames = rows[0]
+                    frames = frames + frames[::-1]
+                    make_mp4(frames, 5, outdir_comp /
+                             f"{get_edit_name(edit_mode)}_sigma{sigma}_comp{c}.mp4")
+
+    # Summary grid, random directions with the PC stdevs (visualize.py:268-279)
+    rand_act = jnp.asarray(get_random_dirs(n_comp, int(np.prod(sample_shape)))
+                           .reshape(-1, *sample_shape))
+    rand_z = jnp.asarray(get_random_dirs(n_comp, int(np.prod(inst.input_shape)))
+                         .reshape(-1, *latent_shape))
+    for edit_mode in edit_modes:
+        rows = make_grid(inst, layer_key, t.Z_global_mean, t.Z_global_mean,
+                         rand_z, t.Z_stdev, t.X_global_mean, rand_act,
+                         t.X_stdev, scale=args.sigma, edit_type=edit_mode,
+                         n_rows=n_rows)
+        save_grid_image(rows, outdir_summ / f"random_dirs_{get_edit_name(edit_mode)}.jpg")
+
+    # Random instances with components applied
+    n_random_imgs = 10
+    latents = model.sample_latent(n_samples=n_random_imgs)
+    for img_idx in range(n_random_imgs):
+        z = latents[img_idx][None, ...]
+        for edit_mode in edit_modes:
+            rows = make_grid(inst, layer_key, z, t.Z_global_mean, t.Z_comp,
+                             t.Z_stdev, t.X_global_mean, t.X_comp, t.X_stdev,
+                             scale=args.sigma, edit_type=edit_mode, n_rows=n_rows)
+            save_grid_image(rows, outdir_summ /
+                            f"samp{img_idx}_real_{get_edit_name(edit_mode)}.jpg")
+
+        if args.make_video:
+            components = min(5, n_comp)
+            instances = 150
+            for sigma in [args.sigma, 3 * args.sigma]:
+                for edit_mode in edit_modes:
+                    for c in range(components):
+                        rows = make_grid(inst, layer_key, z, t.Z_global_mean,
+                                         t.Z_comp[c:c + 1], t.Z_stdev[c:c + 1],
+                                         t.X_global_mean, t.X_comp[c:c + 1],
+                                         t.X_stdev[c:c + 1], n_rows=1,
+                                         n_cols=instances, scale=sigma,
+                                         edit_type=edit_mode)
+                        frames = rows[0]
+                        frames = frames + frames[::-1]
+                        make_mp4(frames, 5, outdir_inst /
+                                 f"{get_edit_name(edit_mode)}_sigma{sigma}_"
+                                 f"img{img_idx}_comp{c}.mp4")
+
+    print("Done in", datetime.datetime.now() - t_start)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,8 +159,17 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
         model.use_w()
 
     inst.retain_layer(layer_key)
-    model.partial_forward(model.sample_latent(1), layer_key)
-    sample_shape = tuple(np.asarray(inst.retained_features()[layer_key]).shape)
+    z_probe = model.sample_latent(1)
+    model.partial_forward(z_probe, layer_key)
+    feat_probe = inst.retained_features()[layer_key]
+    if feat_probe is None:
+        # Mapping-output tap in W mode: the mapping is not executed so the
+        # tap cannot fire — but the "features" there ARE the W latents
+        # (the reference reads a stale Z-mode annotation here; this is the
+        # deliberate version of the same shape).
+        sample_shape = tuple(np.asarray(z_probe).shape)
+    else:
+        sample_shape = tuple(np.asarray(feat_probe).shape)
     sample_dims = int(np.prod(sample_shape))
     print("Feature shape:", sample_shape)
 
@@ -211,29 +220,50 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     np.random.seed(config.seed or SEED_SAMPLING)
 
     # Pre-sample every latent up front so the fit stream is independent of
-    # later RNG use (reference decomposition.py:229-236).  Latents live in
-    # host RAM (N can be 1M+); W-mapping runs on device, batched.
+    # later RNG use (reference decomposition.py:229-236).  Unlike the
+    # reference (host RAM round-trip for sklearn), latent batches stay
+    # DEVICE-resident when they fit in HBM: host work is only the seeded
+    # numpy draw, which async dispatch overlaps with the mapping network of
+    # the previous batch.  Values and RNG order are identical either way.
     n_lat = ((n_total + nb - 1) // batch + 1) * batch
-    latents = np.zeros((n_lat, *input_shape[1:]), dtype=np.float32)
+    lat_bytes = n_lat * int(np.prod(input_shape[1:])) * 4
+    on_device = lat_bytes < int(os.environ.get("GANSPACE_LATENT_HBM_BUDGET",
+                                               8 * 1024 ** 3))
+    latent_chunks = []
+    host_latents = None if on_device else np.zeros(
+        (n_lat, *input_shape[1:]), dtype=np.float32)
     for i in range(n_lat // batch):
-        latents[i * batch:(i + 1) * batch] = np.asarray(
-            model.sample_latent(n_samples=batch)).reshape(batch, *input_shape[1:])
+        z = model.sample_latent(n_samples=batch)
+        if on_device:
+            latent_chunks.append(jnp.asarray(z).reshape(batch, *input_shape[1:]))
+        else:
+            host_latents[i * batch:(i + 1) * batch] = np.asarray(z).reshape(
+                batch, *input_shape[1:])
+
+    def latent_slice(start, stop):
+        if on_device:
+            i0, i1 = start // batch, -(-stop // batch)
+            block = (latent_chunks[i0] if i1 - i0 == 1
+                     else jnp.concatenate(latent_chunks[i0:i1], axis=0))
+            return block[start - i0 * batch:stop - i0 * batch]
+        return jnp.asarray(host_latents[start:stop])
 
     canceled = False
     gi = 0
     try:
         action = "Fitting" if transformer.batch_support else "Collecting"
-        n_blocks = max(1, n_total // nb)
+        n_blocks = max(1, -(-n_total // nb))
         for bi, gi in enumerate(range(0, n_total, nb)):
-            chunks = []
-            for mb in range(0, nb, batch):
-                z = jnp.asarray(latents[gi + mb:gi + mb + batch])
-                if samples_are_latents:
-                    chunks.append(z.reshape(batch, -1))
-                else:
+            if samples_are_latents:
+                x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
+            else:
+                chunks = []
+                for mb in range(0, nb, batch):
+                    z = latent_slice(gi + mb, gi + mb + batch)
                     model.partial_forward(z, layer_key)
-                    chunks.append(inst.retained_features()[layer_key].reshape(batch, -1))
-            x_block = jnp.concatenate(chunks, axis=0)[:nb]
+                    chunks.append(
+                        inst.retained_features()[layer_key].reshape(batch, -1))
+                x_block = jnp.concatenate(chunks, axis=0)[:nb]
 
             if transformer.batch_support:
                 if not transformer.fit_partial(x_block):

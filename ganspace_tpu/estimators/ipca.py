@@ -101,10 +101,19 @@ class IPCAEstimator:
         return "ipca_c{}{}".format(self.n_components, "_w" if self.whiten else "")
 
     # -- streaming ----------------------------------------------------------
+    def _shard_for(self, ndim: int):
+        """Rank-matched feature sharding (state vectors are rank 1,
+        components/batches rank 2; all shard along the trailing D axis)."""
+        if self._sharding is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = self._sharding.spec[-1]
+        return NamedSharding(self._sharding.mesh,
+                             P(*([None] * (ndim - 1) + [axis])))
+
     def _placed(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self._sharding is not None:
-            return jax.device_put(x, self._sharding)
-        return x
+        s = self._shard_for(x.ndim)
+        return jax.device_put(x, s) if s is not None else x
 
     def fit_partial(self, x) -> bool:
         x = jnp.asarray(x, dtype=jnp.float32)
@@ -121,8 +130,9 @@ class IPCAEstimator:
                                      jnp.zeros((self.n_components, d), jnp.float32),
                                      zeros_c, zeros_c, zeros_c)
             if self._sharding is not None:
-                self._state = _IPCAState(*(self._placed(a) if a.ndim and a.shape[-1] == d
-                                           else a for a in self._state))
+                self._state = _IPCAState(
+                    *(self._placed(a) if a.ndim and a.shape[-1] == d else a
+                      for a in self._state))
         self._state = _partial_fit(
             self._state, x, jnp.asarray(float(self.n_samples_seen_), jnp.float32),
             n_components=self.n_components, first=first)

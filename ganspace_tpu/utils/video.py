@@ -1,0 +1,49 @@
+"""Video/GIF writers (reference ``visualize.py:41-76``).
+
+``make_mp4`` pipes raw RGB frames into ffmpeg/libx264 exactly like the
+reference when ffmpeg is on PATH; otherwise it falls back to an animated GIF
+(PIL) so sweep videos still render in minimal environments.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess as sp
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def make_gif(imgs, duration_secs: float, outname):
+    frames = [Image.fromarray((np.asarray(x) * 255).astype(np.uint8)) for x in imgs]
+    head, *tail = frames
+    ms_per_frame = 1000 * duration_secs / len(imgs)
+    head.save(str(Path(outname).with_suffix(".gif")), format="GIF",
+              append_images=tail, save_all=True, duration=ms_per_frame, loop=0)
+
+
+def make_mp4(imgs, duration_secs: float, outname):
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        print(f"ffmpeg not found; writing GIF instead for {outname}")
+        return make_gif(imgs, duration_secs, outname)
+
+    assert len(imgs[0].shape) == 3, "Invalid shape of frame data"
+    resolution = imgs[0].shape[0:2]
+    fps = int(len(imgs) / duration_secs)
+
+    command = [
+        ffmpeg, "-y", "-f", "rawvideo", "-vcodec", "rawvideo",
+        "-s", f"{resolution[0]}x{resolution[1]}", "-pix_fmt", "rgb24",
+        "-r", f"{fps}", "-i", "-", "-an", "-c:v", "libx264",
+        "-preset", "slow", "-crf", "17",
+        str(Path(outname).with_suffix(".mp4")),
+    ]
+    frame_data = np.concatenate(
+        [(np.asarray(x) * 255).astype(np.uint8).reshape(-1) for x in imgs])
+    with sp.Popen(command, stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.PIPE) as p:
+        ret = p.communicate(frame_data.tobytes())
+        if p.returncode != 0:
+            print(ret[1].decode("utf-8"))
+            raise sp.CalledProcessError(p.returncode, command)
