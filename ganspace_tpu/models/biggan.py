@@ -331,8 +331,17 @@ class BigGAN(BaseGenerator):
         self.cfg = cfg or BigGANConfig.for_resolution(resolution)
         self.resolution = self.cfg.output_dim
         self.truncation = truncation
-        self.params = jax.tree.map(
-            jnp.asarray, params if params is not None else init_params(self.cfg, init_seed))
+        if params is None:
+            from ganspace_tpu.models import checkpoints as _ckpt
+            rel = f"biggan-deep-{resolution}/pytorch_model.bin"
+            found = _ckpt.find_checkpoint(rel)
+            if found is not None:
+                from ganspace_tpu.models.torch_import import import_biggan
+                params = import_biggan(found)
+            else:
+                _ckpt.note_random_init(f"BigGAN-{resolution}", rel)
+                params = init_params(self.cfg, init_seed)
+        self.params = jax.tree.map(jnp.asarray, params)
         self.v_class = None
         self.set_output_class(class_name if class_name is not None else "husky")
         self.name = f"BigGAN-{resolution}-{self.outclass}-t{self.truncation}"

@@ -116,6 +116,16 @@ class ProGAN(BaseGenerator):
         if self.outclass is not None and self.outclass not in VALID_CLASSES:
             raise ValueError(
                 f"Invalid LSUN class {self.outclass}, should be one of {VALID_CLASSES}")
+        if cfg is None and params is None:
+            from ganspace_tpu.models import checkpoints as _ckpt
+            rel = f"progan/{self.outclass}_lsun.pth"
+            found = _ckpt.find_checkpoint(rel)
+            if found is not None:
+                from ganspace_tpu.models.torch_import import import_progan
+                params, sizes = import_progan(found)
+                cfg = ProGANConfig(sizes)
+            else:
+                _ckpt.note_random_init(f"ProGAN-{self.outclass}", rel)
         self.cfg = cfg or ProGANConfig.for_resolution(resolution)
         self.resolution = 4 * 2 ** (len(self.cfg.sizes) - 2)
         self.name = f"ProGAN-{self.outclass}"

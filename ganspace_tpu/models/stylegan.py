@@ -304,8 +304,17 @@ class StyleGAN(BaseGenerator):
         self.w_primary = use_w
         self.name = f"StyleGAN-{self.outclass}"
         self.has_latent_residual = True
-        self.params = jax.tree.map(
-            jnp.asarray, params if params is not None else init_params(cfg, init_seed))
+        if params is None:
+            from ganspace_tpu.models import checkpoints as _ckpt
+            rel = f"stylegan/stylegan_{self.outclass}_{self.resolution}.pt"
+            found = _ckpt.find_checkpoint(rel)
+            if found is not None:
+                from ganspace_tpu.models.torch_import import import_stylegan
+                params = import_stylegan(found)
+            else:
+                _ckpt.note_random_init(self.name, rel)
+                params = init_params(cfg, init_seed)
+        self.params = jax.tree.map(jnp.asarray, params)
         self.set_noise_seed(0)
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "retain", "stop_at"))(

@@ -282,8 +282,19 @@ class StyleGAN2(BaseGenerator):
         self.name = f"StyleGAN2-{self.outclass}"
         self.has_latent_residual = True
 
-        self.params = jax.tree.map(
-            jnp.asarray, params if params is not None else init_params(cfg, seed=init_seed))
+        if params is None:
+            # Reference checkpoint layout (wrappers.py:154-155); random init
+            # when absent (zero-egress environment).
+            from ganspace_tpu.models import checkpoints as _ckpt
+            rel = f"stylegan2/stylegan2_{self.outclass}_{self.resolution}.pt"
+            found = _ckpt.find_checkpoint(rel)
+            if found is not None:
+                from ganspace_tpu.models.torch_import import import_stylegan2
+                params, latent_avg = import_stylegan2(found)
+            else:
+                _ckpt.note_random_init(self.name, rel)
+                params = init_params(cfg, seed=init_seed)
+        self.params = jax.tree.map(jnp.asarray, params)
         self.latent_avg = jnp.asarray(
             latent_avg if latent_avg is not None else np.zeros((cfg.w_dim,), np.float32))
         self.set_noise_seed(0)

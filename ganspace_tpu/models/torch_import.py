@@ -1,0 +1,141 @@
+"""Reference-checkpoint importers.
+
+Converts the four checkpoint formats the reference consumes into this
+framework's flat numpy param dicts:
+
+* **StyleGAN2** — rosinality-fork ``.pt`` with ``g_ema`` + ``latent_avg``
+  (reference ``models/wrappers.py:163-165``).  Our parameter names equal the
+  ``g_ema`` keys; the import squeezes the grouped-conv leading dim and drops
+  fixed buffers (blur kernels, noises).
+* **StyleGAN1** — lernapparat-format ``.pt`` state dict (reference
+  ``models/stylegan/model.py:392-393``); names match 1:1.
+* **BigGAN-deep** — HuggingFace ``pytorch_model.bin``.  Spectral-norm weights
+  are **baked**: at eval time torch computes ``W = W_orig / sigma`` with
+  ``sigma = u^T W v`` from the stored power-iteration vectors, a constant —
+  so the division happens once at import instead of every forward.
+* **ProGAN** — GANDissect ``.pth`` (reference ``netdissect/proggan.py:15-28``);
+  names match 1:1, architecture inferred from weight shapes.
+
+All loaders accept a path (via torch.load) or an in-memory state dict and
+return plain numpy — JAX-side code never sees torch objects.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32) if t.dtype != np.float32 else t
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def _load_state(path_or_dict):
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    import torch
+    return torch.load(path_or_dict, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 (rosinality format)
+# ---------------------------------------------------------------------------
+
+def import_stylegan2(path_or_dict) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """-> (params, latent_avg).  Input: {'g_ema': state_dict, 'latent_avg': t}."""
+    ckpt = _load_state(path_or_dict)
+    state = ckpt.get("g_ema", ckpt)
+    latent_avg = _to_np(ckpt["latent_avg"]) if "latent_avg" in ckpt \
+        else np.zeros((512,), np.float32)
+
+    params: Dict[str, np.ndarray] = {}
+    for key, value in state.items():
+        v = _to_np(value)
+        if key.startswith("noises.") or ".blur.kernel" in key or key.endswith(".kernel"):
+            continue  # fixed buffers rebuilt locally
+        if re.search(r"(^|\.)conv\.weight$", key) and v.ndim == 5:
+            v = v[0]  # grouped-conv leading dim [1, out, in, k, k] -> [out, in, k, k]
+        params[key] = v
+    return params, latent_avg
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN1 (lernapparat format)
+# ---------------------------------------------------------------------------
+
+def import_stylegan(path_or_dict) -> Dict[str, np.ndarray]:
+    state = _load_state(path_or_dict)
+    params = {}
+    for key, value in state.items():
+        if ".intermediate.kernel" in key or key.endswith("blur.kernel"):
+            continue  # fixed [1,2,1] blur, rebuilt locally
+        v = _to_np(value)
+        if key.endswith(".const") and v.ndim == 4:
+            pass
+        params[key] = v
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BigGAN (HuggingFace format, spectral norm baked)
+# ---------------------------------------------------------------------------
+
+def bake_spectral_norm(w_orig: np.ndarray, u: np.ndarray,
+                       v: np.ndarray | None = None) -> np.ndarray:
+    """W_orig / sigma with sigma = u^T W_mat v (torch eval-mode semantics).
+
+    If ``v`` is absent (older torch checkpoints store only ``u``), it is the
+    deterministic ``normalize(W_mat^T u)`` torch recomputes each forward.
+    """
+    w_mat = w_orig.reshape(w_orig.shape[0], -1)
+    if v is None:
+        v = w_mat.T @ u
+        v = v / max(np.linalg.norm(v), 1e-12)
+    sigma = float(u @ w_mat @ v)
+    return (w_orig / sigma).astype(np.float32)
+
+
+def import_biggan(path_or_dict) -> Dict[str, np.ndarray]:
+    state = {k: _to_np(v) for k, v in _load_state(path_or_dict).items()}
+    params: Dict[str, np.ndarray] = {}
+    seen_sn = set()
+    for key, value in state.items():
+        if key.endswith(".weight_orig"):
+            base = key[:-len(".weight_orig")]
+            u = state.get(base + ".weight_u")
+            v = state.get(base + ".weight_v")
+            params[base + ".weight"] = bake_spectral_norm(value, u, v)
+            seen_sn.add(base)
+        elif key.endswith((".weight_u", ".weight_v")):
+            continue
+        else:
+            params[key] = value
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ProGAN (GANDissect format)
+# ---------------------------------------------------------------------------
+
+def import_progan(path_or_dict) -> Tuple[Dict[str, np.ndarray], Tuple[int, ...]]:
+    """-> (params, sizes schedule inferred from the conv shapes)."""
+    state = _load_state(path_or_dict)
+    if "state_dict" in state:
+        state = state["state_dict"]
+    params = {k: _to_np(v) for k, v in state.items()}
+
+    # Infer the feature-depth schedule (reference proggan.py
+    # sizes_from_state_dict): layer1 conv is [s1, s0, 4, 4]; each odd
+    # layer >= 3 is a NormUpscaleConvBlock whose out-channels define the
+    # next schedule entry.
+    n_layers = max(int(re.findall(r"\d+", k)[0])
+                   for k in params if re.fullmatch(r"layer\d+\.conv\.weight", k))
+    w1 = params["layer1.conv.weight"]
+    sizes = [w1.shape[1], w1.shape[0]]
+    for i in range(3, n_layers + 1, 2):
+        sizes.append(params[f"layer{i}.conv.weight"].shape[0])
+    return params, tuple(sizes)

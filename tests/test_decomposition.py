@@ -1,0 +1,87 @@
+"""End-to-end decomposition pipeline tests on tiny models (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from ganspace_tpu.config import Config
+from ganspace_tpu.decomposition import component_cache_name, get_or_compute
+from ganspace_tpu.models.base import InstrumentedModel
+
+from helpers import tiny_stylegan2
+
+NPZ_KEYS = {"act_comp", "act_mean", "act_stdev", "lat_comp", "lat_mean",
+            "lat_stdev", "var_ratio", "random_stdevs"}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return tiny_stylegan2()
+
+
+def test_cache_filename_scheme():
+    # Exact reference scheme (decomposition.py:384-392).
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                 estimator="ipca", components=80, n=300_000, use_w=True)
+    assert component_cache_name(cfg) == "stylegan2-ffhq_style_ipca_c80_n300000_w.npz"
+    cfg2 = Config(model="BigGAN-512", output_class="husky",
+                  layer="generator.gen_z", estimator="fbpca", components=64,
+                  n=1_000_000, seed=7)
+    assert component_cache_name(cfg2) == \
+        "biggan-512-husky_generator.gen_z_fbpca_c64_it2_l128_n1000000_seed7.npz"
+
+
+def test_w_space_fast_path(model, tmp_path, monkeypatch):
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    inst = InstrumentedModel(model)
+    model.use_w()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                 estimator="ipca", components=4, n=1500, use_w=True,
+                 batch_size=128)
+    path = get_or_compute(cfg, inst)
+    assert path.is_file()
+    data = np.load(path)
+    assert set(data.files) == NPZ_KEYS
+    assert data["act_comp"].shape == (4, 1, 512)
+    assert data["lat_comp"].shape == (4, 1, 512)
+    # W fast path: lat_comp == act_comp up to row normalization
+    norm = data["act_comp"].reshape(4, -1)
+    norm = norm / np.linalg.norm(norm, axis=-1, keepdims=True)
+    assert np.allclose(data["lat_comp"].reshape(4, -1), norm, atol=1e-5)
+    assert np.all(data["lat_stdev"] > 0)  # W-space stdevs measured
+    # cached second call: no recompute
+    assert get_or_compute(cfg, inst) == path
+    model.use_z()
+
+
+def test_activation_path_with_regression(model, tmp_path, monkeypatch):
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    inst = InstrumentedModel(model)
+    model.use_z()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                 estimator="ipca", components=3, n=1000, batch_size=128)
+    path = get_or_compute(cfg, inst)
+    data = np.load(path)
+    assert data["act_comp"].shape == (3, 1, 64, 4, 4)
+    assert data["lat_comp"].shape == (3, 1, 512)
+    comp = data["act_comp"].reshape(3, -1)
+    assert np.allclose(comp @ comp.T, np.eye(3), atol=1e-3)  # orthonormal
+    assert np.allclose(np.linalg.norm(data["lat_comp"].reshape(3, -1), axis=-1),
+                       1.0, atol=1e-5)  # normalized
+    assert np.all(np.diff(data["act_stdev"]) <= 1e-6)  # sorted
+    assert np.all(data["random_stdevs"] > 0)
+    # random baselines should explain less variance than the PCs
+    assert data["random_stdevs"].max() < data["act_stdev"][0]
+
+
+def test_determinism(model, tmp_path, monkeypatch):
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    inst = InstrumentedModel(model)
+    model.use_z()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                 estimator="pca", components=3, n=600, batch_size=100)
+    p1 = get_or_compute(cfg, inst)
+    d1 = {k: v.copy() for k, v in np.load(p1).items()}
+    p2 = get_or_compute(cfg, inst, force_recompute=True)
+    d2 = np.load(p2)
+    for k in NPZ_KEYS:
+        assert np.array_equal(d1[k], d2[k]), f"{k} not deterministic"
