@@ -1,0 +1,430 @@
+"""Interactive exploration session + web viewer (reference ``interactive.py``).
+
+The reference drives a Tk window with a zero-copy CUDA-GL canvas
+(``TkTorchWindow.py``) — a path that does not exist on TPU.  The equivalent
+here is split in two:
+
+* :class:`Session` — the headless state machine holding everything the Tk UI
+  held: component sliders, edit mode, W+ layer window, truncation, batch,
+  class, seed; the lazy ``ParamCache`` recompute; slider back-projection of
+  the current latent onto the PCs; named-direction import; provenance-rich
+  direction export.  Fully testable without a display.
+* :func:`serve` — a dependency-free stdlib HTTP server exposing the session
+  as a single-page slider UI; rendered frames leave the device once per edit
+  as JPEG bytes (the TPU-era replacement for the pycuda/GL blit,
+  ``TkTorchWindow.py:181-190``).
+
+Edit math mirrors ``interactive.py:412-477``: slider sigma x stdev x
+component, accumulated globally or per layer-window, activation deltas via
+``edit_layer`` offsets.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+import threading
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ganspace_tpu import directions as dirlib
+from ganspace_tpu.config import Config
+from ganspace_tpu.decomposition import get_or_compute
+from ganspace_tpu.models import get_instrumented_model
+from ganspace_tpu.utils import to_uint8
+
+
+def get_edit_name(idx, s, e, name=None):
+    """Paper syntax E(comp, range) (reference ``interactive.py:45-50``)."""
+    return "E({comp}, {edit_range}){edit_name}".format(
+        comp=idx,
+        edit_range=f"{s}-{e}" if e > s else s,
+        edit_name=f": {name}" if name else "",
+    )
+
+
+class ParamCache:
+    """Dirty-tracking for lazy recomputation (reference ``interactive.py:385-396``)."""
+
+    def update(self, **kwargs) -> bool:
+        dirty = False
+        for argname, val in kwargs.items():
+            current = getattr(self, argname, 0)
+            if current is not val and pickle.dumps(current) != pickle.dumps(val):
+                setattr(self, argname, val)
+                dirty = True
+        return dirty
+
+
+class Session:
+    def __init__(self, args: Config, n_sliders: int = 70):
+        self.args = args
+        self.model_name = args.model
+        self.layer_name = args.layer
+        self.inst = get_instrumented_model(args.model, args.output_class,
+                                           args.layer, use_w=args.use_w)
+        self.model = self.inst.model
+        self.use_named_latents = False
+        self.state = SimpleNamespace(z=None, seed=0, base_act=None,
+                                     component_class=None,
+                                     lat_slider_offset=0, act_slider_offset=0)
+        self.cache = ParamCache()
+        self.truncation = 0.9
+        self.mode = "latent"
+        self.batch_size = 1
+        self.edit_layer_start = 0
+        self.edit_layer_end = self.model.get_max_latents()  # exclusive
+        self.img = None
+
+        if args.inputs:
+            self.load_named_components(args.inputs, args.output_class)
+        else:
+            self.load_components(args.output_class)
+        self.n_sliders = min(n_sliders, len(self.components.names))
+        self.sliders = np.zeros(self.n_sliders, np.float32)
+        self.resample_latent(seed=0)
+
+    # -- components ----------------------------------------------------------
+    def load_components(self, class_name):
+        config = self.args.from_dict({"output_class": class_name})
+        dump_name = get_or_compute(config, self.inst)
+        data = np.load(dump_name, allow_pickle=False)
+        n_comp = data["act_comp"].shape[0]
+        self.components = SimpleNamespace(
+            X_comp=jnp.asarray(data["act_comp"]),
+            X_mean=jnp.asarray(data["act_mean"]),
+            X_stdev=np.asarray(data["act_stdev"]),
+            Z_comp=jnp.asarray(data["lat_comp"]),
+            Z_mean=jnp.asarray(data["lat_mean"]),
+            Z_stdev=np.asarray(data["lat_stdev"]),
+            names=[f"Component {i}" for i in range(n_comp)],
+            types=[None] * n_comp,
+            layer_names=[self.layer_name] * n_comp,
+            latent_types=[self.model.latent_space_name()] * n_comp,
+            ranges=[(0, self.model.get_max_latents())] * n_comp,
+        )
+        data.close()
+        self.state.component_class = class_name
+        self.use_named_latents = False
+        print("Loaded components for", class_name, "from", dump_name)
+
+    def load_named_components(self, path, class_name):
+        selected = dirlib.load_named_components(
+            path, self.model_name, class_name,
+            latent_space=self.model.latent_space_name())
+        if not selected:
+            raise RuntimeError("No valid components in given path.")
+        comp = SimpleNamespace(X_comp=[], Z_comp=[], X_stdev=[], Z_stdev=[],
+                               names=[], types=[], layer_names=[], ranges=[],
+                               latent_types=[])
+        for d in selected:
+            s, e = d["edit_start"], d["edit_end"]
+            comp.X_comp.append(jnp.asarray(d["act_comp"]))
+            comp.Z_comp.append(jnp.asarray(d["lat_comp"]))
+            comp.X_stdev.append(d["act_stdev"])
+            comp.Z_stdev.append(d["lat_stdev"])
+            comp.names.append(get_edit_name(d["component_index"], s, e - 1, d["name"]))
+            comp.types.append(d["edit_type"])
+            comp.layer_names.append(d["decomposition"]["layer"])
+            comp.ranges.append((s, e))
+            comp.latent_types.append(d["latent_space"])
+        self.components = comp
+        self.use_named_latents = True
+        print("Loaded named components")
+
+    # -- state ---------------------------------------------------------------
+    def resample_latent(self, seed: Optional[int] = None):
+        b = self.batch_size
+        self.state.seed = (np.random.randint(np.iinfo(np.int32).max - b)
+                           if seed is None else seed)
+        # Consecutive seeds along the batch for reproducibility
+        # (reference interactive.py:349-352).
+        latents = [self.model.sample_latent(1, seed=self.state.seed + i,
+                                            truncation=self.truncation)
+                   for i in range(b)]
+        self.state.z = jnp.concatenate(latents)
+        if hasattr(self.model, "truncation"):
+            self.model.truncation = self.truncation
+        self.inst.retain_layer(self.layer_name)
+        self.model.partial_forward(self.state.z, self.layer_name)
+        self.state.base_act = self.inst.retained_features()[self.layer_name]
+        self.reset_sliders(zero_on_failure=False)
+
+    def set_class(self, class_name):
+        if str(class_name).isnumeric():
+            class_name = int(class_name)
+        if hasattr(self.model, "is_valid_class") and not self.model.is_valid_class(class_name):
+            return False
+        self.model.set_output_class(class_name)
+        return True
+
+    def recompute_components(self, class_name):
+        if self.set_class(class_name):
+            self.load_components(self.model.outclass)
+
+    def zero_sliders(self):
+        self.sliders[:] = 0.0
+
+    def reset_sliders(self, zero_on_failure=True):
+        # The reference ships with back-projection disabled
+        # (interactive.py:165-209, `enabled = False`); kept that way.
+        self.state.lat_slider_offset = 0
+        self.state.act_slider_offset = 0
+        if zero_on_failure:
+            self.zero_sliders()
+
+    def project_ortho(self, x, comp):
+        """Coordinates of x in the orthonormal basis (``interactive.py:156-159``)."""
+        n = comp.shape[0]
+        coords = jnp.sum(comp.reshape(n, -1) * jnp.asarray(x).reshape(1, -1), axis=1)
+        return np.asarray(coords)
+
+    # -- rendering -----------------------------------------------------------
+    def render(self, force=False) -> np.ndarray:
+        """Recompute the image if any edit parameter changed
+        (reference ``on_draw``, ``interactive.py:412-477``)."""
+        c = self.components
+        latent_start, latent_end = self.edit_layer_start, self.edit_layer_end
+        dirty = self.cache.update(coords=self.sliders.copy(),
+                                  comp=self.state.component_class,
+                                  mode=self.mode, z=np.asarray(self.state.z),
+                                  s=latent_start, e=latent_end)
+        if not (dirty or force) and self.img is not None:
+            return self.img
+
+        z_base = self.state.z - self.state.lat_slider_offset
+        n_latent = self.model.get_max_latents()
+        z_deltas = [0.0] * n_latent
+        z_delta_global = 0.0
+        act_deltas = {}
+
+        if isinstance(self.state.act_slider_offset, jnp.ndarray):
+            act_deltas[self.layer_name] = -self.state.act_slider_offset
+
+        for space in c.latent_types:
+            assert space == self.model.latent_space_name(), \
+                "Cannot mix latent spaces (for now)"
+
+        for ci in range(self.n_sliders):
+            coord = float(self.sliders[ci])
+            if coord == 0:
+                continue
+            edit_mode = c.types[ci] if self.use_named_latents else self.mode
+
+            if edit_mode in ("activation", "both"):
+                delta = c.X_comp[ci] * c.X_stdev[ci] * coord
+                name = c.layer_names[ci]
+                act_deltas[name] = act_deltas.get(name, 0.0) + delta
+
+            if edit_mode in ("latent", "both"):
+                delta = c.Z_comp[ci] * c.Z_stdev[ci] * coord
+                edit_range = (c.ranges[ci] if self.use_named_latents
+                              else (latent_start, latent_end))
+                if edit_range == (0, n_latent):
+                    z_delta_global = z_delta_global + delta
+                else:
+                    for l in range(*edit_range):
+                        z_deltas[l] = z_deltas[l] + delta
+
+        self.inst.remove_edits()
+        for layer, delta in act_deltas.items():
+            self.inst.edit_layer(layer, offset=np.asarray(delta))
+
+        has_offsets = any(isinstance(t, jnp.ndarray) for t in z_deltas)
+        z_final = z_base + z_delta_global
+        if has_offsets:
+            z_final = [z_final + d for d in z_deltas]
+        img = self.model.forward(z_final)
+        self.img = np.asarray(jnp.clip(img, 0.0, 1.0))
+        return self.img
+
+    def render_np(self) -> np.ndarray:
+        """[H, W*B, 3] uint8 tile of the current batch."""
+        img = self.render()
+        tiles = [np.transpose(im, (1, 2, 0)) for im in img]
+        return to_uint8(np.hstack(tiles))
+
+    # -- export --------------------------------------------------------------
+    def export_direction(self, idx: int, name: str, sigma_range: float = 2.0,
+                         out_dir=None) -> Path:
+        c = self.components
+        params = dirlib.direction_params(
+            name=name, sigma_range=sigma_range, component_index=idx,
+            act_comp=np.asarray(c.X_comp[idx]),
+            lat_comp=np.asarray(c.Z_comp[idx]),
+            latent_space=self.model.latent_space_name(),
+            act_stdev=float(np.asarray(c.X_stdev[idx])),
+            lat_stdev=float(np.asarray(c.Z_stdev[idx])),
+            model_name=self.model_name,
+            output_class=str(self.model.outclass),
+            estimator=self.args.estimator, components=self.args.components,
+            samples=self.args.n, layer=self.args.layer,
+            component_class=str(self.state.component_class),
+            edit_type=self.mode, truncation=self.truncation,
+            edit_start=self.edit_layer_start, edit_end=self.edit_layer_end,
+            example_seed=self.state.seed)
+        out_dir = out_dir or (Path.cwd() / "out" / "directions")
+        return dirlib.export_direction(params, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Web UI
+# ---------------------------------------------------------------------------
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>ganspace-tpu</title><style>
+body {{ font-family: sans-serif; display: flex; margin: 0; background: #181818; color: #ddd; }}
+#panel {{ width: 280px; padding: 10px; overflow-y: scroll; height: 100vh; box-sizing: border-box; }}
+#view {{ flex: 1; display: flex; align-items: center; justify-content: center; }}
+#frame {{ max-width: 100%; max-height: 100vh; image-rendering: auto; }}
+.slider {{ width: 100%; }}
+label {{ font-size: 11px; }}
+input, select, button {{ margin: 2px 0; }}
+</style></head><body>
+<div id="panel">
+  <h3>ganspace-tpu</h3>
+  <div>mode:
+    <select id="mode"><option>latent</option><option>activation</option><option>both</option></select>
+  </div>
+  <div><label>layers <span id="rangelabel"></span></label><br/>
+    <input type="range" id="lstart" min="0" max="{max_lat_m1}" value="0" class="slider"/>
+    <input type="range" id="lend" min="0" max="{max_lat_m1}" value="{max_lat_m1}" class="slider"/></div>
+  <div><label>truncation</label>
+    <input type="range" id="trunc" min="0" max="1" step="0.05" value="0.9" class="slider"/></div>
+  <div><label>seed</label> <input type="text" id="seed" size="10" value="0"/>
+    <button onclick="resample()">resample</button></div>
+  <div><label>class</label> <input type="text" id="cls" size="10" value="{outclass}"/>
+    <button onclick="setcls()">apply</button></div>
+  <button onclick="zero()">zero sliders</button>
+  <div id="sliders"></div>
+</div>
+<div id="view"><img id="frame" src="/frame.jpg"/></div>
+<script>
+const N = {n_sliders}; const names = {names_json};
+const panel = document.getElementById('sliders');
+for (let i = 0; i < N; i++) {{
+  const div = document.createElement('div');
+  div.innerHTML = `<label>${{names[i]}}: <span id="v${{i}}">0.0</span></label>
+    <input type="range" class="slider" id="s${{i}}" min="-10" max="10" step="0.1" value="0"/>`;
+  panel.appendChild(div);
+}}
+let t = null;
+function push() {{
+  clearTimeout(t);
+  t = setTimeout(async () => {{
+    const sliders = [];
+    for (let i = 0; i < N; i++) {{
+      const v = parseFloat(document.getElementById('s'+i).value);
+      document.getElementById('v'+i).textContent = v.toFixed(1);
+      sliders.push(v);
+    }}
+    const body = {{sliders: sliders,
+      mode: document.getElementById('mode').value,
+      lstart: parseInt(document.getElementById('lstart').value),
+      lend: parseInt(document.getElementById('lend').value),
+      trunc: parseFloat(document.getElementById('trunc').value)}};
+    document.getElementById('rangelabel').textContent = body.lstart + '-' + body.lend;
+    await fetch('/state', {{method: 'POST', body: JSON.stringify(body)}});
+    document.getElementById('frame').src = '/frame.jpg?' + Date.now();
+  }}, 60);
+}}
+document.querySelectorAll('input,select').forEach(e => e.addEventListener('input', push));
+async function resample() {{
+  await fetch('/resample?seed=' + document.getElementById('seed').value); push();
+}}
+async function setcls() {{
+  await fetch('/class?name=' + document.getElementById('cls').value); push();
+}}
+function zero() {{
+  for (let i = 0; i < N; i++) document.getElementById('s'+i).value = 0; push();
+}}
+</script></body></html>
+"""
+
+
+def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
+    """Serve the session as a single-page web UI (stdlib only)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from PIL import Image
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="text/html"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                page = _PAGE.format(
+                    n_sliders=session.n_sliders,
+                    names_json=json.dumps(session.components.names[:session.n_sliders]),
+                    max_lat_m1=session.model.get_max_latents(),
+                    outclass=str(session.model.outclass))
+                self._send(200, page.encode())
+            elif url.path == "/frame.jpg":
+                with lock:
+                    frame = session.render_np()
+                buf = io.BytesIO()
+                Image.fromarray(frame).save(buf, format="JPEG", quality=92)
+                self._send(200, buf.getvalue(), "image/jpeg")
+            elif url.path == "/resample":
+                q = parse_qs(url.query)
+                seed = q.get("seed", [None])[0]
+                with lock:
+                    session.resample_latent(int(seed) if seed not in (None, "") else None)
+                self._send(200, b"ok", "text/plain")
+            elif url.path == "/class":
+                q = parse_qs(url.query)
+                with lock:
+                    session.recompute_components(q.get("name", [""])[0])
+                self._send(200, b"ok", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path == "/state":
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                with lock:
+                    sl = np.asarray(body.get("sliders", []), np.float32)
+                    session.sliders[:len(sl)] = sl[:session.n_sliders]
+                    session.mode = body.get("mode", session.mode)
+                    session.edit_layer_start = int(body.get("lstart", 0))
+                    session.edit_layer_end = int(body.get("lend",
+                                                          session.edit_layer_end))
+                    new_trunc = float(body.get("trunc", session.truncation))
+                    if new_trunc != session.truncation:
+                        session.truncation = new_trunc
+                        session.resample_latent(session.state.seed)
+                self._send(200, b"ok", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"ganspace-tpu interactive viewer at http://{host}:{port}/")
+    server.serve_forever()
+
+
+def main(argv=None):
+    args = Config().from_args(argv)
+    session = Session(args)
+    serve(session)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Headless interactive-session tests: edit math, direction export/import,
+viewer frame rendering (reference ``interactive.py`` semantics)."""
+
+import numpy as np
+import pytest
+
+from ganspace_tpu.apps.interactive import ParamCache, Session, get_edit_name
+from ganspace_tpu.config import Config
+from ganspace_tpu.directions import (
+    direction_file_ident,
+    load_direction,
+    load_named_components,
+)
+
+from helpers import tiny_stylegan2
+
+
+@pytest.fixture(scope="module")
+def session(tmp_path_factory):
+    out = tmp_path_factory.mktemp("interactive")
+    import os
+    os.environ["GANSPACE_OUTPUT_DIR"] = str(out)
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                 estimator="ipca", components=6, n=1200, use_w=True,
+                 batch_size=128)
+    model = tiny_stylegan2(use_w=True)
+    from ganspace_tpu.models.base import InstrumentedModel
+
+    # Build session around the tiny model: patch get_instrumented_model path
+    import ganspace_tpu.apps.interactive as mod
+    inst = InstrumentedModel(model)
+    from ganspace_tpu.models import annotate_model_shapes
+    model.use_z()
+    annotate_model_shapes(inst, ["style"])
+    model.use_w()
+    orig = mod.get_instrumented_model
+    mod.get_instrumented_model = lambda *a, **k: inst
+    try:
+        sess = Session(cfg, n_sliders=6)
+    finally:
+        mod.get_instrumented_model = orig
+    return sess
+
+
+def test_param_cache():
+    c = ParamCache()
+    assert c.update(a=1, b=np.zeros(3))
+    assert not c.update(a=1, b=np.zeros(3))
+    assert c.update(b=np.ones(3))
+
+
+def test_render_changes_with_sliders(session):
+    session.zero_sliders()
+    base = session.render(force=True).copy()
+    session.sliders[0] = 3.0
+    edited = session.render()
+    assert np.abs(base - edited).max() > 1e-4
+    # lazy cache: same params -> same object
+    again = session.render()
+    assert again is edited
+
+
+def test_layer_window_edit(session):
+    session.zero_sliders()
+    session.sliders[1] = 2.0
+    session.edit_layer_start, session.edit_layer_end = 0, session.model.get_max_latents()
+    full = session.render().copy()
+    session.edit_layer_start, session.edit_layer_end = 5, 7
+    windowed = session.render()
+    assert np.abs(full - windowed).max() > 1e-5
+
+
+def test_resample_changes_latent(session):
+    z0 = np.asarray(session.state.z).copy()
+    session.resample_latent(seed=123)
+    assert not np.array_equal(z0, np.asarray(session.state.z))
+    assert session.state.base_act is not None
+
+
+def test_export_import_direction(session, tmp_path):
+    session.mode = "latent"
+    path = session.export_direction(2, "Test Dir", sigma_range=2.0,
+                                    out_dir=tmp_path)
+    assert path.is_file()
+    d = load_direction(path)
+    assert d["name"] == "Test Dir"
+    assert d["component_index"] == 2
+    assert d["latent_space"] == "W"
+    assert d["act_comp"].shape == (1, 512)
+    assert d["decomposition"]["layer"] == "style"
+    # file identity scheme
+    assert direction_file_ident(d) in path.name
+
+    found = load_named_components(tmp_path, "StyleGAN2", "ffhq", latent_space="W")
+    assert len(found) == 1
+    # filtered out for a different model
+    assert load_named_components(tmp_path, "StyleGAN", "ffhq") == []
+
+
+def test_edit_name_syntax():
+    assert get_edit_name(3, 0, 5, "smile") == "E(3, 0-5): smile"
+    assert get_edit_name(3, 4, 4) == "E(3, 4)"
+
+
+def test_render_np_uint8(session):
+    frame = session.render_np()
+    assert frame.dtype == np.uint8
+    assert frame.ndim == 3 and frame.shape[2] == 3
