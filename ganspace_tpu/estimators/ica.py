@@ -74,9 +74,14 @@ class ICAEstimator:
         xc = (xj - mean).T                                 # [D, n]
 
         # PCA whitening to c dims: K [c, D] s.t. K @ xc has identity covariance.
-        cov = mm(xc, xc.T) / n                             # [D, D] (D is small
-        # relative to n for ICA-feasible configs, cf. the 32-bit LAPACK size
-        # guard in reference decomposition.py:212-215)
+        # (D is small relative to n for ICA-feasible configs, cf. the 32-bit
+        # LAPACK size guard in reference decomposition.py:212-215.)
+        from ganspace_tpu.estimators.pca import use_pallas_gram
+        if use_pallas_gram(n, d):
+            from ganspace_tpu.ops.pallas import centered_gram
+            cov = centered_gram(xj, mean) / n
+        else:
+            cov = mm(xc, xc.T) / n                         # [D, D]
         evals, evecs = topk_eigh_desc(cov)
         k_mat = (evecs[:, :c] * jnp.reciprocal(
             jnp.sqrt(jnp.clip(evals[:c], 1e-12, None)))).T  # [c, D]
