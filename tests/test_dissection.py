@@ -1,0 +1,68 @@
+"""Dissection engine on a tiny generator with the offline color segmenter."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ganspace_tpu.dissection import ColorSegmenter, dissect, tally_stats, upsample_grid
+from ganspace_tpu.dissection.report import generate_report, make_svg_bargraph
+from ganspace_tpu.models.base import InstrumentedModel
+
+from helpers import tiny_stylegan2
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def inst():
+    model = tiny_stylegan2()
+    model.use_z()
+    return InstrumentedModel(model)
+
+
+def test_upsample_grid():
+    act = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 4).astype(np.float32))
+    up = upsample_grid(act, (16, 16))
+    assert up.shape == (2, 3, 16, 16)
+    # corners preserved under bilinear half-pixel resize within tolerance
+    assert np.abs(np.asarray(up[:, :, ::4, ::4]).mean()
+                  - np.asarray(act).mean()) < 0.2
+
+
+def test_color_segmenter():
+    seg = ColorSegmenter()
+    labels, cats = seg.get_label_and_category_names()
+    img = np.zeros((1, 3, 4, 4), np.float32)
+    img[0, 0] = 1.0  # pure red
+    out = np.asarray(seg.segment_batch(jnp.asarray(img)))
+    assert labels[out[0, 0, 0]] == "red"
+
+
+def test_tally_and_dissect(inst, tmp_path):
+    stats = tally_stats(inst, "convs.0", n_samples=48, batch=16, k_top=4)
+    units = stats["units"]
+    assert units == 64
+    assert stats["topk_values"].shape == (units, 4)
+    assert np.all(np.diff(stats["topk_values"], axis=1) <= 1e-6)  # descending
+    assert stats["quantiles"].count == 48 * 8 * 8
+
+    report = dissect(inst, "convs.0", ColorSegmenter(), n_samples=48,
+                     batch=16, stats=stats)
+    assert len(report["units"]) == units
+    ious = [r["iou"] for r in report["units"]]
+    assert ious == sorted(ious, reverse=True)
+    assert all(0.0 <= i <= 1.0 for i in ious)
+    assert report["iou_matrix"].shape == (units, len(report["labels"]))
+
+    out = generate_report(report, tmp_path, inst=inst, n_units=5)
+    assert out.is_file()
+    data = json.loads((tmp_path / "dissect.json").read_text())
+    assert data["layer"] == "convs.0"
+    assert (tmp_path / "bargraph.svg").is_file()
+    assert (tmp_path / "image" / f"unit_{report['units'][0]['unit']}.png").is_file()
+
+
+def test_svg_bargraph():
+    svg = make_svg_bargraph(["a", "b"], [0.5, 0.25])
+    assert svg.startswith("<svg") and "rect" in svg and "0.500" in svg
