@@ -63,7 +63,14 @@ def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
     layer_start = int(np.clip(layer_start, 0, layer_end))
 
     x_comp = jnp.asarray(x_comp)
+    if x_comp.ndim >= 3 and x_comp.shape[1] == 1:
+        # Spatial components are cached as [c, *sample_shape] with the
+        # annotation's placeholder batch dim (sample_shape[0] == 1); collapse
+        # it so the per-frame offset batches to [frames, C, H, W].
+        x_comp = x_comp[:, 0]
     z_comp = jnp.asarray(z_comp)
+    if z_comp.ndim >= 3 and z_comp.shape[1] == 1:
+        z_comp = z_comp[:, 0]      # same placeholder collapse for lat_comp
     act_stdev = jnp.asarray(act_stdev)
     lat_stdev = jnp.asarray(lat_stdev)
     if act_mean is not None:

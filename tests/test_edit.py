@@ -102,3 +102,23 @@ def test_layer_window_limits_effect(setup):
     late = create_strip(inst, "latent", "conv1", [z], np.zeros((1, 64, 4, 4)),
                         z_comp, 1.0, 1.0, 2.0, 4, -1, 3)[0]
     assert np.abs(full[0] - late[0]).max() > 1e-4
+
+
+def test_cached_component_placeholder_dims(setup):
+    """Components loaded from the npz cache keep the annotation's placeholder
+    batch dim ([c, 1, C, H, W] spatial / [c, 1, D] latent); the strip engine
+    must collapse it instead of broadcasting the forward batch to rank 5
+    (regression: visualize CLI on a conv tap crashed in conv_general_dilated)."""
+    model, inst = setup
+    z = np.asarray(model.sample_latent(1, seed=0))
+    feat = (64, 4, 4)
+    x_comp = np.random.RandomState(0).randn(1, 1, *feat).astype(np.float32)
+    z_comp = np.random.RandomState(1).randn(1, 1, z.shape[-1]).astype(np.float32)
+    for mode in ("activation", "latent"):
+        frames = create_strip_centered(
+            inst, mode, "conv1", [z], x_comp, z_comp, 1.0, 1.0,
+            np.zeros((1, *feat), np.float32), np.zeros((1, z.shape[-1]), np.float32),
+            2.0, 0, -1, num_frames=3)
+        assert len(frames[0]) == 3
+        for img in frames[0]:
+            assert img.ndim == 3 and img.shape[-1] == 3, img.shape
