@@ -5,6 +5,18 @@ from ganspace_tpu.dissection.dissect import (
     tally_stats,
     upsample_grid,
 )
+from ganspace_tpu.dissection.segmenter import (
+    UnifiedParsingSegmenter,
+    import_torch_upernet,
+)
+from ganspace_tpu.dissection.segmodel import (
+    ResNetConfig,
+    UPerNetConfig,
+    init_resnet_params,
+    init_upernet_params,
+    resnet_features,
+    upernet_forward,
+)
 
 __all__ = [
     "dissect",
@@ -12,4 +24,12 @@ __all__ = [
     "upsample_grid",
     "SegmenterBase",
     "ColorSegmenter",
+    "UnifiedParsingSegmenter",
+    "import_torch_upernet",
+    "ResNetConfig",
+    "UPerNetConfig",
+    "init_resnet_params",
+    "init_upernet_params",
+    "resnet_features",
+    "upernet_forward",
 ]

@@ -49,7 +49,10 @@ class SegmenterBase:
         raise NotImplementedError
 
     def segment_batch(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images [B, 3, H, W] in [0,1] -> integer labels [B, H, W]."""
+        """images [B, 3, H, W] in [0,1] -> integer labels [B, H, W], or
+        multi-channel [B, C, H, W] when a pixel carries one label per
+        category (object/part/material), as the unified-parsing segmenter
+        returns."""
         raise NotImplementedError
 
 
@@ -146,10 +149,17 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
     @jax.jit
     def _tally(act, seg, inter, act_count, seg_count):
         b, u = act.shape[0], act.shape[1]
-        size = seg.shape[1:3]
+        size = seg.shape[-2:]
         up = upsample_grid(act, size)                      # [B, U, H, W]
         mask = (up > levels[None, :, None, None]).astype(jnp.float32)
-        onehot = jax.nn.one_hot(seg, n_labels, dtype=jnp.float32)  # [B,H,W,L]
+        if seg.ndim == 4:
+            # Multi-channel seg: a pixel holds one label per category;
+            # union the per-channel one-hots (a label can't repeat across
+            # categories, so a plain max is exact).
+            onehot = jnp.max(
+                jax.nn.one_hot(seg, n_labels, dtype=jnp.float32), axis=1)
+        else:
+            onehot = jax.nn.one_hot(seg, n_labels, dtype=jnp.float32)  # [B,H,W,L]
         inter = inter + jnp.einsum("buhw,bhwl->ul", mask, onehot)
         act_count = act_count + jnp.sum(mask, axis=(0, 2, 3))
         seg_count = seg_count + jnp.sum(onehot, axis=(0, 1, 2))
@@ -164,7 +174,7 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
             act = act[:, :, None, None]
         seg = segmenter.segment_batch(img)
         inter, act_count, seg_count = _tally(act, seg, inter, act_count, seg_count)
-        total_px += b * int(np.prod(seg.shape[1:3]))
+        total_px += b * int(np.prod(seg.shape[-2:]))
 
     inter_np = np.asarray(inter)
     union = np.asarray(act_count)[:, None] + np.asarray(seg_count)[None, :] - inter_np

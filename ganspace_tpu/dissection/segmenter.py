@@ -1,0 +1,198 @@
+"""Unified-parsing segmenter wrapper (reference ``netdissect/segmenter.py``).
+
+Wraps the UPerNet model (``segmodel.py``) behind the ``SegmenterBase``
+protocol used by dissection: a flat label space spanning the object / part /
+material categories, multi-resolution inference with probability averaging,
+and per-class probability readout for ACE-style optimization.
+
+Differences from the reference, by design:
+
+* The reference downloads the CSAIL unified-parsing torch checkpoint and
+  labeldata.json at import (``segmenter.py:48``, network required).  Here the
+  checkpoint is injected (imported torch ``state_dict`` or saved params npz);
+  with none given the net is randomly initialized with generic label names —
+  the full dissection pipeline stays runnable and testable offline.
+* Multi-resolution inference jits one function per requested size and
+  averages softmax probabilities on device; the reference's quad-subdivision
+  trick (for >2x training resolution inputs) is replaced by evaluating at
+  the extra scales directly — XLA recompiles per static shape, which is the
+  TPU-native way to handle the small fixed set of eval sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ganspace_tpu.dissection.dissect import SegmenterBase
+from ganspace_tpu.dissection.segmodel import (
+    Params, UPerNetConfig, init_upernet_params, resize_bilinear,
+    upernet_forward,
+)
+
+CATEGORIES = ("object", "part", "material")
+
+
+def default_label_data(cfg: UPerNetConfig) -> Dict[str, List[str]]:
+    """Generic label names used when no labeldata is supplied."""
+    return {
+        "object": ["-"] + [f"object-{i}" for i in range(1, cfg.n_objects)],
+        "part": ["-"] + [f"part-{i}" for i in range(1, cfg.n_parts)],
+        "material": ["-"] + [f"material-{i}" for i in range(1, cfg.n_materials)],
+        "scene": [f"scene-{i}" for i in range(cfg.n_scenes)],
+    }
+
+
+class UnifiedParsingSegmenter(SegmenterBase):
+    """Object+part+material segmentation in one flat label space.
+
+    Flat indexing: 0 = '-' (background/unlabeled); object labels follow,
+    then part labels, then material labels (each category's own 0 maps to
+    flat 0).  ``segment_batch`` returns one label map per category,
+    [B, n_categories, H, W], like the reference's multi-channel output.
+    """
+
+    def __init__(self, cfg: Optional[UPerNetConfig] = None,
+                 params: Optional[Params] = None,
+                 label_data: Optional[Dict[str, List[str]]] = None,
+                 segsizes: Sequence[int] = (256,), seed: int = 0):
+        self.cfg = cfg or UPerNetConfig()
+        self.params = jax.tree.map(
+            jnp.asarray,
+            params if params is not None else init_upernet_params(self.cfg, seed))
+        self.segsizes = tuple(segsizes)
+        ld = label_data or default_label_data(self.cfg)
+        self._cat_labels = {c: list(ld[c]) for c in CATEGORIES}
+        self.scene_names = list(ld.get("scene", []))
+
+        # Flat label space: 0 = '-', then each category's labels 1..n-1.
+        self.labels: List[str] = ["-"]
+        self.categories: List[str] = ["-"]
+        self._flat_offset: Dict[str, int] = {}
+        for c in CATEGORIES:
+            self._flat_offset[c] = len(self.labels) - 1
+            self.labels.extend(self._cat_labels[c][1:])
+            self.categories.extend([c] * (len(self._cat_labels[c]) - 1))
+
+        self._probs_jit = partial(
+            jax.jit, static_argnames=("size",))(self._probs)
+
+    # -- protocol -----------------------------------------------------------
+
+    def get_label_and_category_names(self) -> Tuple[List[str], List[str]]:
+        return list(self.labels), list(self.categories)
+
+    def _probs(self, params, images, *, size: int) -> Dict[str, jnp.ndarray]:
+        """softmax probabilities per category at eval ``size``, upsampled
+        back to the input resolution."""
+        h, w = images.shape[2:]
+        x = resize_bilinear(images, (size, size)) if (h, w) != (size, size) \
+            else images
+        x = x * 2.0 - 1.0                       # [0,1] -> roughly normalized
+        logits = upernet_forward(params, x, self.cfg)
+        out = {}
+        for c in CATEGORIES:
+            p = jax.nn.softmax(logits[c], axis=1)
+            out[c] = resize_bilinear(p, (h, w))
+        out["scene"] = jax.nn.softmax(logits["scene"], axis=-1)
+        return out
+
+    def category_probabilities(self, images) -> Dict[str, jnp.ndarray]:
+        """Multi-resolution averaged per-category probabilities
+        [B, L_c, H, W] (reference averages predictions over ``segsizes``)."""
+        images = jnp.asarray(images)
+        acc: Dict[str, jnp.ndarray] = {}
+        for s in self.segsizes:
+            probs = self._probs_jit(self.params, images, size=int(s))
+            for k, v in probs.items():
+                acc[k] = acc.get(k, 0) + v
+        return {k: v / len(self.segsizes) for k, v in acc.items()}
+
+    def segment_batch(self, images, downsample: int = 1) -> jnp.ndarray:
+        """images [B,3,H,W] in [0,1] -> flat labels [B, n_categories, H', W']."""
+        probs = self.category_probabilities(jnp.asarray(images))
+        maps = []
+        for c in CATEGORIES:
+            p = probs[c][:, :, ::downsample, ::downsample]
+            lab = jnp.argmax(p, axis=1)
+            flat = jnp.where(lab == 0, 0, lab + self._flat_offset[c])
+            maps.append(flat)
+        return jnp.stack(maps, axis=1)
+
+    def predict_single_class(self, images, classnum: int,
+                             downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(probability, mask) for one flat label — the ACE objective's
+        signal (reference ``segmenter.predict_single_class``)."""
+        cat = self.categories[classnum]
+        local = classnum - self._flat_offset[cat]
+        probs = self.category_probabilities(jnp.asarray(images))
+        p = probs[cat][:, local, ::downsample, ::downsample]
+        seg = self.segment_batch(images, downsample=downsample)
+        mask = jnp.any(seg == classnum, axis=1)
+        return p, mask
+
+
+def import_torch_upernet(encoder_state, decoder_state,
+                         cfg: UPerNetConfig) -> Params:
+    """Build params from the reference's two torch checkpoints
+    (``encoder_epoch_40.pth`` / ``decoder_epoch_40.pth``).
+
+    The encoder translates via :func:`segmodel.import_torch_resnet`; decoder
+    tensors map by position (ppm convs, fpn laterals/smooths, fusion, heads).
+    Missing decoder keys fall back to random init so partially-matching
+    checkpoints still load (loudly).
+    """
+    from ganspace_tpu.dissection.segmodel import import_torch_resnet, fold_bn
+
+    params = init_upernet_params(cfg)
+
+    def np_(state, k):
+        v = state[k]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    enc = import_torch_resnet(encoder_state, cfg.resnet)
+    for k, v in enc.items():
+        params[f"encoder.{k}"] = v
+
+    missing = []
+    name_map = _decoder_name_map(cfg)
+    for dst, (conv_key, bn_key) in name_map.items():
+        wk = f"{conv_key}.weight"
+        if wk not in decoder_state:
+            missing.append(wk)
+            continue
+        params[f"{dst}.weight"] = np_(decoder_state, wk)
+        if bn_key is not None:
+            s, b = fold_bn(np_(decoder_state, f"{bn_key}.weight"),
+                           np_(decoder_state, f"{bn_key}.bias"),
+                           np_(decoder_state, f"{bn_key}.running_mean"),
+                           np_(decoder_state, f"{bn_key}.running_var"))
+            params[f"{dst}.bn.scale"] = s
+            params[f"{dst}.bn.bias"] = b
+        elif f"{conv_key}.bias" in decoder_state:
+            params[f"{dst}.bias"] = np_(decoder_state, f"{conv_key}.bias")
+    if missing:
+        print(f"import_torch_upernet: {len(missing)} decoder tensors not "
+              f"found (kept random init): {missing[:5]}...")
+    return params
+
+
+def _decoder_name_map(cfg: UPerNetConfig):
+    """dst-param -> (torch conv key, torch bn key or None), following the
+    reference decoder's layout (``upsegmodel/models.py``)."""
+    m = {}
+    for i in range(len(cfg.ppm_scales)):
+        m[f"ppm.conv{i}"] = (f"ppm_conv.{i}.1", f"ppm_conv.{i}.2")
+    m["ppm.fusion"] = ("ppm_last_conv.0", "ppm_last_conv.1")
+    for i in range(3):
+        m[f"fpn.lateral{i}"] = (f"fpn_in.{i}.0", f"fpn_in.{i}.1")
+        m[f"fpn.smooth{i}"] = (f"fpn_out.{i}.0.0", f"fpn_out.{i}.0.1")
+    m["fuse"] = ("conv_fusion.0", "conv_fusion.1")
+    for head in ("object", "part", "material"):
+        m[f"head.{head}.conv"] = (f"{head}_head.0", f"{head}_head.1")
+        m[f"head.{head}"] = (f"{head}_head.3", None)
+    return m

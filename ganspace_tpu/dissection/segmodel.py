@@ -1,0 +1,281 @@
+"""Semantic-segmentation network: ResNet encoder + UPerNet decoder.
+
+TPU-native re-design of the reference's segmentation models
+(``netdissect/upsegmodel/models.py:441`` + ``resnet.py``/``resnext.py``
+backbones, ~1800 LoC of torch modules): the unified-parsing network used by
+GAN dissection — a ResNet trunk feeding a UPerNet decoder (pyramid pooling
+on the deepest stage + FPN lateral fusion) with object / part / material /
+scene heads.
+
+Design notes (vs the torch original):
+
+* **Functional, params-dict style** like every generator in this framework:
+  ``init_*`` builds a flat ``{name: ndarray}`` dict, ``*_forward`` is a pure
+  jittable function.  No module tree, no hooks.
+* **Inference-only**: batch-norm is folded to a per-channel scale/bias at
+  import time (``fold_bn``), so the hot path is conv+scale+relu — exactly
+  what XLA fuses onto the MXU.  The reference's SynchronizedBatchNorm
+  machinery (a multi-GPU training artifact) has no TPU equivalent to build.
+* **NCHW layout** end-to-end to match the generators; interpolation uses
+  ``jax.image.resize`` (bilinear) as the reference uses ``F.interpolate``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ganspace_tpu.ops.precision import get_precision
+
+Params = Dict[str, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, dilation: int = 1,
+           padding: str | int = "SAME") -> jnp.ndarray:
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=get_precision())
+
+
+def scale_bias(x: jnp.ndarray, params: Params, name: str) -> jnp.ndarray:
+    """Folded-BN affine: y = x * scale + bias (per channel)."""
+    s = jnp.asarray(params[f"{name}.scale"], x.dtype).reshape(1, -1, 1, 1)
+    b = jnp.asarray(params[f"{name}.bias"], x.dtype).reshape(1, -1, 1, 1)
+    return x * s + b
+
+
+def fold_bn(gamma, beta, mean, var, eps: float = 1e-5):
+    """Fold BN running stats into (scale, bias)."""
+    scale = gamma / np.sqrt(var + eps)
+    return scale.astype(np.float32), (beta - mean * scale).astype(np.float32)
+
+
+def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    return jax.image.resize(x, x.shape[:2] + tuple(hw), method="bilinear")
+
+
+def _he(rs: np.random.RandomState, *shape) -> np.ndarray:
+    fan_in = int(np.prod(shape[1:]))
+    return (rs.randn(*shape) * np.sqrt(2.0 / max(fan_in, 1))).astype(np.float32)
+
+
+def _init_conv_bn(p: Params, rs, name: str, cin: int, cout: int, k: int):
+    p[f"{name}.weight"] = _he(rs, cout, cin, k, k)
+    p[f"{name}.bn.scale"] = np.ones((cout,), np.float32)
+    p[f"{name}.bn.bias"] = np.zeros((cout,), np.float32)
+
+
+def conv_bn_relu(x, p: Params, name: str, stride=1, dilation=1) -> jnp.ndarray:
+    k = p[f"{name}.weight"].shape[-1]
+    pad = dilation * (k - 1) // 2
+    y = conv2d(x, jnp.asarray(p[f"{name}.weight"]), stride, dilation, pad)
+    return jax.nn.relu(scale_bias(y, p, f"{name}.bn"))
+
+
+# ---------------------------------------------------------------------------
+# ResNet encoder
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet-v1 with the 3-conv deep stem used by the reference's encoder
+    (``upsegmodel/resnet.py``).  ``blocks=(3,4,6,3), width=64`` = ResNet-50."""
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    expansion: int = 4
+
+    @property
+    def stage_channels(self) -> Tuple[int, ...]:
+        return tuple(self.width * (2 ** i) * self.expansion
+                     for i in range(len(self.blocks)))
+
+
+def init_resnet_params(cfg: ResNetConfig, seed: int = 0) -> Params:
+    rs = np.random.RandomState(seed)
+    p: Params = {}
+    w = cfg.width
+    _init_conv_bn(p, rs, "stem.conv1", 3, w // 2, 3)
+    _init_conv_bn(p, rs, "stem.conv2", w // 2, w // 2, 3)
+    _init_conv_bn(p, rs, "stem.conv3", w // 2, w, 3)
+    cin = w
+    for si, n in enumerate(cfg.blocks):
+        planes = w * (2 ** si)
+        cout = planes * cfg.expansion
+        for bi in range(n):
+            base = f"layer{si + 1}.{bi}"
+            _init_conv_bn(p, rs, f"{base}.conv1", cin, planes, 1)
+            _init_conv_bn(p, rs, f"{base}.conv2", planes, planes, 3)
+            _init_conv_bn(p, rs, f"{base}.conv3", planes, cout, 1)
+            if cin != cout:
+                _init_conv_bn(p, rs, f"{base}.downsample", cin, cout, 1)
+            cin = cout
+    return p
+
+
+def _bottleneck(x, p: Params, base: str, stride: int) -> jnp.ndarray:
+    y = conv_bn_relu(x, p, f"{base}.conv1")
+    y = conv_bn_relu(y, p, f"{base}.conv2", stride=stride)
+    y = conv2d(y, jnp.asarray(p[f"{base}.conv3.weight"]), 1, 1, 0)
+    y = scale_bias(y, p, f"{base}.conv3.bn")
+    if f"{base}.downsample.weight" in p:
+        x = conv2d(x, jnp.asarray(p[f"{base}.downsample.weight"]), stride, 1, 0)
+        x = scale_bias(x, p, f"{base}.downsample.bn")
+    elif stride != 1:
+        x = x[:, :, ::stride, ::stride]
+    return jax.nn.relu(x + y)
+
+
+def resnet_features(params: Params, x: jnp.ndarray,
+                    cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
+    """x [B,3,H,W] -> {'c2': /4, 'c3': /8, 'c4': /16, 'c5': /32}."""
+    y = conv_bn_relu(x, params, "stem.conv1", stride=2)
+    y = conv_bn_relu(y, params, "stem.conv2")
+    y = conv_bn_relu(y, params, "stem.conv3")
+    y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                          "SAME")
+    feats = {}
+    for si, n in enumerate(cfg.blocks):
+        stride = 1 if si == 0 else 2
+        for bi in range(n):
+            y = _bottleneck(y, params, f"layer{si + 1}.{bi}",
+                            stride if bi == 0 else 1)
+        feats[f"c{si + 2}"] = y
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# UPerNet decoder (PPM + FPN) with unified-parsing heads
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class UPerNetConfig:
+    resnet: ResNetConfig = field(default_factory=ResNetConfig)
+    fpn_dim: int = 512
+    ppm_scales: Tuple[int, ...] = (1, 2, 3, 6)
+    n_objects: int = 336       # unified-parsing label counts
+    n_parts: int = 153
+    n_materials: int = 26
+    n_scenes: int = 365
+
+
+def init_upernet_params(cfg: UPerNetConfig, seed: int = 0) -> Params:
+    rs = np.random.RandomState(seed + 1)
+    p = {f"encoder.{k}": v
+         for k, v in init_resnet_params(cfg.resnet, seed).items()}
+    chans = cfg.resnet.stage_channels
+    d = cfg.fpn_dim
+    # PPM: one 1x1 conv per pooling scale on c5, then a fusion 3x3
+    for i in range(len(cfg.ppm_scales)):
+        _init_conv_bn(p, rs, f"ppm.conv{i}", chans[-1], d, 1)
+    _init_conv_bn(p, rs, "ppm.fusion",
+                  chans[-1] + d * len(cfg.ppm_scales), d, 3)
+    # FPN lateral 1x1s for c2..c4 + post-merge 3x3s
+    for i, c in enumerate(chans[:-1]):
+        _init_conv_bn(p, rs, f"fpn.lateral{i}", c, d, 1)
+        _init_conv_bn(p, rs, f"fpn.smooth{i}", d, d, 3)
+    _init_conv_bn(p, rs, "fuse", d * len(chans), d, 3)
+    # Heads (1x1 classifier each, on the fused pixel features)
+    for head, n in (("object", cfg.n_objects), ("part", cfg.n_parts),
+                    ("material", cfg.n_materials)):
+        _init_conv_bn(p, rs, f"head.{head}.conv", d, d, 3)
+        p[f"head.{head}.weight"] = _he(rs, n, d, 1, 1)
+        p[f"head.{head}.bias"] = np.zeros((n,), np.float32)
+    p["head.scene.weight"] = (rs.randn(cfg.n_scenes, d)
+                              * 0.01).astype(np.float32)
+    p["head.scene.bias"] = np.zeros((cfg.n_scenes,), np.float32)
+    return p
+
+
+def upernet_forward(params: Params, x: jnp.ndarray,
+                    cfg: UPerNetConfig) -> Dict[str, jnp.ndarray]:
+    """x [B,3,H,W] in [0,1] -> logits dict:
+    object/part/material [B,L,H/4,W/4], scene [B,n_scenes]."""
+    enc = {k[len("encoder."):]: v for k, v in params.items()
+           if k.startswith("encoder.")}
+    feats = resnet_features(enc, x, cfg.resnet)
+    c2, c3, c4, c5 = feats["c2"], feats["c3"], feats["c4"], feats["c5"]
+
+    # Pyramid pooling on c5
+    h5, w5 = c5.shape[2], c5.shape[3]
+    ppm_out = [c5]
+    for i, s in enumerate(cfg.ppm_scales):
+        pooled = jax.image.resize(c5, c5.shape[:2] + (s, s), method="linear")
+        pooled = conv_bn_relu(pooled, params, f"ppm.conv{i}")
+        ppm_out.append(resize_bilinear(pooled, (h5, w5)))
+    f5 = conv_bn_relu(jnp.concatenate(ppm_out, axis=1), params, "ppm.fusion")
+
+    # FPN top-down
+    laterals = [conv_bn_relu(c, params, f"fpn.lateral{i}")
+                for i, c in enumerate((c2, c3, c4))]
+    fpn = [f5]
+    top = f5
+    for i in (2, 1, 0):
+        top = laterals[i] + resize_bilinear(top, laterals[i].shape[2:])
+        fpn.insert(0, conv_bn_relu(top, params, f"fpn.smooth{i}"))
+
+    # Fuse all levels at the c2 resolution
+    hw = fpn[0].shape[2:]
+    fused = jnp.concatenate([resize_bilinear(f, hw) for f in fpn], axis=1)
+    pix = conv_bn_relu(fused, params, "fuse")
+
+    out: Dict[str, jnp.ndarray] = {}
+    for head in ("object", "part", "material"):
+        y = conv_bn_relu(pix, params, f"head.{head}.conv")
+        y = conv2d(y, jnp.asarray(params[f"head.{head}.weight"]), 1, 1, 0)
+        out[head] = y + jnp.asarray(
+            params[f"head.{head}.bias"], y.dtype).reshape(1, -1, 1, 1)
+    pooled = jnp.mean(pix, axis=(2, 3))
+    out["scene"] = pooled @ jnp.asarray(
+        params["head.scene.weight"], pooled.dtype).T \
+        + jnp.asarray(params["head.scene.bias"], pooled.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def import_torch_resnet(state: Dict[str, "np.ndarray"],
+                        cfg: ResNetConfig) -> Params:
+    """Translate a torch deep-stem ResNet ``state_dict`` (the reference
+    encoder's naming, ``upsegmodel/resnet.py``) into folded params."""
+    def np_(k):
+        v = state[k]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    p: Params = {}
+
+    def put(dst: str, conv_key: str, bn_key: str):
+        p[f"{dst}.weight"] = np_(f"{conv_key}.weight")
+        s, b = fold_bn(np_(f"{bn_key}.weight"), np_(f"{bn_key}.bias"),
+                       np_(f"{bn_key}.running_mean"),
+                       np_(f"{bn_key}.running_var"))
+        p[f"{dst}.bn.scale"] = s
+        p[f"{dst}.bn.bias"] = b
+
+    put("stem.conv1", "conv1", "bn1")
+    put("stem.conv2", "conv2", "bn2")
+    put("stem.conv3", "conv3", "bn3")
+    for si, n in enumerate(cfg.blocks):
+        for bi in range(n):
+            src = f"layer{si + 1}.{bi}"
+            dst = f"layer{si + 1}.{bi}"
+            for ci in (1, 2, 3):
+                put(f"{dst}.conv{ci}", f"{src}.conv{ci}", f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in state:
+                put(f"{dst}.downsample", f"{src}.downsample.0",
+                    f"{src}.downsample.1")
+    return p
