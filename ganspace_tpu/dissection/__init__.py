@@ -1,10 +1,16 @@
 from ganspace_tpu.dissection.dissect import (
     ColorSegmenter,
     SegmenterBase,
+    collect_cond_quantiles,
+    collect_covariance,
     dissect,
+    iqr_scores,
     tally_stats,
     upsample_grid,
 )
+from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
+from ganspace_tpu.dissection.broden import BrodenDataset, write_synthetic_broden
+from ganspace_tpu.dissection.report import generate_report, make_svg_bargraph
 from ganspace_tpu.dissection.segmenter import (
     UnifiedParsingSegmenter,
     import_torch_upernet,
@@ -17,11 +23,19 @@ from ganspace_tpu.dissection.segmodel import (
     resnet_features,
     upernet_forward,
 )
+from ganspace_tpu.dissection.viz import (
+    activation_overlay,
+    activation_surface,
+    segment_visualization,
+)
 
 __all__ = [
     "dissect",
     "tally_stats",
     "upsample_grid",
+    "collect_cond_quantiles",
+    "collect_covariance",
+    "iqr_scores",
     "SegmenterBase",
     "ColorSegmenter",
     "UnifiedParsingSegmenter",
@@ -32,4 +46,13 @@ __all__ = [
     "init_upernet_params",
     "resnet_features",
     "upernet_forward",
+    "ace_optimize",
+    "ablation_effect",
+    "BrodenDataset",
+    "write_synthetic_broden",
+    "generate_report",
+    "make_svg_bargraph",
+    "activation_overlay",
+    "activation_surface",
+    "segment_visualization",
 ]

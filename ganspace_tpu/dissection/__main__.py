@@ -1,0 +1,138 @@
+"""Dissection CLI (reference ``python -m netdissect``,
+``netdissect/__main__.py:30`` — the ``--gan`` mode, which is the only mode
+relevant to generator dissection).
+
+    python -m ganspace_tpu.dissection --model DCGAN --layer deconv1 \
+        --samples 256 --outdir out/dissect [--segmenter color|unified] \
+        [--iqr] [--cov] [--ace-class N] [--done-dir JOBDIR]
+
+Writes ``dissect.json``, ``bargraph.svg``, ``dissect.html`` and per-unit
+top-image grids under ``--outdir`` (see ``report.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m ganspace_tpu.dissection",
+        description="Dissect generator units against a segmentation")
+    p.add_argument("--model", default="DCGAN")
+    p.add_argument("--class", dest="output_class", default=None)
+    p.add_argument("--layer", action="append", required=True,
+                   help="layer(s) to dissect; repeatable")
+    p.add_argument("--outdir", default="out/dissect")
+    p.add_argument("--samples", type=int, default=256)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--quantile", type=float, default=0.995,
+                   help="activation threshold quantile")
+    p.add_argument("--segmenter", choices=("color", "unified"),
+                   default="color")
+    p.add_argument("--seg-params", default=None,
+                   help="npz of imported unified-parsing params")
+    p.add_argument("--segsizes", type=int, nargs="+", default=[256])
+    p.add_argument("--iqr", action="store_true",
+                   help="also run the conditional-quantile/IQR pass")
+    p.add_argument("--cov", action="store_true",
+                   help="also run the covariance pass")
+    p.add_argument("--ace-class", type=int, default=None,
+                   help="optimize an ablation for this flat label number")
+    p.add_argument("--ace-steps", type=int, default=50)
+    p.add_argument("--no-images", action="store_true")
+    p.add_argument("--done-dir", default=None,
+                   help="job directory for at-most-once sweep claiming")
+    return p
+
+
+def make_segmenter(args):
+    if args.segmenter == "color":
+        from ganspace_tpu.dissection import ColorSegmenter
+        return ColorSegmenter()
+    from ganspace_tpu.dissection import UnifiedParsingSegmenter
+    params = None
+    if args.seg_params:
+        data = np.load(args.seg_params)
+        params = {k: data[k] for k in data.files}
+    return UnifiedParsingSegmenter(params=params,
+                                   segsizes=tuple(args.segsizes))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.done_dir:
+        from ganspace_tpu.utils import exit_if_job_done
+        exit_if_job_done(args.done_dir)
+
+    from ganspace_tpu.dissection import dissect
+    from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
+    from ganspace_tpu.dissection.dissect import (
+        collect_cond_quantiles, collect_covariance, iqr_scores,
+    )
+    from ganspace_tpu.dissection.report import generate_report
+    from ganspace_tpu.models import get_instrumented_model
+
+    segmenter = make_segmenter(args)
+    outroot = Path(args.outdir)
+
+    for layer in args.layer:
+        inst = get_instrumented_model(args.model, args.output_class, layer)
+        outdir = outroot / layer.replace("/", "_")
+        print(f"dissecting {args.model}/{layer} -> {outdir}")
+        report = dissect(inst, layer, segmenter, n_samples=args.samples,
+                         batch=args.batch, seed=args.seed,
+                         level_quantile=args.quantile)
+
+        if args.iqr:
+            stats = collect_cond_quantiles(
+                inst, layer, segmenter, n_samples=args.samples,
+                batch=args.batch, seed=args.seed)
+            scores = iqr_scores(stats)
+            best = np.argmax(scores, axis=1)
+            for rec in report["units"]:
+                u = rec["unit"]
+                rec["iqr_label"] = report["labels"][int(best[u])]
+                rec["iqr_score"] = float(scores[u, best[u]])
+        if args.cov:
+            cov = collect_covariance(inst, layer, segmenter,
+                                     n_samples=args.samples,
+                                     batch=args.batch, seed=args.seed)
+            outdir.mkdir(parents=True, exist_ok=True)
+            np.save(outdir / "correlation.npy", cov["correlation"])
+
+        html = generate_report(report, outdir,
+                               inst=None if args.no_images else inst)
+        print(f"report: {html}")
+
+        if args.ace_class is not None:
+            ace = ace_optimize(inst, layer, segmenter, args.ace_class,
+                               steps=args.ace_steps, seed=args.seed,
+                               progress=True)
+            effect = ablation_effect(inst, layer, segmenter, args.ace_class,
+                                     ace["ranking"])
+            (outdir / "ace.json").write_text(json.dumps({
+                "classnum": ace["classnum"],
+                "baseline": ace["baseline"],
+                "ablation": ace["ablation"].tolist(),
+                "ranking": ace["ranking"].tolist(),
+                "loss_history": ace["loss_history"],
+                "ablation_effect": effect,
+            }, indent=2))
+            print(f"ace: baseline {ace['baseline']:.5f}, "
+                  f"effect@top8 {effect.get(8, float('nan')):.5f}")
+
+    if args.done_dir:
+        from ganspace_tpu.utils import mark_job_done
+        mark_job_done(args.done_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""Broden (BRoad and DENsely labeled) dataset reader
+(reference ``netdissect/broden.py`` + ``segdata.py`` + ``parallelfolder.py``,
+~460 LoC).
+
+Reads the standard broden1_227/327/384 layout:
+
+    broden1_227/
+      index.csv          # one row per image: image path + per-category label refs
+      category.csv       # category name, label count
+      label.csv          # number,name,category list,frequencies
+      images/...         # RGB jpg/png images and label pngs
+
+Label maps are PNGs with the Broden code convention ``label = R + 256 * G``.
+A cell in index.csv may hold several ';'-separated label files (multiple
+annotation passes) and numeric cells encode a full-image label.
+
+The reference wraps this in a torch ``Dataset`` with prefetching worker
+processes; here batches are assembled host-side into pinned numpy arrays and
+shipped to device whole — generator-side compute dominates, so the loader
+stays simple and the async capacity lives in the device pipeline.  The
+reference's downloader (``ensure_broden_downloaded``) needs network; this
+loader only reads a local tree (tests synthesize one).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def decode_label_png(arr: np.ndarray) -> np.ndarray:
+    """RGB label image [H,W,3] uint8 -> label codes [H,W] (R + 256*G)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        return arr.astype(np.int32)
+    return arr[..., 0].astype(np.int32) + 256 * arr[..., 1].astype(np.int32)
+
+
+def encode_label_png(codes: np.ndarray) -> np.ndarray:
+    """Label codes [H,W] -> RGB uint8 [H,W,3] (inverse of decode)."""
+    codes = np.asarray(codes, np.int32)
+    out = np.zeros(codes.shape + (3,), np.uint8)
+    out[..., 0] = codes % 256
+    out[..., 1] = codes // 256
+    return out
+
+
+class BrodenDataset:
+    """Iterates (image [3,H,W] float in [0,1], seg [C,H,W] int32 labels,
+    record dict) over a broden directory."""
+
+    def __init__(self, directory, categories: Optional[Sequence[str]] = None,
+                 size: Optional[int] = None):
+        self.dir = Path(directory)
+        with open(self.dir / "category.csv") as f:
+            cats = [row["name"] for row in csv.DictReader(f)]
+        self.categories = [c for c in cats
+                           if categories is None or c in categories]
+        with open(self.dir / "label.csv") as f:
+            rows = list(csv.DictReader(f))
+        self.labels = [""] * (max(int(r["number"]) for r in rows) + 1) \
+            if rows else []
+        self.label_category: Dict[int, str] = {}
+        for r in rows:
+            n = int(r["number"])
+            self.labels[n] = r["name"]
+            self.label_category[n] = r["category"].split(";")[0]
+        with open(self.dir / "index.csv") as f:
+            self.index = list(csv.DictReader(f))
+        if size is not None:
+            self.index = self.index[:size]
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _load_image(self, rel: str) -> np.ndarray:
+        from PIL import Image
+        img = np.asarray(Image.open(self.dir / "images" / rel).convert("RGB"))
+        return np.transpose(img, (2, 0, 1)).astype(np.float32) / 255.0
+
+    def _load_label_cell(self, cell: str, hw: Tuple[int, int]) -> np.ndarray:
+        """One index.csv cell -> [H,W] label map (0 where unlabeled)."""
+        from PIL import Image
+        out = np.zeros(hw, np.int32)
+        if not cell:
+            return out
+        for item in cell.split(";"):
+            item = item.strip()
+            if not item:
+                continue
+            if item.isdigit():                  # full-image label
+                out[:] = np.where(out == 0, int(item), out)
+            else:
+                arr = np.asarray(Image.open(self.dir / "images" / item))
+                codes = decode_label_png(arr)
+                out = np.where(out == 0, codes.astype(np.int32), out)
+        return out
+
+    def __getitem__(self, i: int):
+        rec = self.index[i]
+        img = self._load_image(rec["image"])
+        hw = img.shape[1:]
+        seg = np.stack([self._load_label_cell(rec.get(c, ""), hw)
+                        for c in self.categories])
+        return img, seg, rec
+
+    def batches(self, batch_size: int,
+                limit: Optional[int] = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield stacked (images [B,3,H,W], segs [B,C,H,W]) batches; images
+        in a batch must share a resolution (broden is fixed-size per split)."""
+        n = len(self) if limit is None else min(limit, len(self))
+        for start in range(0, n, batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size, n))]
+            yield (np.stack([it[0] for it in items]),
+                   np.stack([it[1] for it in items]))
+
+    def primary_categories_per_index(self) -> List[int]:
+        """Category index per label number (reference
+        ``primary_categories_per_index``)."""
+        cat_idx = {c: i for i, c in enumerate(self.categories)}
+        return [cat_idx.get(self.label_category.get(n, ""), -1)
+                for n in range(len(self.labels))]
+
+
+def write_synthetic_broden(directory, n_images: int = 4, size: int = 32,
+                           categories: Sequence[str] = ("object", "part"),
+                           n_labels: int = 8, seed: int = 0) -> Path:
+    """Create a tiny valid broden tree (for tests and offline demos)."""
+    from PIL import Image
+    rs = np.random.RandomState(seed)
+    directory = Path(directory)
+    (directory / "images").mkdir(parents=True, exist_ok=True)
+    with open(directory / "category.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["name", "frequency"])
+        w.writeheader()
+        for c in categories:
+            w.writerow({"name": c, "frequency": n_images})
+    with open(directory / "label.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["number", "name", "category", "frequency"])
+        w.writeheader()
+        for i in range(n_labels):
+            w.writerow({"number": i, "name": f"label-{i}",
+                        "category": categories[i % len(categories)],
+                        "frequency": 1})
+    rows = []
+    for i in range(n_images):
+        img = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+        img_rel = f"img_{i}.png"
+        Image.fromarray(img).save(directory / "images" / img_rel)
+        rec = {"image": img_rel}
+        for ci, c in enumerate(categories):
+            codes = rs.randint(0, n_labels, (size, size))
+            rel = f"seg_{c}_{i}.png"
+            Image.fromarray(encode_label_png(codes)).save(
+                directory / "images" / rel)
+            rec[c] = rel
+        rows.append(rec)
+    with open(directory / "index.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["image"] + list(categories))
+        w.writeheader()
+        w.writerows(rows)
+    return directory

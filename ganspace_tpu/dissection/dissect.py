@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 
 from ganspace_tpu.models.base import InstrumentedModel
-from ganspace_tpu.stats import RunningQuantile, RunningTopK
+from ganspace_tpu.stats import (
+    RunningConditionalQuantile, RunningCrossCovariance, RunningQuantile,
+    RunningTopK,
+)
 
 
 def upsample_grid(act: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
@@ -54,6 +57,14 @@ class SegmenterBase:
         category (object/part/material), as the unified-parsing segmenter
         returns."""
         raise NotImplementedError
+
+    def class_probability(self, images: jnp.ndarray,
+                          classnum: int) -> jnp.ndarray:
+        """Differentiable per-pixel probability [B, H, W] of one flat label
+        (the ACE objective's signal).  Optional — only segmenters used with
+        ``ace_optimize`` need it."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose class probabilities")
 
 
 class ColorSegmenter(SegmenterBase):
@@ -80,6 +91,14 @@ class ColorSegmenter(SegmenterBase):
         d = jnp.sum(
             jnp.square(px[..., None, :] - jnp.asarray(self.ANCHORS)), axis=-1)
         return jnp.argmin(d, axis=-1)                             # [B, H, W]
+
+    def class_probability(self, images, classnum, tau: float = 0.02):
+        """Softmax over negative anchor distances — a differentiable
+        relaxation of the hard nearest-anchor assignment."""
+        px = jnp.transpose(images, (0, 2, 3, 1))
+        d = jnp.sum(
+            jnp.square(px[..., None, :] - jnp.asarray(self.ANCHORS)), axis=-1)
+        return jax.nn.softmax(-d / tau, axis=-1)[..., classnum]
 
 
 def _acts_and_image(inst: InstrumentedModel, layer: str, z) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -124,6 +143,126 @@ def tally_stats(inst: InstrumentedModel, layer: str, *, n_samples: int = 1000,
 
     return {"quantiles": rq, "topk_values": topk_val, "topk_samples": topk_idx,
             "units": topk_val.shape[0]}
+
+
+def _flatten_seg(seg: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W] or [B,C,H,W] -> [B,C,H,W] (C=1 for single-channel)."""
+    return seg[:, None] if seg.ndim == 3 else seg
+
+
+def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
+                           segmenter: SegmenterBase, *, n_samples: int = 256,
+                           batch: int = 16, seed: int = 1,
+                           pixels_per_label: int = 256,
+                           samplesize: int = 1024) -> Dict:
+    """Conditional quantile pass (reference ``collect_cond_quantiles``,
+    ``dissection.py:878``): per-label sketches of unit activations at pixels
+    carrying that label, plus the unconditional sketch.
+
+    TPU formulation: instead of the reference's dynamic per-label gathers
+    (data-dependent shapes), each batch draws a *fixed* ``pixels_per_label``
+    pixel sample per present label via Gumbel-max categorical sampling over
+    the label mask — static shapes, one jitted draw per batch, and the
+    sketch insert stays O(pixels_per_label) regardless of label frequency.
+    """
+    model = inst.model
+    labels, _ = segmenter.get_label_and_category_names()
+    n_labels = len(labels)
+    cq = RunningConditionalQuantile(samplesize=samplesize)
+    uncond = RunningQuantile(samplesize=samplesize)
+
+    @jax.jit
+    def _label_samples(act_up, seg, key):
+        """act_up [B,U,H,W], seg [B,C,H,W] ->
+        (per-label pixel samples [L, P, U], per-label pixel counts [L])."""
+        b, u = act_up.shape[0], act_up.shape[1]
+        flat_act = act_up.transpose(0, 2, 3, 1).reshape(-1, u)   # [BHW, U]
+        onehot = jnp.zeros((flat_act.shape[0], n_labels), jnp.float32)
+        for c in range(seg.shape[1]):
+            onehot = jnp.maximum(
+                onehot, jax.nn.one_hot(seg[:, c].reshape(-1), n_labels))
+        counts = jnp.sum(onehot, axis=0)                          # [L]
+        # Gumbel-max: top-P indices of log(mask) + gumbel per label
+        g = jax.random.gumbel(key, (n_labels, flat_act.shape[0]))
+        scores = jnp.where(onehot.T > 0, g, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, pixels_per_label)          # [L, P]
+        return flat_act[idx], counts
+
+    key = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+    for start in range(0, n_samples, batch):
+        b = min(batch, n_samples - start)
+        z = model.sample_latent(b, seed=seed + start)
+        act, img = _acts_and_image(inst, layer, z)
+        if act.ndim == 2:
+            act = act[:, :, None, None]
+        seg = _flatten_seg(segmenter.segment_batch(img))
+        act_up = upsample_grid(act, seg.shape[-2:])
+        key, sub = jax.random.split(key)
+        samples, counts = _label_samples(act_up, seg, sub)
+        counts = np.asarray(counts)
+        flat = np.asarray(act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1]))
+        uncond.add(flat)
+        samples = np.asarray(samples)
+        for l in range(n_labels):
+            n_px = int(counts[l])
+            if n_px == 0:
+                continue
+            take = min(pixels_per_label, n_px)
+            cq.add(l, samples[l, :take])
+    return {"conditional": cq, "unconditional": uncond, "labels": labels}
+
+
+def iqr_scores(cond_stats: Dict, quantile: float = 0.5) -> np.ndarray:
+    """Interquartile relevance (reference IQR scoring, ``dissection.py:1049``):
+    score[u, l] = (median(act | label l) - median(act)) / IQR(act)."""
+    uncond = cond_stats["unconditional"]
+    qs = uncond.quantiles(np.array([0.25, quantile, 0.75]))       # [U, 3]
+    iqr = np.maximum(qs[:, 2] - qs[:, 0], 1e-9)
+    n_labels = len(cond_stats["labels"])
+    units = qs.shape[0]
+    out = np.zeros((units, n_labels), np.float32)
+    cq = cond_stats["conditional"]
+    for l in range(n_labels):
+        if not cq.has_conditional(l):
+            continue
+        med_l = cq.conditional(l).quantiles(quantile)[:, 0]
+        out[:, l] = (med_l - qs[:, 1]) / iqr
+    return out
+
+
+def collect_covariance(inst: InstrumentedModel, layer: str,
+                       segmenter: SegmenterBase, *, n_samples: int = 256,
+                       batch: int = 16, seed: int = 1) -> Dict:
+    """Unit-activation / label-fraction cross-covariance pass (reference
+    ``dissection.py:1187``): streams per-image mean unit activations against
+    per-image label pixel fractions through the Chan-stable accumulator."""
+    model = inst.model
+    labels, _ = segmenter.get_label_and_category_names()
+    n_labels = len(labels)
+    rcc = RunningCrossCovariance()
+
+    @jax.jit
+    def _features(act, seg):
+        unit_mean = jnp.mean(act.reshape(act.shape[0], act.shape[1], -1), -1)
+        onehot = jnp.zeros(seg.shape[:1] + seg.shape[-2:] + (n_labels,))
+        for c in range(seg.shape[1]):
+            onehot = jnp.maximum(onehot, jax.nn.one_hot(seg[:, c], n_labels))
+        frac = jnp.mean(onehot, axis=(1, 2))
+        return unit_mean, frac
+
+    np.random.seed(seed)
+    for start in range(0, n_samples, batch):
+        b = min(batch, n_samples - start)
+        z = model.sample_latent(b, seed=seed + start)
+        act, img = _acts_and_image(inst, layer, z)
+        if act.ndim == 2:
+            act = act[:, :, None, None]
+        seg = _flatten_seg(segmenter.segment_batch(img))
+        unit_mean, frac = _features(act, seg)
+        rcc.add(unit_mean, frac)
+    return {"cross": rcc, "labels": labels,
+            "correlation": rcc.correlation()}
 
 
 def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,

@@ -123,6 +123,13 @@ class UnifiedParsingSegmenter(SegmenterBase):
             maps.append(flat)
         return jnp.stack(maps, axis=1)
 
+    def class_probability(self, images, classnum: int) -> jnp.ndarray:
+        """Differentiable per-pixel probability of one flat label
+        (``SegmenterBase.class_probability`` protocol, used by ACE)."""
+        cat = self.categories[classnum]
+        local = classnum - self._flat_offset[cat]
+        return self.category_probabilities(jnp.asarray(images))[cat][:, local]
+
     def predict_single_class(self, images, classnum: int,
                              downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(probability, mask) for one flat label — the ACE objective's

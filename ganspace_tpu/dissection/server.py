@@ -1,0 +1,204 @@
+"""Dissection REST server + live-edit viewer
+(reference ``netdissect/server.py`` Flask/connexion app + ``serverstate.py``'s
+``GanTester``, and the ``dissect.html``/``edit.html`` static viewers).
+
+Stdlib-only (``ThreadingHTTPServer``) like the interactive app — no Flask
+dependency.  Endpoints:
+
+    GET  /                       viewer page (report table + live edit panel)
+    GET  /api/report             full dissection report JSON
+    GET  /api/units?n=20         top-n units
+    GET  /api/generate?seed=&units=&strength=&n=   JPEG batch with the given
+                                 units ablated (strength 1 = remove) or
+                                 boosted (negative strength adds activation)
+    GET  /api/overlay?unit=&seed=  unit-activation overlay JPEG
+    GET  /image/unit_N.png       saved report images (if generated)
+
+The live-edit path reuses the same ``InstrumentedModel`` edit semantics as
+everything else (``edit_layer(ablation=...)``); device work happens under a
+lock since HTTP threads share one model.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from ganspace_tpu.models.base import InstrumentedModel
+
+
+class DissectionSession:
+    """Server-side state: one dissected (model, layer) + its report."""
+
+    def __init__(self, inst: InstrumentedModel, layer: str, report: Dict,
+                 outdir: Optional[Path] = None):
+        self.inst = inst
+        self.layer = layer
+        self.report = report
+        self.outdir = Path(outdir) if outdir else None
+        self.units = len(report["units"])
+
+    # -- live generation ----------------------------------------------------
+    def generate(self, seed: int = 0, n: int = 4, units=(),
+                 strength: float = 1.0) -> np.ndarray:
+        """[n] samples with ``units`` ablated by ``strength`` -> uint8 grid."""
+        model = self.inst.model
+        self.inst.remove_edits()
+        if len(units):
+            feat_units = max(r["unit"] for r in self.report["units"]) + 1
+            alpha = np.zeros((feat_units,), np.float32)
+            alpha[np.asarray(units, np.int64)] = strength
+            self.inst.edit_layer(self.layer, ablation=alpha)
+        z = model.sample_latent(n, seed=seed)
+        imgs = np.asarray(model.forward(z))
+        self.inst.remove_edits()
+        imgs = np.clip(np.transpose(imgs, (0, 2, 3, 1)), 0, 1)
+        return (np.hstack(list(imgs)) * 255).astype(np.uint8)
+
+    def overlay(self, unit: int, seed: int = 0) -> np.ndarray:
+        """Activation overlay of one unit on one sample -> uint8 image."""
+        from ganspace_tpu.dissection.viz import activation_overlay
+        model = self.inst.model
+        self.inst.retain_layer(self.layer)
+        z = model.sample_latent(1, seed=seed)
+        img = np.asarray(model.forward(z))[0]
+        act = np.asarray(self.inst.retained_features()[self.layer])[0]
+        if act.ndim == 1:
+            act = act[:, None, None]
+        out = activation_overlay(img, act[unit])
+        return (out * 255).astype(np.uint8)
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>dissect: {model}/{layer}</title><style>
+body {{ font-family: sans-serif; background: #181818; color: #ddd; margin: 20px; }}
+td, th {{ padding: 3px 10px; text-align: left; }}
+img {{ image-rendering: auto; }}
+input, button {{ margin: 2px; }}
+a {{ color: #7ab6f5; }}
+</style></head><body>
+<h2>{model} — {layer}</h2>
+<p>{n_samples} samples; click a unit to ablate it in the live panel.</p>
+<div>
+  <b>live edit</b>:
+  units <input id="units" size="20" value=""/>
+  strength <input id="strength" size="4" value="1.0"/>
+  seed <input id="seed" size="6" value="0"/>
+  <button onclick="gen()">generate</button>
+</div>
+<img id="live" src="/api/generate?seed=0&n=4"/>
+<table id="tbl"><tr><th>unit</th><th>label</th><th>category</th><th>iou</th>
+<th>overlay</th></tr></table>
+<script>
+async function load() {{
+  const r = await (await fetch('/api/units?n=24')).json();
+  const tbl = document.getElementById('tbl');
+  for (const u of r.units) {{
+    const tr = document.createElement('tr');
+    tr.innerHTML = `<td><a href="#" onclick="add(${{u.unit}});return false;">` +
+      `${{u.unit}}</a></td><td>${{u.label}}</td><td>${{u.category}}</td>` +
+      `<td>${{u.iou.toFixed(3)}}</td>` +
+      `<td><img src="/api/overlay?unit=${{u.unit}}&seed=0" height="64"/></td>`;
+    tbl.appendChild(tr);
+  }}
+}}
+function add(u) {{
+  const el = document.getElementById('units');
+  el.value = el.value ? el.value + ',' + u : '' + u;
+  gen();
+}}
+async function gen() {{
+  const u = document.getElementById('units').value;
+  const s = document.getElementById('strength').value;
+  const seed = document.getElementById('seed').value;
+  document.getElementById('live').src =
+    `/api/generate?seed=${{seed}}&n=4&units=${{u}}&strength=${{s}}&t=` + Date.now();
+}}
+load();
+</script></body></html>
+"""
+
+
+def serve(session: DissectionSession, host: str = "127.0.0.1",
+          port: int = 8088, block: bool = True):
+    """Start the server; returns the (running) HTTPServer instance."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from PIL import Image
+
+    lock = threading.Lock()
+
+    def jpeg(arr: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+        return buf.getvalue()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body, ctype="text/html"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+
+            def qi(name, default):
+                return int(q.get(name, [default])[0] or default)
+
+            def qf(name, default):
+                return float(q.get(name, [default])[0] or default)
+
+            if url.path == "/":
+                page = _PAGE.format(
+                    model=session.report["model"], layer=session.layer,
+                    n_samples=session.report["n_samples"])
+                self._send(200, page.encode())
+            elif url.path == "/api/report":
+                body = json.dumps({k: v for k, v in session.report.items()
+                                   if k != "iou_matrix"}).encode()
+                self._send(200, body, "application/json")
+            elif url.path == "/api/units":
+                n = qi("n", 20)
+                body = json.dumps(
+                    {"units": session.report["units"][:n]}).encode()
+                self._send(200, body, "application/json")
+            elif url.path == "/api/generate":
+                units = [int(u) for u in
+                         q.get("units", [""])[0].split(",") if u.strip()]
+                with lock:
+                    grid = session.generate(seed=qi("seed", 0), n=qi("n", 4),
+                                            units=units,
+                                            strength=qf("strength", 1.0))
+                self._send(200, jpeg(grid), "image/jpeg")
+            elif url.path == "/api/overlay":
+                with lock:
+                    img = session.overlay(qi("unit", 0), seed=qi("seed", 0))
+                self._send(200, jpeg(img), "image/jpeg")
+            elif url.path.startswith("/image/") and session.outdir:
+                f = session.outdir / "image" / Path(url.path).name
+                if f.is_file():
+                    self._send(200, f.read_bytes(), "image/png")
+                else:
+                    self._send(404, b"not found", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"dissection server at http://{host}:{port}/")
+    if block:
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

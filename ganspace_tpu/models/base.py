@@ -189,6 +189,9 @@ class InstrumentedModel:
         model.inst = self
         self._retained: Dict[str, Any] = {}
         self._edits: Dict[str, Dict[str, np.ndarray]] = {}
+        # When set, _edit_tree returns this pytree verbatim (values may be
+        # tracers) — the differentiable path used by ACE optimization.
+        self._edit_override: Optional[Dict[str, Dict[str, Any]]] = None
         # feature/input/output shape annotations (modelconfig.py:110-144)
         self.feature_shape: Dict[str, Tuple[int, ...]] = {}
         self.input_shape: Optional[Tuple[int, ...]] = None
@@ -258,6 +261,9 @@ class InstrumentedModel:
         return tuple(sorted({self.model.resolve_tap(n) for n in self._retained}))
 
     def _edit_tree(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        if self._edit_override is not None:
+            return {self.model.resolve_tap(n): dict(e)
+                    for n, e in self._edit_override.items()}
         return {
             self.model.resolve_tap(name): {k: jnp.asarray(v) for k, v in e.items()}
             for name, e in self._edits.items() if e

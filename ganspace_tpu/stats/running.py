@@ -84,90 +84,139 @@ class RunningTopK:
 # Quantile sketch
 # ---------------------------------------------------------------------------
 
+def _pair_merge(x, fx, y, fy, off):
+    """Merge two same-weight sketch levels (each [U, S], +inf padded past its
+    fill) -> (kept [U,S], fkept, over [U,S], fover).
+
+    If the union fits in S slots it stays at this level (``kept``); otherwise
+    the whole union is compacted — sort, keep every other sample from parity
+    ``off`` — and promoted with doubled weight (``over``), leaving the level
+    empty.  All shapes static; ``fx/fy/off`` are traced scalars, so one
+    compilation serves every fill state.
+    """
+    s = x.shape[1]
+    cat = jnp.sort(jnp.concatenate([x, y], axis=1), axis=1)     # [U, 2S]
+    tot = fx + fy
+    surv = jnp.where(off, cat[:, 1::2], cat[:, 0::2])           # [U, S]
+    fsurv = jnp.where(off, tot // 2, (tot + 1) // 2)
+    overflow = tot > s
+    inf_row = jnp.full_like(surv, jnp.inf)
+    kept = jnp.where(overflow, inf_row, cat[:, :s])
+    fkept = jnp.where(overflow, 0, tot)
+    over = jnp.where(overflow, surv, inf_row)
+    fover = jnp.where(overflow, fsurv, 0)
+    return kept, fkept, over, fover
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _sketch_insert(levels, fills, block, n_real, key, *, depth):
+    """One fused insert of ``block`` [U, W] (W a multiple of S; +inf padded
+    past ``n_real``) into the level structure [D, U, S] / fills [D]."""
+    s = levels.shape[2]
+    n_chunks = block.shape[1] // s
+    for ci in range(n_chunks):
+        carry = block[:, ci * s:(ci + 1) * s]
+        fc = jnp.clip(n_real - ci * s, 0, s)
+        for l in range(depth):
+            key, sub = jax.random.split(key)
+            off = jax.random.bernoulli(sub)
+            kept, fk, over, fo = _pair_merge(levels[l], fills[l], carry, fc, off)
+            if l == depth - 1:
+                # top level: keep the compaction in place (graceful decay)
+                levels = levels.at[l].set(jnp.where(fo > 0, over, kept))
+                fills = fills.at[l].set(jnp.where(fo > 0, fo, fk))
+            else:
+                levels = levels.at[l].set(kept)
+                fills = fills.at[l].set(fk)
+            carry, fc = over, fo
+    return levels, fills
+
+
 class RunningQuantile:
     """Per-unit streaming quantiles by random level compaction.
 
     ``depth`` levels of ``samplesize`` slots each; level ``l`` samples carry
     weight ``2^l``.  Expected quantile error is O(1/samplesize) — the same
-    guarantee class as the reference's sketch (FOCS'16 family).
+    guarantee class as the reference's sketch (FOCS'16 family,
+    ``runningstats.py:119-457``).
+
+    TPU-native update path: ``add`` only appends the batch to a device-side
+    pending list (zero dispatch); when ``flush_cols`` columns accumulate, ONE
+    jitted call (``_sketch_insert``) merges everything — a static-shape
+    pair-merge cascade where fill counts are traced scalars, so the XLA
+    program compiles once and is reused for every flush.  The reference's
+    per-chunk ``dynamic_update_slice`` + host-driven cascade would dispatch
+    dozens of shape-varying ops per batch.
     """
 
-    def __init__(self, samplesize: int = 1024, depth: int = 12, seed: int = 0):
+    def __init__(self, samplesize: int = 1024, depth: int = 12, seed: int = 0,
+                 flush_blocks: int = 8):
         self.samplesize = samplesize
         self.depth = depth
         self.count = 0
-        self._rng = np.random.RandomState(seed)
-        self._levels: Optional[list] = None   # list of [U, S] jnp arrays
-        self._fill: Optional[list] = None     # host fill counts per level
         self.units = None
+        self._key = jax.random.PRNGKey(seed)
+        self._levels: Optional[jnp.ndarray] = None   # [D, U, S]
+        self._fills: Optional[jnp.ndarray] = None    # [D] int32
+        self._pending: list = []                     # list of [U, n] arrays
+        self._pending_cols = 0
+        self.flush_cols = flush_blocks * samplesize
 
     def _init(self, u: int):
         self.units = u
-        self._levels = [jnp.full((u, self.samplesize), jnp.nan, jnp.float32)
-                        for _ in range(self.depth)]
-        self._fill = [0] * self.depth
+        self._levels = jnp.full((self.depth, u, self.samplesize), jnp.inf,
+                                jnp.float32)
+        self._fills = jnp.zeros((self.depth,), jnp.int32)
 
     def add(self, batch) -> None:
         """batch: [N, U]."""
-        batch = np.asarray(batch, np.float32)
+        batch = jnp.asarray(batch, jnp.float32)
         n, u = batch.shape
         if self._levels is None:
             self._init(u)
         assert u == self.units
         self.count += n
+        self._pending.append(batch.T)
+        self._pending_cols += n
+        if self._pending_cols >= self.flush_cols:
+            self._flush()
 
-        # Insert into level 0 in chunks; cascade compactions upward.
-        pos = 0
-        while pos < n:
-            space = self.samplesize - self._fill[0]
-            if space == 0:
-                self._cascade(0)
-                space = self.samplesize - self._fill[0]
-            take = min(space, n - pos)
-            chunk = jnp.asarray(batch[pos:pos + take].T)  # [U, take]
-            lvl = self._levels[0]
-            self._levels[0] = jax.lax.dynamic_update_slice_in_dim(
-                lvl, chunk, self._fill[0], axis=1)
-            self._fill[0] += take
-            pos += take
-
-    def _compact_level(self, l: int) -> jnp.ndarray:
-        """Sort the FILLED prefix of level l and keep every other sample
-        (random offset) — survivors' implicit weight doubles."""
-        filled = jnp.sort(self._levels[l][:, :self._fill[l]], axis=1)
-        return filled[:, self._rng.randint(2)::2]
-
-    def _cascade(self, l: int):
-        """Compact level l into level l+1."""
-        if l + 1 >= self.depth:
-            # At max depth: in-place compaction (rare; quality degrades gracefully)
-            keep = self._compact_level(l)
-            self._levels[l] = jnp.concatenate(
-                [keep, jnp.full((self.units, self.samplesize - keep.shape[1]),
-                                jnp.nan, jnp.float32)], axis=1)
-            self._fill[l] = keep.shape[1]
+    def _flush(self) -> None:
+        if not self._pending:
             return
-        survivors = self._compact_level(l)
-        m = survivors.shape[1]
-        if self._fill[l + 1] + m > self.samplesize:
-            self._cascade(l + 1)
-        self._levels[l + 1] = jax.lax.dynamic_update_slice_in_dim(
-            self._levels[l + 1], survivors, self._fill[l + 1], axis=1)
-        self._fill[l + 1] += m
-        self._levels[l] = jnp.full((self.units, self.samplesize), jnp.nan,
-                                   jnp.float32)
-        self._fill[l] = 0
+        x = jnp.concatenate(self._pending, axis=1) if len(self._pending) > 1 \
+            else self._pending[0]
+        n_real = x.shape[1]
+        s = self.samplesize
+        w = ((n_real + s - 1) // s) * s
+        if w > n_real:
+            x = jnp.concatenate(
+                [x, jnp.full((self.units, w - n_real), jnp.inf, jnp.float32)],
+                axis=1)
+        self._key, sub = jax.random.split(self._key)
+        self._levels, self._fills = _sketch_insert(
+            self._levels, self._fills, x, jnp.int32(n_real), sub,
+            depth=self.depth)
+        self._pending = []
+        self._pending_cols = 0
 
     def quantiles(self, qs) -> np.ndarray:
         """qs: scalar or [Q] in [0,1] -> [U, Q] estimated quantiles."""
         qs = np.atleast_1d(np.asarray(qs, np.float64))
         vals, weights = [], []
-        for l in range(self.depth):
-            f = self._fill[l]
-            if f == 0:
-                continue
-            vals.append(np.asarray(self._levels[l][:, :f]))
-            weights.append(np.full((f,), 2.0 ** l))
+        if self._levels is not None:
+            fills = np.asarray(self._fills)
+            levels = np.asarray(self._levels)
+            for l in range(self.depth):
+                f = int(fills[l])
+                if f == 0:
+                    continue
+                vals.append(levels[l][:, :f])
+                weights.append(np.full((f,), 2.0 ** l))
+        for blk in self._pending:                    # raw weight-1 samples
+            b = np.asarray(blk)
+            vals.append(b)
+            weights.append(np.ones((b.shape[1],)))
         v = np.concatenate(vals, axis=1)            # [U, M]
         w = np.concatenate(weights)                 # [M]
         order = np.argsort(v, axis=1)
@@ -186,20 +235,38 @@ class RunningQuantile:
         return self.quantiles(np.linspace(0.0, 1.0, n))
 
     def state_dict(self) -> Dict[str, np.ndarray]:
+        pending = (np.concatenate([np.asarray(b) for b in self._pending], 1)
+                   if self._pending else
+                   np.zeros((self.units or 0, 0), np.float32))
         return {"samplesize": np.int64(self.samplesize),
                 "depth": np.int64(self.depth), "count": np.int64(self.count),
-                "fill": np.asarray(self._fill or []),
-                "levels": np.stack([np.asarray(l) for l in self._levels])
-                if self._levels else np.zeros((0,))}
+                "fills": np.asarray(self._fills) if self._fills is not None
+                else np.zeros((0,), np.int32),
+                "levels": np.asarray(self._levels) if self._levels is not None
+                else np.zeros((0,)),
+                "pending": pending}
 
     def set_state_dict(self, d) -> "RunningQuantile":
         self.samplesize = int(d["samplesize"])
         self.depth = int(d["depth"])
         self.count = int(d["count"])
-        self._fill = [int(x) for x in d["fill"]]
         levels = d["levels"]
-        self._levels = [jnp.asarray(levels[i]) for i in range(levels.shape[0])]
-        self.units = levels.shape[1] if levels.size else None
+        if levels.size:
+            self._levels = jnp.asarray(levels)
+            self._fills = jnp.asarray(d["fills"], jnp.int32)
+            self.units = levels.shape[1]
+        else:
+            self._levels = self._fills = None
+            self.units = None
+        pending = d.get("pending")
+        self._pending = []
+        self._pending_cols = 0
+        if pending is not None and pending.size:
+            if self.units is None:
+                self.units = pending.shape[0]
+                self._init(self.units)
+            self._pending = [jnp.asarray(pending)]
+            self._pending_cols = pending.shape[1]
         return self
 
 

@@ -1,0 +1,98 @@
+"""Conditional-quantile / IQR / covariance passes and ACE optimization
+(reference ``dissection.py:878,1049,1187`` + ``aceoptimize.py`` +
+``evalablate.py``)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ganspace_tpu.dissection import (
+    ColorSegmenter, ResNetConfig, UnifiedParsingSegmenter, UPerNetConfig,
+)
+from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
+from ganspace_tpu.dissection.dissect import (
+    collect_cond_quantiles, collect_covariance, iqr_scores,
+)
+from ganspace_tpu.models.base import InstrumentedModel
+
+from helpers import tiny_dcgan
+
+TINY = UPerNetConfig(
+    resnet=ResNetConfig(blocks=(1, 1, 1, 1), width=16),
+    fpn_dim=32, ppm_scales=(1, 2), n_objects=7, n_parts=5, n_materials=4,
+    n_scenes=3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_dcgan()
+    inst = InstrumentedModel(model)
+    seg = ColorSegmenter()
+    return model, inst, seg
+
+
+def test_cond_quantiles_and_iqr(setup):
+    model, inst, seg = setup
+    stats = collect_cond_quantiles(inst, "deconv0", seg, n_samples=16,
+                                   batch=8, pixels_per_label=64)
+    labels = stats["labels"]
+    present = list(stats["conditional"].keys())
+    assert len(present) > 0
+    # conditional sketches quantiles are within the unconditional range
+    uq = stats["unconditional"].quantiles(np.array([0.0, 1.0]))
+    for l in present:
+        cq = stats["conditional"].conditional(l).quantiles(0.5)[:, 0]
+        assert np.all(cq >= uq[:, 0] - 1e-4)
+        assert np.all(cq <= uq[:, 1] + 1e-4)
+    scores = iqr_scores(stats)
+    assert scores.shape == (uq.shape[0], len(labels))
+    assert np.all(np.isfinite(scores))
+    # labels never seen stay zero
+    absent = [l for l in range(len(labels)) if l not in present]
+    for l in absent:
+        assert np.all(scores[:, l] == 0)
+
+
+def test_covariance_pass(setup):
+    model, inst, seg = setup
+    out = collect_covariance(inst, "deconv0", seg, n_samples=16, batch=8)
+    corr = out["correlation"]
+    units = out["cross"].mean()[0].shape[0]
+    assert corr.shape == (units, len(out["labels"]))
+    finite = np.isfinite(corr)
+    assert np.all(np.abs(corr[finite]) <= 1.0 + 1e-5)
+
+
+def test_ace_optimize_reduces_presence(setup):
+    model, inst, seg = setup
+    # Target whichever color class is most present at baseline, so the
+    # optimizer has signal to remove.
+    imgs = model.forward(model.sample_latent(8, seed=5))
+    segmap = np.asarray(seg.segment_batch(imgs))
+    # ColorSegmenter lacks the category plumbing of the unified segmenter;
+    # use the unified one for the full API path instead.
+    useg = UnifiedParsingSegmenter(cfg=TINY, segsizes=(16,), seed=0)
+    classnum = 3
+    result = ace_optimize(inst, "deconv1", useg, classnum, n_batches=2,
+                          batch=4, steps=12, lr=0.1, l1=1e-4, seed=2)
+    assert result["ablation"].shape == (result["units"],)
+    assert np.all((result["ablation"] >= 0) & (result["ablation"] <= 1))
+    assert len(result["loss_history"]) == 12
+    # optimization makes progress on its own objective
+    assert result["loss_history"][-1] <= result["loss_history"][0] + 1e-6
+    inst.remove_edits()
+
+    effects = ablation_effect(inst, "deconv1", useg, classnum,
+                              result["ranking"], ks=(0, 4), n_batches=1,
+                              batch=4)
+    assert set(effects) == {0, 4}
+    assert effects[0] >= 0
+
+
+def test_edit_override_restored_on_error(setup):
+    model, inst, seg = setup
+    from ganspace_tpu.dissection.ace import _forward_with_ablation
+    with pytest.raises(Exception):
+        _forward_with_ablation(inst, "deconv0", "not-a-latent", jnp.ones(()))
+    assert inst._edit_override is None

@@ -1,0 +1,116 @@
+"""Broden reader, viz overlays, dissection CLI, and server
+(reference ``netdissect/{broden,actviz,segviz,__main__,server}.py``)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ganspace_tpu.dissection import (
+    BrodenDataset, ColorSegmenter, activation_overlay, activation_surface,
+    dissect, segment_visualization, write_synthetic_broden,
+)
+from ganspace_tpu.dissection.broden import decode_label_png, encode_label_png
+from ganspace_tpu.models.base import InstrumentedModel
+
+from helpers import tiny_dcgan
+
+
+def test_label_png_roundtrip():
+    rs = np.random.RandomState(0)
+    codes = rs.randint(0, 70000, (8, 8))
+    assert np.array_equal(decode_label_png(encode_label_png(codes)),
+                          codes % (256 * 256))
+
+
+def test_broden_dataset(tmp_path):
+    d = write_synthetic_broden(tmp_path / "broden", n_images=4, size=16,
+                               n_labels=6)
+    ds = BrodenDataset(d)
+    assert len(ds) == 4
+    assert ds.categories == ["object", "part"]
+    img, seg, rec = ds[0]
+    assert img.shape == (3, 16, 16) and img.dtype == np.float32
+    assert seg.shape == (2, 16, 16)
+    assert seg.max() < 6
+    batches = list(ds.batches(3))
+    assert batches[0][0].shape == (3, 3, 16, 16)
+    assert batches[1][1].shape == (1, 2, 16, 16)
+    prim = ds.primary_categories_per_index()
+    assert len(prim) == len(ds.labels)
+    assert prim[0] == 0 and prim[1] == 1  # alternating categories
+
+
+def test_broden_full_image_label(tmp_path):
+    d = write_synthetic_broden(tmp_path / "b2", n_images=1, size=8)
+    ds = BrodenDataset(d)
+    ds.index[0]["object"] = "5"           # numeric cell = full-image label
+    _, seg, _ = ds[0]
+    assert np.all(seg[0] == 5)
+
+
+def test_activation_overlay_shapes():
+    img = np.random.RandomState(0).rand(3, 32, 32).astype(np.float32)
+    act = np.random.RandomState(1).randn(8, 8).astype(np.float32)
+    surf = activation_surface(act, (32, 32))
+    assert surf.shape == (32, 32)
+    assert surf.min() >= 0 and surf.max() <= 1
+    out = activation_overlay(img, act)
+    assert out.shape == (32, 32, 3)
+    assert out.min() >= 0 and out.max() <= 1
+    # active region keeps full brightness, inactive is dimmed
+    assert np.any(out < np.transpose(img, (1, 2, 0)) - 1e-6)
+
+
+def test_segment_visualization():
+    seg = np.array([[0, 1], [2, 1]])
+    rgb = segment_visualization(seg)
+    assert rgb.shape == (2, 2, 3)
+    assert np.all(rgb[0, 0] == 0)                    # background black
+    assert not np.allclose(rgb[0, 1], rgb[1, 0])     # distinct label colors
+    multi = segment_visualization(np.stack([seg, np.zeros_like(seg)]),
+                                  size=(4, 4))
+    assert multi.shape == (4, 4, 3)
+
+
+def test_dissection_cli(tmp_path):
+    from ganspace_tpu.dissection.__main__ import main
+    rc = main(["--model", "DCGAN", "--layer", "deconv1",
+               "--outdir", str(tmp_path / "out"), "--samples", "16",
+               "--batch", "8", "--iqr", "--cov", "--no-images"])
+    assert rc == 0
+    rep = json.loads((tmp_path / "out" / "deconv1" / "dissect.json").read_text())
+    assert rep["layer"] == "deconv1"
+    assert "iqr_label" in rep["units"][0]
+    corr = np.load(tmp_path / "out" / "deconv1" / "correlation.npy")
+    assert corr.ndim == 2
+    assert (tmp_path / "out" / "deconv1" / "dissect.html").exists()
+    assert (tmp_path / "out" / "deconv1" / "bargraph.svg").exists()
+
+
+def test_dissection_server(tmp_path):
+    from ganspace_tpu.dissection.server import DissectionSession, serve
+    model = tiny_dcgan()
+    inst = InstrumentedModel(model)
+    report = dissect(inst, "deconv1", ColorSegmenter(), n_samples=8, batch=4)
+    session = DissectionSession(inst, "deconv1", report)
+    server = serve(session, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        units = json.loads(urllib.request.urlopen(
+            f"{base}/api/units?n=3").read())
+        assert len(units["units"]) == 3
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "live edit" in page
+        img = urllib.request.urlopen(
+            f"{base}/api/generate?seed=1&n=2&units=0,1&strength=1.0").read()
+        assert img[:2] == b"\xff\xd8"                # JPEG magic
+        ov = urllib.request.urlopen(f"{base}/api/overlay?unit=0&seed=0").read()
+        assert ov[:2] == b"\xff\xd8"
+        # probe: bad path 404s instead of crashing the thread
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/api/nope")
+    finally:
+        server.shutdown()
