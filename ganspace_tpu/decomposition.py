@@ -193,6 +193,10 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     else:
         batch = get_max_batch_size(inst, layer_name=layer_key)
 
+    # Round N down to full batches (reference behaviour) — but never below
+    # one batch: for small-N runs (tiny models, smoke tests) shrink the batch
+    # instead of silently computing on zero samples.
+    batch = min(batch, config.n)
     n_total = config.n // batch * batch
 
     if not transformer.batch_support:

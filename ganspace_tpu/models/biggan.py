@@ -365,6 +365,8 @@ class BigGAN(BaseGenerator):
         raise RuntimeError(f"Unknown class identifier {class_id}")
 
     def set_output_class(self, class_id):
+        if class_id is None:          # "no preference": keep the current class
+            return
         if isinstance(class_id, (int, np.integer)):
             self.v_class = jnp.asarray(self._one_hot(int(class_id)))
             self.outclass = f"class{class_id}"

@@ -333,7 +333,8 @@ class StyleGAN(BaseGenerator):
         return N_BROADCAST_LATENTS
 
     def set_output_class(self, new_class):
-        if self.outclass != new_class:
+        # None = "no preference": keep the current class.
+        if new_class is not None and self.outclass != new_class:
             raise RuntimeError("StyleGAN: cannot change output class without reloading")
 
     def set_noise_seed(self, seed: int):

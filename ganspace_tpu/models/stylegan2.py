@@ -318,7 +318,8 @@ class StyleGAN2(BaseGenerator):
         return self.cfg.n_latent
 
     def set_output_class(self, new_class):
-        if self.outclass != new_class:
+        # None = "no preference" (e.g. a Config with no --class): keep current.
+        if new_class is not None and self.outclass != new_class:
             raise RuntimeError("StyleGAN2: cannot change output class without reloading")
 
     def set_noise_seed(self, seed: int):
