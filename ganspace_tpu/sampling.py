@@ -67,6 +67,55 @@ def truncated_latents(n_samples: int, dim: int, truncation: float, seed: int) ->
     return truncation * values
 
 
+def z_sample_for_model(model, size: int = 100, seed: int = 1) -> np.ndarray:
+    """Seeded z batch matching the model's latent dims
+    (reference ``netdissect/zdataset.py:26-40`` ``z_sample_for_model``)."""
+    dims = model.get_latent_dims()
+    return gaussian_latents(size, dims, seed)
+
+
+class FixedSubsetSampler:
+    """Deterministic index subset (reference ``netdissect/sampler.py``):
+    iterate/sample a fixed list of dataset indices."""
+
+    def __init__(self, samples):
+        self.samples = list(samples)
+
+    def __iter__(self):
+        return iter(self.samples)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+    def subset(self, new_subset):
+        return FixedSubsetSampler(self.dereference(new_subset))
+
+    def dereference(self, indices):
+        return [self.samples[i] for i in indices]
+
+
+class FixedRandomSubsetSampler(FixedSubsetSampler):
+    """Seeded random shuffle of [start, end), optionally filtered — a
+    reproducible train/val split helper (reference ``sampler.py``)."""
+
+    def __init__(self, data_source_length: int, start=None, end=None,
+                 seed: int = 1):
+        rs = np.random.RandomState(seed)
+        shuffled = rs.permutation(data_source_length)
+        self.start = start or 0
+        end = end if end is not None else data_source_length
+        super().__init__(shuffled[self.start:end].tolist())
+
+    def class_subset(self, labels, class_filter) -> "FixedSubsetSampler":
+        """Keep indices whose label matches ``class_filter``."""
+        keep = [i for i, s in enumerate(self.samples)
+                if labels[s] == class_filter]
+        return self.subset(keep)
+
+
 def random_directions(components: int, dimensions: int) -> np.ndarray:
     """Unit-norm random baseline directions (reference ``decomposition.py:42-46``)."""
     gen = np.random.RandomState(seed=SEED_RANDOM_DIRS)
