@@ -57,7 +57,10 @@ def main():
         wblock = np.random.RandomState(0).randn(4096, 512).astype(np.float32)
         warm_est.fit_partial(wblock)   # first-block signature
         warm_est.fit_partial(wblock)   # streaming signature
-        jax.block_until_ready(warm_est._state.mean)
+        group = int(os.environ.get("GANSPACE_IPCA_GROUP", 25))
+        warm_est.fit_partial_blocks(   # fused-scan signature
+            np.broadcast_to(wblock, (group, *wblock.shape)))
+        jax.block_until_ready(warm_est._moments or warm_est._state)
         warmup_s = time.perf_counter() - t_warm
 
         t0 = time.perf_counter()

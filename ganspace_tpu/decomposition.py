@@ -236,8 +236,18 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     latent_chunks = []
     host_latents = None if on_device else np.zeros(
         (n_lat, *input_shape[1:]), dtype=np.float32)
-    for i in range(n_lat // batch):
-        z = model.sample_latent(n_samples=batch)
+    # Device-side RNG by default: latents are generated in HBM (fused with
+    # the mapping net), so the sampling phase moves ZERO bytes host->device.
+    # GANSPACE_DEVICE_RNG=0 restores the reference's host-numpy draws for
+    # bit-exact parity with caches produced by the reference pipeline.
+    device_rng = os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
+    prefetched = None
+    if on_device and device_rng:
+        prefetched = model.sample_latents_device(
+            n_lat // batch, batch, seed=config.seed or SEED_SAMPLING)
+    if prefetched is None:
+        prefetched = model.sample_latents_prefetched(n_lat // batch, batch)
+    for i, z in enumerate(prefetched):
         if on_device:
             latent_chunks.append(jnp.asarray(z).reshape(batch, *input_shape[1:]))
         else:
@@ -254,6 +264,29 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
 
     canceled = False
     gi = 0
+    # Fuse up to GROUP streaming blocks into one lax.scan dispatch
+    # (bit-identical update order; see IPCAEstimator.fit_partial_blocks).
+    # Dispatch latency — not FLOPs — dominates the tiny per-block SVD, so
+    # grouping is the main throughput lever on the 1M-sample runs.
+    group_size = int(os.environ.get("GANSPACE_IPCA_GROUP", 25))
+    can_group = (transformer.batch_support
+                 and hasattr(transformer, "fit_partial_blocks"))
+    pending: list = []
+
+    def flush_pending(final: bool = False) -> bool:
+        # Keep jit signatures stable: full groups go through ONE scan shape
+        # [group_size, nb, D]; the (rare) tail reuses the per-block
+        # signature instead of compiling a fresh scan per tail length.
+        if len(pending) == group_size:
+            ok = transformer.fit_partial_blocks(jnp.stack(pending))
+            pending.clear()
+            return ok
+        if final:
+            while pending:
+                if not transformer.fit_partial(pending.pop(0)):
+                    return False
+        return True
+
     try:
         action = "Fitting" if transformer.batch_support else "Collecting"
         n_blocks = max(1, -(-n_total // nb))
@@ -269,20 +302,35 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
                         inst.retained_features()[layer_key].reshape(batch, -1))
                 x_block = jnp.concatenate(chunks, axis=0)[:nb]
 
-            if transformer.batch_support:
+            if can_group:
+                if bi == 0:
+                    # First block initializes the state through the plain
+                    # fit_partial signature (first=True compile).
+                    if not transformer.fit_partial(x_block):
+                        break
+                else:
+                    pending.append(x_block)
+                    if len(pending) >= group_size and not flush_pending():
+                        break
+            elif transformer.batch_support:
                 if not transformer.fit_partial(x_block):
                     break
             else:
                 samples[gi:gi + nb, :] = np.asarray(x_block)
             print(f"\r{action} batches (NB={nb}): {bi + 1}/{n_blocks}",
                   end="", flush=True)
+        if can_group:
+            flush_pending(final=True)
         print()
     except KeyboardInterrupt:
         if not transformer.batch_support:
             sys.exit(1)  # no progress yet
         # Save partial result under a corrected sample count
-        # (reference decomposition.py:268-274).
-        dump_name = dump_name.parent / dump_name.name.replace(f"n{n_total}", f"n{gi}")
+        # (reference decomposition.py:268-274).  With grouping, count only
+        # the samples actually absorbed by the estimator.
+        n_fitted = getattr(transformer, "n_samples_seen_", gi)
+        dump_name = dump_name.parent / dump_name.name.replace(
+            f"n{n_total}", f"n{n_fitted}")
         print(f'Saving current state to "{dump_name.name}" before exiting')
         canceled = True
 

@@ -48,9 +48,30 @@ class _IPCAState(NamedTuple):
     explained_variance_ratio: jnp.ndarray  # [c]
 
 
-@partial(jax.jit, static_argnames=("n_components", "first"))
-def _partial_fit(state: _IPCAState, x: jnp.ndarray, n_seen: jnp.ndarray,
-                 *, n_components: int, first: bool) -> _IPCAState:
+@partial(jax.jit, static_argnames=("n_components",))
+def _partial_fit_scan(state: _IPCAState, blocks: jnp.ndarray,
+                      n_seen0: jnp.ndarray, *, n_components: int) -> _IPCAState:
+    """k sequential streaming updates fused into ONE dispatch.
+
+    ``blocks`` is [k, n, D]; the scan body is the exact per-block update, so
+    the result is bit-identical to k ``fit_partial`` calls — but the host
+    pays one dispatch (and, under the remote TPU tunnel, one round trip)
+    per k blocks instead of per block.  This is the throughput lever for the
+    1M-sample runs: dispatch latency, not FLOPs, dominates the small
+    per-block SVD.
+    """
+    def body(carry, x):
+        st, n_seen = carry
+        new = _partial_fit_math(st, x, n_seen, n_components=n_components,
+                                first=False)
+        return (new, n_seen + jnp.asarray(float(x.shape[0]), x.dtype)), None
+
+    (state, _), _ = jax.lax.scan(body, (state, n_seen0), blocks)
+    return state
+
+
+def _partial_fit_math(state: _IPCAState, x: jnp.ndarray, n_seen: jnp.ndarray,
+                      *, n_components: int, first: bool) -> _IPCAState:
     n, d = x.shape
     n_batch = jnp.asarray(float(n), x.dtype)
     batch_mean = jnp.mean(x, axis=0)
@@ -83,19 +104,78 @@ def _partial_fit(state: _IPCAState, x: jnp.ndarray, n_seen: jnp.ndarray,
                       explained_variance, explained_variance_ratio)
 
 
+_partial_fit = partial(jax.jit, static_argnames=("n_components", "first"))(
+    _partial_fit_math)
+
+
+class _MomentsState(NamedTuple):
+    count: jnp.ndarray           # scalar
+    mean: jnp.ndarray            # [D]
+    m2: jnp.ndarray              # [D, D] centered scatter (sum (x-mu)(x-mu)^T)
+
+
+@jax.jit
+def _moments_update(state: _MomentsState, x: jnp.ndarray) -> _MomentsState:
+    """Chan-stable streaming moments — ONE gemm per block, no eigh.
+
+    The eigendecomposition happens once, in ``get_components``: for small D
+    (W/Z spaces, D<=8k) this replaces the per-block SVD of the sklearn-mirror
+    path with pure MXU work, and is *exact* covariance PCA rather than an
+    incremental approximation (SURVEY.md §7: "a plain distributed
+    moments+eigh estimator suffices" for the samples-are-latents path).
+    """
+    n = jnp.asarray(float(x.shape[0]), x.dtype)
+    batch_mean = jnp.mean(x, axis=0)
+    xc = x - batch_mean
+    gram = mm(xc.T, xc)
+    new_count = state.count + n
+    delta = batch_mean - state.mean
+    new_mean = state.mean + delta * (n / new_count)
+    new_m2 = state.m2 + gram + jnp.outer(delta, delta) * (state.count * n / new_count)
+    return _MomentsState(new_count, new_mean, new_m2)
+
+
+@partial(jax.jit, static_argnames=("n_components",))
+def _moments_finish(state: _MomentsState, *, n_components: int):
+    """(components [c, D], stdev [c], var_ratio [c]) from the moments."""
+    from ganspace_tpu.estimators.utils import svd_flip_vt, topk_eigh_desc
+    cov = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    evals, evecs = topk_eigh_desc(cov)
+    evals = jnp.maximum(evals, 0.0)
+    comp = svd_flip_vt(evecs[:, :n_components].T)
+    var_ratio = evals[:n_components] / jnp.maximum(jnp.sum(evals), 1e-30)
+    return comp, jnp.sqrt(evals[:n_components]), var_ratio
+
+
 class IPCAEstimator:
     """Protocol-compatible with reference ``IPCAEstimator`` (``estimators.py:55-81``)."""
 
+    #: feature dims up to this use the exact-moments fast path (D x D scatter
+    #: in HBM: 8192^2 f32 = 256 MB); beyond it, the sklearn-mirror updates.
+    MOMENTS_MAX_D = 8192
+
     def __init__(self, n_components: int, whiten: bool = False,
-                 feature_sharding=None):
+                 feature_sharding=None, mode: str = "auto"):
         self.n_components = n_components
         self.whiten = whiten  # reference always runs whiten=False
         self.batch_support = True
         self.n_samples_seen_ = 0
         self._state: Optional[_IPCAState] = None
+        self._moments: Optional[_MomentsState] = None
         self._sharding = feature_sharding
+        assert mode in ("auto", "sklearn", "moments")
+        self.mode = mode
         # sklearn default batch size used by fit() (estimators.py:59)
         self.batch_size = max(100, 2 * n_components)
+
+    def _use_moments(self, d: int) -> bool:
+        if self.mode == "moments":
+            return True
+        if self.mode == "sklearn":
+            return False
+        import os
+        return d <= int(os.environ.get("GANSPACE_IPCA_MOMENTS_MAX_D",
+                                       self.MOMENTS_MAX_D))
 
     def get_param_str(self) -> str:
         return "ipca_c{}{}".format(self.n_components, "_w" if self.whiten else "")
@@ -122,6 +202,15 @@ class IPCAEstimator:
             print(f"\nIPCA error: n_samples={n} < n_components={self.n_components}")
             return False
         x = self._placed(x)
+        if self._state is None and self._moments is None \
+                and self._use_moments(d):
+            self._moments = _MomentsState(
+                jnp.asarray(0.0), self._placed(jnp.zeros((d,), jnp.float32)),
+                self._placed(jnp.zeros((d, d), jnp.float32)))
+        if self._moments is not None:
+            self._moments = _moments_update(self._moments, x)
+            self.n_samples_seen_ += n
+            return True
         first = self._state is None
         if first:
             zeros_d = jnp.zeros((d,), jnp.float32)
@@ -139,6 +228,33 @@ class IPCAEstimator:
         self.n_samples_seen_ += n
         return True
 
+    def fit_partial_blocks(self, blocks) -> bool:
+        """Fused streaming update over ``blocks`` [k, n, D] — bit-identical
+        to k ``fit_partial`` calls in order, one device dispatch."""
+        blocks = jnp.asarray(blocks, dtype=jnp.float32)
+        k, n, d = blocks.shape
+        if n < self.n_components:
+            print(f"\nIPCA error: n_samples={n} < n_components={self.n_components}")
+            return False
+        if self._moments is not None or (
+                self._state is None and self._use_moments(d)):
+            # Moments are associative: the stacked blocks reduce in one gemm.
+            return self.fit_partial(blocks.reshape(k * n, d))
+        if self._state is None:
+            if not self.fit_partial(blocks[0]):
+                return False
+            blocks = blocks[1:]
+            k -= 1
+        if k == 0:
+            return True
+        blocks = self._placed(blocks) if self._sharding is not None else blocks
+        self._state = _partial_fit_scan(
+            self._state, blocks,
+            jnp.asarray(float(self.n_samples_seen_), jnp.float32),
+            n_components=self.n_components)
+        self.n_samples_seen_ += k * n
+        return True
+
     def fit(self, x):
         x = np.asarray(x)
         for i in range(0, x.shape[0], self.batch_size):
@@ -149,13 +265,24 @@ class IPCAEstimator:
     # -- results ------------------------------------------------------------
     @property
     def mean_(self) -> np.ndarray:
+        if self._moments is not None:
+            return np.asarray(self._moments.mean)
         return np.asarray(self._state.mean)
 
     @property
     def components_(self) -> np.ndarray:
+        if self._moments is not None:
+            comp, _, _ = _moments_finish(self._moments,
+                                         n_components=self.n_components)
+            return np.asarray(comp)
         return np.asarray(self._state.components)
 
     def get_components(self):
+        if self._moments is not None:
+            comp, stdev, var_ratio = _moments_finish(
+                self._moments, n_components=self.n_components)
+            return (np.asarray(comp), np.asarray(stdev),
+                    np.asarray(var_ratio))
         stdev = np.sqrt(np.asarray(self._state.explained_variance))  # already sorted
         var_ratio = np.asarray(self._state.explained_variance_ratio)
         return self.components_, stdev, var_ratio  # PCA outputs are normalized

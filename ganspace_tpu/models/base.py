@@ -48,6 +48,14 @@ def _match_rank(v: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n", "d"))
+def _device_normal(key, n: int, d: int) -> jnp.ndarray:
+    return jax.random.normal(key, (n, d), jnp.float32)
+
+
 def apply_edit(x: jnp.ndarray, edit: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Ablation/replacement then offset, as in ``nethook.py:219-231``."""
     a = edit.get("ablation")
@@ -168,6 +176,55 @@ class BaseGenerator(ABC):
 
     def set_conditional_state(self, z, c):
         return z
+
+    # -- threaded pre-sampling ------------------------------------------------
+    def _gaussian_latent_dim(self) -> Optional[int]:
+        """Raw host-gaussian dim when ``sample_latent`` is 'global-stream
+        seed -> RandomState gaussian [-> device transform]'; None otherwise
+        (e.g. BigGAN's truncnorm)."""
+        return None
+
+    def _latents_from_gaussian(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Device transform applied to the raw gaussian draw (identity for
+        Z-primary models; the mapping network for W)."""
+        return z
+
+    def sample_latents_device(self, n_batches: int, batch_size: int,
+                              seed: int):
+        """Device-side latent stream: batch ``i`` is generated entirely in
+        HBM from ``fold_in(PRNGKey(seed), i)`` (fused with the mapping
+        network where one exists) — zero host->device latent traffic.
+
+        This is the TPU-native default for the decomposition sampling loop;
+        the host-numpy path (``sample_latents_prefetched``) remains for
+        bit-exact parity with reference caches (``GANSPACE_DEVICE_RNG=0``).
+        Returns None when the model has no device sampler (then the driver
+        falls back to the host path).
+        """
+        dim = self._gaussian_latent_dim()
+        if dim is None:
+            return None
+        key = jax.random.PRNGKey(int(seed))
+        return [self._latents_from_gaussian(
+                    _device_normal(jax.random.fold_in(key, i), batch_size, dim))
+                for i in range(n_batches)]
+
+    def sample_latents_prefetched(self, n_batches: int, batch_size: int):
+        """``n_batches`` seedless ``sample_latent(batch_size)`` calls, with
+        values AND global-RNG usage bit-identical to the sequential loop —
+        but the host gaussian draws run threaded in one native call
+        (``native/src/fastrand.cpp``).  This is the decomposition driver's
+        pre-sampling fast path; numpy's legacy generator is single-threaded
+        and otherwise dominates host time at N=1M."""
+        dim = self._gaussian_latent_dim()
+        if dim is None:
+            return [self.sample_latent(batch_size) for _ in range(n_batches)]
+        seeds = [np.random.randint(np.iinfo(np.int32).max)
+                 for _ in range(n_batches)]
+        from ganspace_tpu.native import normal_batches
+        zs = normal_batches(seeds, batch_size * dim)
+        return [self._latents_from_gaussian(
+                    jnp.asarray(z.reshape(batch_size, dim))) for z in zs]
 
     # -- instrumentation plumbing ------------------------------------------
     def _instrumentation(self):

@@ -113,6 +113,9 @@ class GANZooModel(BaseGenerator):
         return jnp.asarray(
             sampling.gaussian_latents(n_samples, self.cfg.z_total, seed))
 
+    def _gaussian_latent_dim(self):
+        return self.cfg.z_total
+
     def get_conditional_state(self, z):
         return z[:, -self.cfg.cond_dim:]
 

@@ -144,6 +144,9 @@ class ProGAN(BaseGenerator):
         # zdataset.z_sample_for_model semantics (netdissect/zdataset.py:26-40).
         return jnp.asarray(sampling.gaussian_latents(n_samples, self.cfg.sizes[0], seed))
 
+    def _gaussian_latent_dim(self):
+        return self.cfg.sizes[0]
+
     def _run(self, x, stop_at):
         if isinstance(x, list):
             assert len(x) == 1, "ProGAN only supports a single global latent"

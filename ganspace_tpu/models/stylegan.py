@@ -377,6 +377,12 @@ class StyleGAN(BaseGenerator):
     def _map_to_w(self, z):
         return mapping_forward(self.params, z)
 
+    def _gaussian_latent_dim(self):
+        return self.cfg.w_dim
+
+    def _latents_from_gaussian(self, z):
+        return self._map_to_w(z) if self.w_primary else z
+
     def _run(self, x, stop_at):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))
         retain, edits, store = self._instrumentation()

@@ -349,6 +349,12 @@ class StyleGAN2(BaseGenerator):
     def _map_to_w(self, z):
         return _mapping(self.params, z, self.cfg.n_mlp)
 
+    def _gaussian_latent_dim(self):
+        return self.cfg.w_dim
+
+    def _latents_from_gaussian(self, z):
+        return self._map_to_w(z) if self.w_primary else z
+
     # -- execution ----------------------------------------------------------
     def _run(self, x, stop_at: Optional[str]):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))

@@ -136,3 +136,76 @@ class ImageWriterPool:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# fastrand: numpy-legacy-exact gaussian sampling, threaded (fastrand.cpp)
+# ---------------------------------------------------------------------------
+
+_RAND_SRC = Path(__file__).parent / "src" / "fastrand.cpp"
+_RAND_LIB = Path(__file__).parent / "src" / "libfastrand.so"
+_rand_handle: Optional[ctypes.CDLL] = None
+_rand_failed = False
+
+
+def _build_rand() -> Optional[ctypes.CDLL]:
+    global _rand_handle, _rand_failed
+    with _lock:
+        if _rand_handle is not None:
+            return _rand_handle
+        if _rand_failed:
+            return None
+        if not _RAND_LIB.exists() or \
+                _RAND_LIB.stat().st_mtime < _RAND_SRC.stat().st_mtime:
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   str(_RAND_SRC), "-o", str(_RAND_LIB), "-lpthread"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                print(f"fastrand: native build failed ({e}); using numpy")
+                _rand_failed = True
+                return None
+        lib = ctypes.CDLL(str(_RAND_LIB))
+        lib.fastrand_normal_batches.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.fastrand_normal_f64.argtypes = [
+            ctypes.c_uint32, ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+        _rand_handle = lib
+        return lib
+
+
+def have_fastrand() -> bool:
+    return _build_rand() is not None
+
+
+def normal_batches(seeds, n_per: int, n_threads: int = 0) -> "np.ndarray":
+    """[len(seeds), n_per] float32; row b is bit-identical to
+    ``np.random.RandomState(seeds[b]).standard_normal(n_per).astype(np.float32)``.
+    Threaded across rows (0 = one thread per core, capped at 16)."""
+    import os
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    lib = _build_rand()
+    if lib is None:
+        return np.stack([
+            np.random.RandomState(int(s)).standard_normal(n_per)
+            .astype(np.float32) for s in seeds])
+    out = np.empty((len(seeds), n_per), np.float32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.fastrand_normal_batches(
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(seeds),
+        n_per, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads)
+    return out
+
+
+def normal_f64(seed: int, n: int) -> "np.ndarray":
+    """Bit-exact ``np.random.RandomState(seed).standard_normal(n)``."""
+    lib = _build_rand()
+    if lib is None:
+        return np.random.RandomState(int(seed)).standard_normal(n)
+    out = np.empty((n,), np.float64)
+    lib.fastrand_normal_f64(
+        ctypes.c_uint32(int(seed)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out

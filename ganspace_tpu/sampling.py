@@ -55,9 +55,16 @@ class SeedStream:
 
 
 def gaussian_latents(n_samples: int, dim: int, seed: int) -> np.ndarray:
-    """Reference ``wrappers.py:171-174`` / ``zdataset.py:33-37``."""
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(dim * n_samples).reshape(n_samples, dim).astype(np.float32)
+    """Reference ``wrappers.py:171-174`` / ``zdataset.py:33-37``.
+
+    Values are bit-identical to
+    ``RandomState(seed).standard_normal(dim*n).astype(float32)``; the draw
+    itself goes through the native threaded generator
+    (``native/src/fastrand.cpp``) when available — the legacy numpy path is
+    single-threaded and dominates host time on 1M-sample runs.
+    """
+    from ganspace_tpu.native import normal_batches
+    return normal_batches([seed], dim * n_samples)[0].reshape(n_samples, dim)
 
 
 def truncated_latents(n_samples: int, dim: int, truncation: float, seed: int) -> np.ndarray:

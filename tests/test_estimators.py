@@ -25,7 +25,9 @@ def cos_rows(a, b):
 
 
 def test_ipca_matches_sklearn(data):
-    ours = get_estimator("ipca", C)
+    # the sklearn-mirror mode is arithmetic-identical to IncrementalPCA
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+    ours = IPCAEstimator(C, mode="sklearn")
     sk = IncrementalPCA(C)
     for i in range(0, N, 400):
         assert ours.fit_partial(data[i:i + 400])
@@ -39,7 +41,8 @@ def test_ipca_matches_sklearn(data):
 
 
 def test_ipca_fit_full(data):
-    ours = get_estimator("ipca", C)
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+    ours = IPCAEstimator(C, mode="sklearn")
     ours.fit(data)
     sk = IncrementalPCA(C, batch_size=ours.batch_size)
     sk.fit(data)
@@ -114,3 +117,64 @@ def test_param_strings():
     assert get_estimator("spca", 80, 10.0).get_param_str() == "spca_c80_a10.0"
     with pytest.raises(RuntimeError):
         get_estimator("nope", 80)
+
+
+def test_ipca_blocks_matches_sequential():
+    """fit_partial_blocks (one lax.scan dispatch) must be numerically
+    identical to the same blocks fed through fit_partial one by one."""
+    import jax.numpy as jnp
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+
+    rs = np.random.RandomState(0)
+    blocks = rs.randn(6, 300, 64).astype(np.float32)
+
+    seq = IPCAEstimator(16, mode="sklearn")
+    for b in blocks:
+        assert seq.fit_partial(b)
+
+    fused = IPCAEstimator(16, mode="sklearn")
+    assert fused.fit_partial_blocks(jnp.asarray(blocks))
+
+    assert seq.n_samples_seen_ == fused.n_samples_seen_ == 1800
+    for name in ("mean", "var", "components", "singular_values"):
+        a = np.asarray(getattr(seq._state, name))
+        b = np.asarray(getattr(fused._state, name))
+        assert np.allclose(a, b, atol=1e-4), (name, np.abs(a - b).max())
+    cs, ss, _ = seq.get_components()
+    cf, sf, _ = fused.get_components()
+    cos = np.abs(np.sum(cs * cf, axis=-1))
+    assert cos.min() > 0.9999
+
+
+def test_ipca_moments_mode(data):
+    """The small-D fast path (streaming moments + one final eigh) is exact
+    covariance PCA; it must agree with sklearn PCA to tight tolerance and
+    with sklearn IncrementalPCA to high cosine."""
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+
+    ours = IPCAEstimator(C)            # auto -> moments for D=48
+    for i in range(0, N, 400):
+        assert ours.fit_partial(data[i:i + 400])
+    assert ours._moments is not None and ours._state is None
+    comp, stdev, var_ratio = ours.get_components()
+
+    sk = PCA(C, svd_solver="full").fit(data)
+    assert cos_rows(comp, sk.components_).min() > 0.9999
+    assert np.allclose(stdev, np.sqrt(sk.explained_variance_), rtol=1e-3)
+    assert np.allclose(var_ratio, sk.explained_variance_ratio_, atol=1e-4)
+    assert np.abs(ours.mean_ - data.mean(0)).max() < 1e-3
+
+    ipca = IncrementalPCA(C)
+    for i in range(0, N, 400):
+        ipca.partial_fit(data[i:i + 400])
+    # IncrementalPCA is itself an approximation; near-degenerate trailing
+    # eigenvalues limit this cross-check (the PCA comparison above is the
+    # correctness anchor).
+    assert cos_rows(comp, ipca.components_).min() > 0.98
+
+    # fused blocks reduce to the same moments
+    fused = IPCAEstimator(C)
+    assert fused.fit_partial_blocks(data.reshape(5, N // 5, D))
+    comp2, _, _ = fused.get_components()
+    assert cos_rows(comp, comp2).min() > 0.99999
+    assert fused.n_samples_seen_ == N
