@@ -12,6 +12,10 @@ All ganspace_tpu ops therefore thread an explicit ``lax.Precision``:
 
 Switch globally with ``set_precision('default'|'highest')`` or temporarily
 with the ``precision(...)`` context manager.
+
+CAVEAT: the precision is read at TRACE time. Already-jitted signatures keep
+the precision they were traced with — switch precision BEFORE the first
+forward of a given shape (or construct a fresh model) for it to take effect.
 """
 
 from __future__ import annotations

@@ -1,0 +1,69 @@
+"""Classifier-dissection runners and tool CLIs
+(reference ``dissection.py:1505-1572`` + ``netdissect/tool/``)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ganspace_tpu.dissection import ColorSegmenter, write_synthetic_broden
+from ganspace_tpu.dissection.broden import BrodenDataset
+from ganspace_tpu.dissection.runners import dissect_classifier, segment_dataset
+
+
+@pytest.fixture(scope="module")
+def broden(tmp_path_factory):
+    d = tmp_path_factory.mktemp("broden")
+    write_synthetic_broden(d, n_images=6, size=16, n_labels=5)
+    return BrodenDataset(d)
+
+
+def test_dissect_classifier(broden):
+    # toy "classifier": 4 fixed color-projection feature maps
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(4, 3).astype(np.float32))
+
+    def features(images):
+        return jnp.einsum("uc,bchw->buhw", w, images)[:, :, ::2, ::2]
+
+    report = dissect_classifier(features, broden, broden.labels,
+                                batch=3)
+    assert report["n_samples"] == 6
+    assert len(report["units"]) == 4
+    for r in report["units"]:
+        assert r["label"] in broden.labels
+        assert 0.0 <= r["iou"] <= 1.0
+    # renders through the standard report generator
+    from ganspace_tpu.dissection import generate_report
+    out = generate_report(report, broden.dir / "rep")
+    assert out.exists()
+
+
+def test_segment_dataset(broden):
+    maps = segment_dataset(ColorSegmenter(), broden, batch=4)
+    assert len(maps) == 6
+    assert maps[0].shape == (16, 16)
+
+
+def test_makesample_cli(tmp_path):
+    from ganspace_tpu.tools.makesample import main
+    rc = main(["--model", "DCGAN", "--size", "5", "--batch", "3",
+               "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert len(list(tmp_path.glob("image_*.png"))) == 5
+
+
+def test_ganseg_cli(tmp_path):
+    from ganspace_tpu.tools.ganseg import main
+    rc = main(["--model", "DCGAN", "--size", "4", "--batch", "4",
+               "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert len(list(tmp_path.glob("ganseg_*.png"))) == 4
+
+
+def test_allunitsample_cli(tmp_path):
+    from ganspace_tpu.tools.allunitsample import main
+    rc = main(["--model", "DCGAN", "--layer", "deconv1", "--samples", "8",
+               "--batch", "4", "--topk", "3", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert len(list(tmp_path.glob("unit_*.png"))) > 0
