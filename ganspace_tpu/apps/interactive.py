@@ -30,7 +30,15 @@ from types import SimpleNamespace
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@jax.jit
+def _frame_u8(img):
+    """[B,3,H,W] float -> [B,H,W,3] uint8, on device."""
+    x = jnp.clip(jnp.transpose(img, (0, 2, 3, 1)), 0.0, 1.0)
+    return (x * 255.0 + 0.5).astype(jnp.uint8)
 
 from ganspace_tpu import directions as dirlib
 from ganspace_tpu.config import Config
@@ -240,14 +248,17 @@ class Session:
         if has_offsets:
             z_final = [z_final + d for d in z_deltas]
         img = self.model.forward(z_final)
-        self.img = np.asarray(jnp.clip(img, 0.0, 1.0))
+        # Quantize + tile ON DEVICE: the viewer frame crosses to the host as
+        # uint8 HWC, 4x less readback than float32 NCHW (at 1024px the
+        # readback, not synthesis, dominates frame latency).
+        u8 = _frame_u8(img)
+        self.img = np.asarray(u8, dtype=np.uint8)
         return self.img
 
     def render_np(self) -> np.ndarray:
         """[H, W*B, 3] uint8 tile of the current batch."""
-        img = self.render()
-        tiles = [np.transpose(im, (1, 2, 0)) for im in img]
-        return to_uint8(np.hstack(tiles))
+        img = self.render()          # [B, H, W, 3] uint8
+        return np.hstack(list(img))
 
     # -- export --------------------------------------------------------------
     def export_direction(self, idx: int, name: str, sigma_range: float = 2.0,

@@ -16,6 +16,23 @@ from ganspace_tpu.models.proggan import ProGAN
 from ganspace_tpu.models.dcgan import GANZooModel
 
 
+#: user-registered model factories: name -> callable(output_class, **kwargs)
+_CUSTOM_MODELS = {}
+
+
+def register_model(name: str, factory) -> None:
+    """Register a custom generator under ``name`` (the reference's analog is
+    loading arbitrary torch.hub GAN-zoo models / the colab custom-model
+    import).  ``factory(output_class, **kwargs)`` must return a
+    :class:`BaseGenerator`; the whole pipeline (decomposition, visualize,
+    dissection, interactive) then accepts ``--model name``."""
+    _CUSTOM_MODELS[name] = factory
+
+
+def unregister_model(name: str) -> None:
+    _CUSTOM_MODELS.pop(name, None)
+
+
 def get_model(name, output_class=None, device=None, **kwargs) -> BaseGenerator:
     """Name -> wrapper dispatch with instance reuse (reference ``wrappers.py:652-684``).
 
@@ -39,6 +56,8 @@ def get_model(name, output_class=None, device=None, **kwargs) -> BaseGenerator:
             return cached
 
     kwargs.pop("device", None)
+    if name in _CUSTOM_MODELS:
+        return _CUSTOM_MODELS[name](output_class, **kwargs)
     if name == "DCGAN":
         return GANZooModel("DCGAN", **_only(kwargs, ("cfg", "params", "init_seed")))
     if name == "ProGAN":

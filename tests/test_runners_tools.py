@@ -67,3 +67,38 @@ def test_allunitsample_cli(tmp_path):
                "--batch", "4", "--topk", "3", "--outdir", str(tmp_path)])
     assert rc == 0
     assert len(list(tmp_path.glob("unit_*.png"))) > 0
+
+
+def test_custom_model_registration(tmp_path):
+    """register_model: a user generator drives the whole pipeline
+    (reference analog: torch.hub GAN-zoo / colab custom-model import)."""
+    from ganspace_tpu.models import (get_instrumented_model, get_model,
+                                     register_model, unregister_model)
+    from ganspace_tpu.models.dcgan import DCGANConfig, GANZooModel
+
+    def factory(output_class, **kw):
+        m = GANZooModel("MyGAN", cfg=DCGANConfig(resolution=16,
+                                                 base_channels=32))
+        m.name = "MyGAN"
+        return m
+
+    register_model("MyGAN", factory)
+    try:
+        m = get_model("MyGAN")
+        assert m.name == "MyGAN"
+        inst = get_instrumented_model("MyGAN", None, "deconv1")
+        assert "deconv1" in inst.feature_shape
+        # end-to-end decomposition on the custom model
+        import os
+        os.environ["GANSPACE_OUTPUT_DIR"] = str(tmp_path)
+        from ganspace_tpu.config import Config
+        from ganspace_tpu.decomposition import get_or_compute
+        cfg = Config(model="MyGAN", layer="deconv1", estimator="ipca",
+                     components=3, n=64, batch_size=16)
+        path = get_or_compute(cfg, inst)
+        assert path.exists()
+    finally:
+        unregister_model("MyGAN")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        get_model("MyGAN")
