@@ -60,6 +60,11 @@ def main():
         group = int(os.environ.get("GANSPACE_IPCA_GROUP", 25))
         warm_est.fit_partial_blocks(   # fused-scan signature
             np.broadcast_to(wblock, (group, *wblock.shape)))
+        # fused-unit signatures (generation+mapping and moments at unit size)
+        unit = group * 4096
+        zunit = model.sample_latents_device(1, unit, seed=0)[0]
+        warm_est.fit_partial(zunit.reshape(unit, -1))
+        warm_est.get_components()      # final eigh signature
         jax.block_until_ready(warm_est._moments or warm_est._state)
         warmup_s = time.perf_counter() - t_warm
 

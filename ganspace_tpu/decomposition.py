@@ -233,26 +233,38 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     lat_bytes = n_lat * int(np.prod(input_shape[1:])) * 4
     on_device = lat_bytes < int(os.environ.get("GANSPACE_LATENT_HBM_BUDGET",
                                                8 * 1024 ** 3))
-    latent_chunks = []
-    host_latents = None if on_device else np.zeros(
-        (n_lat, *input_shape[1:]), dtype=np.float32)
     # Device-side RNG by default: latents are generated in HBM (fused with
     # the mapping net), so the sampling phase moves ZERO bytes host->device.
     # GANSPACE_DEVICE_RNG=0 restores the reference's host-numpy draws for
     # bit-exact parity with caches produced by the reference pipeline.
+    # Statistically the two streams are equivalent: at n=200k on a random
+    # generator, device-vs-host component cosines match the host
+    # seed1-vs-seed7 control profile (divergence only inside near-degenerate
+    # eigenspaces), and explained-variance ratios agree to ~1e-4.
     device_rng = os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
-    prefetched = None
-    if on_device and device_rng:
-        prefetched = model.sample_latents_device(
-            n_lat // batch, batch, seed=config.seed or SEED_SAMPLING)
-    if prefetched is None:
-        prefetched = model.sample_latents_prefetched(n_lat // batch, batch)
-    for i, z in enumerate(prefetched):
-        if on_device:
-            latent_chunks.append(jnp.asarray(z).reshape(batch, *input_shape[1:]))
-        else:
-            host_latents[i * batch:(i + 1) * batch] = np.asarray(z).reshape(
-                batch, *input_shape[1:])
+    # The fused W-space path (below) regenerates latents inside the fit
+    # stream — no pre-sampling or latent storage at all.
+    fused = (samples_are_latents and device_rng
+             and transformer.batch_support
+             and getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
+             and model._gaussian_latent_dim() is not None)
+    latent_chunks = []
+    host_latents = None if (on_device or fused) else np.zeros(
+        (n_lat, *input_shape[1:]), dtype=np.float32)
+    if not fused:
+        prefetched = None
+        if on_device and device_rng:
+            prefetched = model.sample_latents_device(
+                n_lat // batch, batch, seed=config.seed or SEED_SAMPLING)
+        if prefetched is None:
+            prefetched = model.sample_latents_prefetched(n_lat // batch, batch)
+        for i, z in enumerate(prefetched):
+            if on_device:
+                latent_chunks.append(
+                    jnp.asarray(z).reshape(batch, *input_shape[1:]))
+            else:
+                host_latents[i * batch:(i + 1) * batch] = np.asarray(z).reshape(
+                    batch, *input_shape[1:])
 
     def latent_slice(start, stop):
         if on_device:
@@ -273,6 +285,37 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
                  and hasattr(transformer, "fit_partial_blocks"))
     pending: list = []
 
+    # Fully-fused fast path for the samples-are-latents W-space runs:
+    # generation (device RNG), the mapping network, and the exact-moments
+    # update all execute in GROUP*NB-sample units — ~20 dispatches for a
+    # 1M-sample run instead of ~750 (each dispatch is a queue round trip;
+    # on the tunneled chip that overhead alone was ~15 s).
+    if fused:
+        seed0 = config.seed or SEED_SAMPLING
+        unit = group_size * nb
+        n_stream = -(-n_total // nb) * nb          # full nb blocks, as before
+        n_units = n_stream // unit
+        n_tail = -(-(n_stream - n_units * unit) // nb)
+        try:
+            x_block = None
+            for c in model.sample_latents_device(n_units, unit, seed=seed0):
+                x_block = c.reshape(unit, -1)
+                transformer.fit_partial(x_block)
+                print(f"\rFitting fused units ({unit} samples each): "
+                      f"+{unit}", end="", flush=True)
+            # tail at nb granularity under a distinct key stream
+            for c in model.sample_latents_device(n_tail, nb,
+                                                 seed=seed0 + 1_000_003):
+                x_block = c.reshape(nb, -1)
+                transformer.fit_partial(x_block)
+            print()
+        except KeyboardInterrupt:
+            n_fitted = getattr(transformer, "n_samples_seen_", 0)
+            dump_name = dump_name.parent / dump_name.name.replace(
+                f"n{n_total}", f"n{n_fitted}")
+            print(f'Saving current state to "{dump_name.name}" before exiting')
+            canceled = True
+
     def flush_pending(final: bool = False) -> bool:
         # Keep jit signatures stable: full groups go through ONE scan shape
         # [group_size, nb, D]; the (rare) tail reuses the per-block
@@ -290,7 +333,7 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     try:
         action = "Fitting" if transformer.batch_support else "Collecting"
         n_blocks = max(1, -(-n_total // nb))
-        for bi, gi in enumerate(range(0, n_total, nb)):
+        for bi, gi in enumerate([] if fused else range(0, n_total, nb)):
             if samples_are_latents:
                 x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
             else:
