@@ -281,7 +281,11 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     # Dispatch latency — not FLOPs — dominates the tiny per-block SVD, so
     # grouping is the main throughput lever on the 1M-sample runs.
     group_size = int(os.environ.get("GANSPACE_IPCA_GROUP", 25))
-    can_group = (transformer.batch_support
+    # Cap the group by HBM: stacked pending blocks are [group, nb, D].
+    group_bytes = int(os.environ.get("GANSPACE_GROUP_BYTES", 2 * 1024 ** 3))
+    block_bytes = nb * sample_dims * 4
+    group_size = max(1, min(group_size, group_bytes // max(block_bytes, 1)))
+    can_group = (group_size > 1 and transformer.batch_support
                  and hasattr(transformer, "fit_partial_blocks"))
     pending: list = []
 

@@ -108,6 +108,61 @@ _partial_fit = partial(jax.jit, static_argnames=("n_components", "first"))(
     _partial_fit_math)
 
 
+class _NystromState(NamedTuple):
+    count: jnp.ndarray        # scalar
+    s: jnp.ndarray            # [D] running sum of x
+    sq: jnp.ndarray           # scalar: running sum of ||x||^2
+    y: jnp.ndarray            # [D, l] = (sum x x^T) @ omega
+
+
+@jax.jit
+def _nystrom_update(state: _NystromState, x: jnp.ndarray,
+                    omega: jnp.ndarray) -> _NystromState:
+    """Single-pass randomized sketch for big-D streaming PCA.
+
+    Per block: two MXU gemms (x@omega [n,l], x.T@(x@omega) [D,l]) and a sum —
+    no factorization.  The sklearn-mirror update needs an eigh of a
+    (c+nb+1)-sized Gram per block, which is minutes-per-block territory on
+    TPU at nb=4096; the sketch defers ALL factorization to one l x l solve
+    in ``_nystrom_finish``.  l = 2c oversampling — the same rate as the
+    reference's fbpca randomized-SVD tier (``estimators.py:129-136``).
+    """
+    xo = mm(x, omega)
+    return _NystromState(
+        state.count + jnp.asarray(float(x.shape[0]), x.dtype),
+        state.s + jnp.sum(x, axis=0),
+        state.sq + jnp.sum(jnp.square(x)),
+        state.y + mm(x.T, xo))
+
+
+@partial(jax.jit, static_argnames=("n_components",))
+def _nystrom_finish(state: _NystromState, omega: jnp.ndarray,
+                    *, n_components: int):
+    """Nyström eigen-approximation of the centered covariance from the
+    sketch: C ~= Y (Omega^T Y)^-1 Y^T with Y = M2 @ Omega (Tropp et al.,
+    fixed-rank PSD approximation)."""
+    from ganspace_tpu.estimators.utils import svd_flip_vt
+    n = state.count
+    mu = state.s / n
+    # centered scatter sketch: M2 @ omega = Y_raw - n mu (mu^T omega)
+    y = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
+    m = mm(omega.T, y)                               # [l, l]
+    m = 0.5 * (m + m.T)
+    shift = 1e-6 * jnp.trace(m) / m.shape[0] + 1e-20
+    chol = jnp.linalg.cholesky(m + shift * jnp.eye(m.shape[0], dtype=m.dtype))
+    f = jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T  # [D, l]
+    g = mm(f.T, f)                                   # [l, l]
+    evals, evecs = jnp.linalg.eigh(g)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    evals = jnp.maximum(evals, 1e-30)
+    u = mm(f, evecs[:, :n_components]) / jnp.sqrt(evals[:n_components])[None, :]
+    comp = svd_flip_vt(u.T)                          # [c, D]
+    explained = evals[:n_components] / jnp.maximum(n - 1.0, 1.0)
+    total_var = (state.sq - n * jnp.sum(jnp.square(mu))) / jnp.maximum(n - 1.0, 1.0)
+    ratio = explained / jnp.maximum(total_var, 1e-30)
+    return comp, jnp.sqrt(explained), ratio, mu
+
+
 class _MomentsState(NamedTuple):
     count: jnp.ndarray           # scalar
     mean: jnp.ndarray            # [D]
@@ -162,20 +217,33 @@ class IPCAEstimator:
         self.n_samples_seen_ = 0
         self._state: Optional[_IPCAState] = None
         self._moments: Optional[_MomentsState] = None
+        self._nystrom: Optional[_NystromState] = None
+        self._omega: Optional[jnp.ndarray] = None
         self._sharding = feature_sharding
-        assert mode in ("auto", "sklearn", "moments")
+        assert mode in ("auto", "sklearn", "moments", "nystrom")
         self.mode = mode
+        # Single-pass Nystrom needs more oversampling than two-pass rSVD:
+        # l=2c reaches ~0.9 component cosine on decaying spectra, l=4c
+        # ~0.998, l=8c exact (measured on synthetic data, test suite).
+        self.oversample = max(4 * n_components, n_components + 32)
         # sklearn default batch size used by fit() (estimators.py:59)
         self.batch_size = max(100, 2 * n_components)
 
     def _use_moments(self, d: int) -> bool:
         if self.mode == "moments":
             return True
-        if self.mode == "sklearn":
+        if self.mode != "auto":
             return False
         import os
         return d <= int(os.environ.get("GANSPACE_IPCA_MOMENTS_MAX_D",
                                        self.MOMENTS_MAX_D))
+
+    def _use_nystrom(self, d: int) -> bool:
+        if self.mode == "nystrom":
+            return True
+        # auto: big-D streams use the single-pass sketch — the sklearn-mirror
+        # tier's per-block Gram eigh is minutes/block at nb=4096 on TPU.
+        return self.mode == "auto" and not self._use_moments(d)
 
     def get_param_str(self) -> str:
         return "ipca_c{}{}".format(self.n_components, "_w" if self.whiten else "")
@@ -195,6 +263,16 @@ class IPCAEstimator:
         s = self._shard_for(x.ndim)
         return jax.device_put(x, s) if s is not None else x
 
+    def _placed_rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shard axis 0 (for [D, l] sketch tensors whose feature axis leads)."""
+        if self._sharding is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = self._sharding.spec[-1]
+        return jax.device_put(
+            x, NamedSharding(self._sharding.mesh,
+                             P(*((axis,) + (None,) * (x.ndim - 1)))))
+
     def fit_partial(self, x) -> bool:
         x = jnp.asarray(x, dtype=jnp.float32)
         n, d = x.shape
@@ -203,12 +281,28 @@ class IPCAEstimator:
             return False
         x = self._placed(x)
         if self._state is None and self._moments is None \
-                and self._use_moments(d):
-            self._moments = _MomentsState(
-                jnp.asarray(0.0), self._placed(jnp.zeros((d,), jnp.float32)),
-                self._placed(jnp.zeros((d, d), jnp.float32)))
+                and self._nystrom is None:
+            if self._use_moments(d):
+                self._moments = _MomentsState(
+                    jnp.asarray(0.0),
+                    self._placed(jnp.zeros((d,), jnp.float32)),
+                    self._placed(jnp.zeros((d, d), jnp.float32)))
+            elif self._use_nystrom(d):
+                l = min(self.oversample, d)
+                # [D, l] tensors carry the feature axis FIRST: shard rows.
+                self._omega = self._placed_rows(jax.random.normal(
+                    jax.random.PRNGKey(0xA5), (d, l), jnp.float32))
+                self._nystrom = _NystromState(
+                    jnp.asarray(0.0),
+                    self._placed(jnp.zeros((d,), jnp.float32)),
+                    jnp.asarray(0.0),
+                    self._placed_rows(jnp.zeros((d, l), jnp.float32)))
         if self._moments is not None:
             self._moments = _moments_update(self._moments, x)
+            self.n_samples_seen_ += n
+            return True
+        if self._nystrom is not None:
+            self._nystrom = _nystrom_update(self._nystrom, x, self._omega)
             self.n_samples_seen_ += n
             return True
         first = self._state is None
@@ -236,9 +330,11 @@ class IPCAEstimator:
         if n < self.n_components:
             print(f"\nIPCA error: n_samples={n} < n_components={self.n_components}")
             return False
-        if self._moments is not None or (
-                self._state is None and self._use_moments(d)):
-            # Moments are associative: the stacked blocks reduce in one gemm.
+        if (self._moments is not None or self._nystrom is not None
+                or (self._state is None
+                    and (self._use_moments(d) or self._use_nystrom(d)))):
+            # Moments/sketches are associative: stacked blocks reduce in one
+            # pair of gemms over the concatenation.
             return self.fit_partial(blocks.reshape(k * n, d))
         if self._state is None:
             if not self.fit_partial(blocks[0]):
@@ -267,15 +363,13 @@ class IPCAEstimator:
     def mean_(self) -> np.ndarray:
         if self._moments is not None:
             return np.asarray(self._moments.mean)
+        if self._nystrom is not None:
+            return np.asarray(self._nystrom.s / self._nystrom.count)
         return np.asarray(self._state.mean)
 
     @property
     def components_(self) -> np.ndarray:
-        if self._moments is not None:
-            comp, _, _ = _moments_finish(self._moments,
-                                         n_components=self.n_components)
-            return np.asarray(comp)
-        return np.asarray(self._state.components)
+        return self.get_components()[0]
 
     def get_components(self):
         if self._moments is not None:
@@ -283,6 +377,12 @@ class IPCAEstimator:
                 self._moments, n_components=self.n_components)
             return (np.asarray(comp), np.asarray(stdev),
                     np.asarray(var_ratio))
+        if self._nystrom is not None:
+            comp, stdev, var_ratio, _ = _nystrom_finish(
+                self._nystrom, self._omega, n_components=self.n_components)
+            return (np.asarray(comp), np.asarray(stdev),
+                    np.asarray(var_ratio))
         stdev = np.sqrt(np.asarray(self._state.explained_variance))  # already sorted
         var_ratio = np.asarray(self._state.explained_variance_ratio)
-        return self.components_, stdev, var_ratio  # PCA outputs are normalized
+        # PCA outputs are normalized
+        return np.asarray(self._state.components), stdev, var_ratio

@@ -178,3 +178,34 @@ def test_ipca_moments_mode(data):
     comp2, _, _ = fused.get_components()
     assert cos_rows(comp, comp2).min() > 0.99999
     assert fused.n_samples_seen_ == N
+
+
+def test_ipca_nystrom_mode():
+    """Big-D tier: single-pass Nystrom sketch must recover the top
+    components of a decaying-spectrum stream (cosine vs exact PCA)."""
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+
+    rs = np.random.RandomState(3)
+    D2, N2, C2 = 1024, 6000, 8
+    basis = np.linalg.qr(rs.randn(D2, D2))[0]
+    scales = np.concatenate([np.linspace(20, 5, 16), 0.2 * np.ones(D2 - 16)])
+    data = ((rs.randn(N2, D2) * scales) @ basis.T + 1.5).astype(np.float32)
+
+    est = IPCAEstimator(C2, mode="nystrom")
+    for i in range(0, N2, 500):
+        assert est.fit_partial(data[i:i + 500])
+    assert est._nystrom is not None
+    comp, stdev, ratio = est.get_components()
+    assert comp.shape == (C2, D2)
+
+    sk = PCA(C2, svd_solver="full").fit(data)
+    assert cos_rows(comp, sk.components_).min() > 0.99
+    assert np.allclose(stdev, np.sqrt(sk.explained_variance_), rtol=0.05)
+    assert np.allclose(ratio, sk.explained_variance_ratio_, atol=5e-3)
+    assert np.abs(est.mean_ - data.mean(0)).max() < 1e-2
+
+    # blocks path reduces to the same sketch
+    est2 = IPCAEstimator(C2, mode="nystrom")
+    assert est2.fit_partial_blocks(data.reshape(12, 500, D2))
+    comp2, _, _ = est2.get_components()
+    assert cos_rows(comp, comp2).min() > 0.9999
