@@ -34,10 +34,18 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def _frame_u8(img):
-    """[B,3,H,W] float -> [B,H,W,3] uint8, on device."""
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("max_hw",))
+def _frame_u8(img, max_hw=None):
+    """[B,3,H,W] float -> [B,H,W,3] uint8 on device, optionally resized so
+    max(H, W) <= max_hw (bilinear) before quantization."""
     x = jnp.clip(jnp.transpose(img, (0, 2, 3, 1)), 0.0, 1.0)
+    if max_hw is not None and max(x.shape[1], x.shape[2]) > max_hw:
+        scale = max_hw / max(x.shape[1], x.shape[2])
+        hw = (int(x.shape[1] * scale), int(x.shape[2] * scale))
+        x = jax.image.resize(x, (x.shape[0],) + hw + (3,), method="bilinear")
     return (x * 255.0 + 0.5).astype(jnp.uint8)
 
 from ganspace_tpu import directions as dirlib
@@ -70,8 +78,12 @@ class ParamCache:
 
 
 class Session:
-    def __init__(self, args: Config, n_sliders: int = 70):
+    def __init__(self, args: Config, n_sliders: int = 70,
+                 preview_size: Optional[int] = None):
         self.args = args
+        # Downscale frames ON DEVICE before readback (halves latency twice
+        # over for 1024px models on slow host links); None = native size.
+        self.preview_size = preview_size
         self.model_name = args.model
         self.layer_name = args.layer
         self.inst = get_instrumented_model(args.model, args.output_class,
@@ -251,7 +263,7 @@ class Session:
         # Quantize + tile ON DEVICE: the viewer frame crosses to the host as
         # uint8 HWC, 4x less readback than float32 NCHW (at 1024px the
         # readback, not synthesis, dominates frame latency).
-        u8 = _frame_u8(img)
+        u8 = _frame_u8(img, max_hw=self.preview_size)
         self.img = np.asarray(u8, dtype=np.uint8)
         return self.img
 
@@ -432,8 +444,10 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
 
 
 def main(argv=None):
+    import os
     args = Config().from_args(argv)
-    session = Session(args)
+    preview = os.environ.get("GANSPACE_PREVIEW")
+    session = Session(args, preview_size=int(preview) if preview else None)
     serve(session)
 
 

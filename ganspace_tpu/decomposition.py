@@ -42,7 +42,6 @@ from ganspace_tpu.models import get_instrumented_model
 from ganspace_tpu.models.base import InstrumentedModel
 from ganspace_tpu.sampling import (
     SEED_LINREG,
-    SEED_RANDOM_DIRS,
     SEED_SAMPLING,
     random_directions,
 )

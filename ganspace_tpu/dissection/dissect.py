@@ -25,7 +25,7 @@ run on device; only uint8 top-image crops come back to the host.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -34,7 +34,6 @@ import jax.numpy as jnp
 from ganspace_tpu.models.base import InstrumentedModel
 from ganspace_tpu.stats import (
     RunningConditionalQuantile, RunningCrossCovariance, RunningQuantile,
-    RunningTopK,
 )
 
 

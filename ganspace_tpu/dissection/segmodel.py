@@ -23,7 +23,7 @@ Design notes (vs the torch original):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax

@@ -21,7 +21,6 @@ needs a dedicated ``coor_backward`` kernel for that).
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 from ganspace_tpu.ops.precision import get_precision
 
