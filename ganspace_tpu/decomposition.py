@@ -247,10 +247,25 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
              and transformer.batch_support
              and getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
              and model._gaussian_latent_dim() is not None)
+    # Fused ACTIVATION stream: generation + synthesis-to-tap + sketch update
+    # scanned in chunk-sized units (models exposing a pure tap function).
+    acts_fn = None if samples_are_latents else model.pure_acts_fn(layer_key)
+    streamable = (getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
+                  or getattr(transformer, "_use_nystrom", lambda d: False)(sample_dims))
+    # Off by default: for conv taps synthesis FLOPs dominate dispatch
+    # overhead, and compiling synthesis inside a scan costs more than the
+    # ~20ms/block it saves (measured: 50k-sample conv-tap run 109s grouped
+    # vs 174s fused, identical results). Enable on directly-attached chips
+    # with persistent compile caches where the tradeoff flips.
+    fused_acts = (os.environ.get("GANSPACE_FUSED_ACTS", "0") == "1"
+                  and acts_fn is not None and device_rng and streamable
+                  and hasattr(transformer, "fit_stream")
+                  and model._gaussian_latent_dim() is not None
+                  and batch >= config.components)
     latent_chunks = []
-    host_latents = None if (on_device or fused) else np.zeros(
+    host_latents = None if (on_device or fused or fused_acts) else np.zeros(
         (n_lat, *input_shape[1:]), dtype=np.float32)
-    if not fused:
+    if not (fused or fused_acts):
         prefetched = None
         if on_device and device_rng:
             prefetched = model.sample_latents_device(
@@ -318,6 +333,31 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
                 f"n{n_total}", f"n{n_fitted}")
             print(f'Saving current state to "{dump_name.name}" before exiting')
             canceled = True
+    elif fused_acts:
+        import jax as _jax
+        seed0 = config.seed or SEED_SAMPLING
+        dim = model._gaussian_latent_dim()
+
+        def block_fn(k):
+            z = _jax.random.normal(k, (batch, dim), jnp.float32)
+            return acts_fn(model._latents_from_gaussian(z))
+
+        n_stream_blocks = -(-n_total // batch)
+        key0 = _jax.random.PRNGKey(seed0)
+        print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
+              f"of {batch}", flush=True)
+        try:
+            if not transformer.fit_stream(block_fn, n_stream_blocks, key0):
+                raise RuntimeError(
+                    "fused activation stream unavailable for this estimator")
+            x_block = block_fn(_jax.random.fold_in(key0, 0))
+        except KeyboardInterrupt:
+            n_fitted = getattr(transformer, "n_samples_seen_", 0)
+            dump_name = dump_name.parent / dump_name.name.replace(
+                f"n{n_total}", f"n{n_fitted}")
+            print(f'Saving current state to "{dump_name.name}" before exiting')
+            canceled = True
+            x_block = None
 
     def flush_pending(final: bool = False) -> bool:
         # Keep jit signatures stable: full groups go through ONE scan shape
@@ -336,7 +376,7 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     try:
         action = "Fitting" if transformer.batch_support else "Collecting"
         n_blocks = max(1, -(-n_total // nb))
-        for bi, gi in enumerate([] if fused else range(0, n_total, nb)):
+        for bi, gi in enumerate([] if (fused or fused_acts) else range(0, n_total, nb)):
             if samples_are_latents:
                 x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
             else:

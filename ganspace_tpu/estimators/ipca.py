@@ -351,6 +351,55 @@ class IPCAEstimator:
         self.n_samples_seen_ += k * n
         return True
 
+    def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16) -> bool:
+        """Fused fit over a key-derived block stream.
+
+        ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
+        synthesis up to the tap).  Block ``i`` uses ``fold_in(key, i)``.
+        Each scanned chunk runs ``chunk`` blocks of synthesis + update in ONE
+        dispatch; the tail reuses the eager per-block path.  Only the
+        moments/nystrom tiers stream this way (their updates are
+        order-independent); the sklearn-mirror tier returns False and the
+        caller falls back to the batched loop.
+        """
+        if n_blocks <= 0:
+            return True
+        # Eager first block: initializes the tier state and gives D.
+        x0 = block_fn(jax.random.fold_in(key, 0))
+        if not self.fit_partial(x0):
+            return False
+        if self._moments is None and self._nystrom is None:
+            return False                      # sklearn tier: no fused stream
+        nb = x0.shape[0]
+
+        tier = "moments" if self._moments is not None else "nystrom"
+
+        @partial(jax.jit, static_argnames=("k",))
+        def scan_chunk(state, omega, i0, *, k):
+            def body(carry, i):
+                x = block_fn(jax.random.fold_in(key, i0 + i))
+                if tier == "moments":
+                    return _moments_update(carry, x), None
+                return _nystrom_update(carry, x, omega), None
+            state, _ = jax.lax.scan(body, state, jnp.arange(k))
+            return state
+
+        i = 1
+        while i + chunk <= n_blocks:
+            if tier == "moments":
+                self._moments = scan_chunk(self._moments, 0, jnp.int32(i),
+                                           k=chunk)
+            else:
+                self._nystrom = scan_chunk(self._nystrom, self._omega,
+                                           jnp.int32(i), k=chunk)
+            self.n_samples_seen_ += chunk * nb
+            i += chunk
+        while i < n_blocks:                   # tail, eager per block
+            if not self.fit_partial(block_fn(jax.random.fold_in(key, i))):
+                return False
+            i += 1
+        return True
+
     def fit(self, x):
         x = np.asarray(x)
         for i in range(0, x.shape[0], self.batch_size):

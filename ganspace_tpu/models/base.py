@@ -177,6 +177,12 @@ class BaseGenerator(ABC):
     def set_conditional_state(self, z, c):
         return z
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure ``fn(latents) -> activations [n, -1]`` at the tap, traceable
+        inside an outer jit/scan, or None when the model has no pure path
+        (the decomposition then uses the instrumented per-batch loop)."""
+        return None
+
     # -- threaded pre-sampling ------------------------------------------------
     def _gaussian_latent_dim(self) -> Optional[int]:
         """Raw host-gaussian dim when ``sample_latent`` is 'global-stream

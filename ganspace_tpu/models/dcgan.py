@@ -122,6 +122,19 @@ class GANZooModel(BaseGenerator):
     def set_conditional_state(self, z, c):
         return jnp.concatenate([z[:, :-self.cfg.cond_dim], c], axis=1)
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure tap function for the fused decomposition stream."""
+        tap = self.resolve_tap(layer_name)
+        if tap == "output":
+            return None          # full forward needed; use the generic loop
+        params, cfg = self.params, self.cfg
+
+        def fn(z):
+            _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
+                                     stop_at=tap)
+            return retained[tap].reshape(z.shape[0], -1)
+        return fn
+
     def _run(self, x, stop_at):
         if isinstance(x, list):
             assert len(x) == 1, "DCGAN only supports a single global latent"

@@ -355,6 +355,22 @@ class StyleGAN2(BaseGenerator):
     def _latents_from_gaussian(self, z):
         return self._map_to_w(z) if self.w_primary else z
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure ``fn(latents [n, w_dim]) -> activations [n, -1]`` at the tap
+        — traceable inside an outer jit/scan (no instrumentation, no edits).
+        Used by the decomposition's fused activation stream."""
+        tap = self.resolve_tap(layer_name)
+        params, consts, cfg = self.params, self.consts, self.cfg
+        input_is_w, trunc = self.w_primary, float(self.truncation)
+
+        def fn(lat):
+            _, retained = synthesize(
+                params, consts, (lat,), {}, cfg=cfg, input_is_w=input_is_w,
+                inject_index=None, truncation=trunc, retain=(tap,),
+                stop_at=tap)
+            return retained[tap].reshape(lat.shape[0], -1)
+        return fn
+
     # -- execution ----------------------------------------------------------
     def _run(self, x, stop_at: Optional[str]):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))

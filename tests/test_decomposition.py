@@ -85,3 +85,45 @@ def test_determinism(model, tmp_path, monkeypatch):
     d2 = np.load(p2)
     for k in NPZ_KEYS:
         assert np.array_equal(d1[k], d2[k]), f"{k} not deterministic"
+
+
+def test_fit_stream_matches_fit_partial():
+    """fit_stream (scan-fused key-derived blocks) must equal the same blocks
+    fed through fit_partial one by one (same keys, same order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+
+    d, nb, c, n_blocks = 96, 200, 8, 37   # exercises chunk + eager tail
+    w = jnp.asarray(np.random.RandomState(0).randn(d, d).astype(np.float32))
+
+    def block_fn(key):
+        z = jax.random.normal(key, (nb, d), jnp.float32)
+        return jnp.tanh(z @ w)            # stand-in "synthesis to tap"
+
+    key = jax.random.PRNGKey(42)
+    streamed = IPCAEstimator(c)
+    assert streamed.fit_stream(block_fn, n_blocks, key, chunk=8)
+
+    seq = IPCAEstimator(c)
+    for i in range(n_blocks):
+        assert seq.fit_partial(block_fn(jax.random.fold_in(key, i)))
+
+    assert streamed.n_samples_seen_ == seq.n_samples_seen_ == n_blocks * nb
+    ca, sa, ra = streamed.get_components()
+    cb, sb, rb = seq.get_components()
+    cos = np.abs(np.sum(ca * cb, -1))
+    assert cos.min() > 0.9999
+    assert np.allclose(sa, sb, rtol=1e-3)
+
+    # nystrom tier through the same path
+    streamed_n = IPCAEstimator(c, mode="nystrom")
+    assert streamed_n.fit_stream(block_fn, n_blocks, key, chunk=8)
+    seq_n = IPCAEstimator(c, mode="nystrom")
+    for i in range(n_blocks):
+        assert seq_n.fit_partial(block_fn(jax.random.fold_in(key, i)))
+    cn, _, _ = streamed_n.get_components()
+    cn2, _, _ = seq_n.get_components()
+    cos = np.abs(np.sum(cn * cn2, -1))
+    assert cos.min() > 0.9999
