@@ -48,9 +48,6 @@ from ganspace_tpu.sampling import (
 
 get_random_dirs = random_directions  # reference-compatible alias
 
-# Fallback minibatch cap, the reference's probe ceiling (decomposition.py:39,57).
-B = 20
-
 # Activation budget per minibatch for the static batch-size rule (bytes).
 _ACT_BUDGET_BYTES = int(os.environ.get("GANSPACE_ACT_BUDGET", 256 * 1024 * 1024))
 
