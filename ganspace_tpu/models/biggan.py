@@ -434,6 +434,23 @@ class BigGAN(BaseGenerator):
             return int(m.group(1)) + 1
         return n_modules
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure tap function for the fused decomposition stream.  Closes
+        over the CURRENT class vector — rebuild after set_output_class."""
+        tap = self.resolve_tap(layer_name)
+        params, cfg, v_class = self.params, self.cfg, self.v_class
+        trunc = float(self.truncation)
+        n_run = self._n_layers_for(layer_name)
+
+        def fn(z):
+            zs = tuple([z] * cfg.n_latents)
+            onehot = jnp.broadcast_to(v_class, (z.shape[0], cfg.num_classes))
+            _, retained = synthesize(params, zs, onehot, {}, cfg=cfg,
+                                     truncation=trunc, n_layers_to_run=n_run,
+                                     retain=(tap,), stop_at=tap)
+            return retained[tap].reshape(z.shape[0], -1)
+        return fn
+
     def _run(self, x, stop_at, layer_name=None):
         zs = x if isinstance(x, list) else self.cfg.n_latents * [x]
         assert len(zs) == self.cfg.n_latents, \

@@ -147,6 +147,17 @@ class ProGAN(BaseGenerator):
     def _gaussian_latent_dim(self):
         return self.cfg.sizes[0]
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure tap function for the fused decomposition stream."""
+        tap = self.resolve_tap(layer_name)
+        params, cfg = self.params, self.cfg
+
+        def fn(z):
+            _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
+                                     stop_at=tap)
+            return retained[tap].reshape(z.shape[0], -1)
+        return fn
+
     def _run(self, x, stop_at):
         if isinstance(x, list):
             assert len(x) == 1, "ProGAN only supports a single global latent"

@@ -383,6 +383,19 @@ class StyleGAN(BaseGenerator):
     def _latents_from_gaussian(self, z):
         return self._map_to_w(z) if self.w_primary else z
 
+    def pure_acts_fn(self, layer_name: str):
+        """Pure tap function for the fused decomposition stream."""
+        tap = self.resolve_tap(layer_name)
+        params, consts, cfg = self.params, self.consts, self.cfg
+        input_is_w = self.w_primary
+
+        def fn(lat):
+            _, retained = synthesize(params, consts, (lat,), {}, cfg=cfg,
+                                     input_is_w=input_is_w, retain=(tap,),
+                                     stop_at=tap)
+            return retained[tap].reshape(lat.shape[0], -1)
+        return fn
+
     def _run(self, x, stop_at):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))
         retain, edits, store = self._instrumentation()
