@@ -65,6 +65,12 @@ def main():
         zunit = model.sample_latents_device(1, unit, seed=0)[0]
         warm_est.fit_partial(zunit.reshape(unit, -1))
         warm_est.get_components()      # final eigh signature
+        # post-fit stdev-baseline signatures (device-side projections)
+        import jax.numpy as jnp
+        from ganspace_tpu.estimators.utils import mm
+        dirs = jnp.zeros((cfg.components, 512))
+        jax.block_until_ready(jnp.std(mm(dirs, jnp.zeros((4096, 512)).T), axis=1))
+        jax.block_until_ready(jnp.std(mm(dirs, jnp.zeros((5000, 512)).T), axis=1))
         jax.block_until_ready(warm_est._moments or warm_est._state)
         warmup_s = time.perf_counter() - t_warm
 

@@ -422,7 +422,13 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
         def do_POST(self):
             if self.path == "/state":
                 length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length))
+                try:
+                    body = json.loads(self.rfile.read(length))
+                    if not isinstance(body, dict):
+                        raise ValueError("state must be a JSON object")
+                except (ValueError, UnicodeDecodeError) as e:
+                    self._send(400, f"bad state: {e}".encode(), "text/plain")
+                    return
                 with lock:
                     sl = np.asarray(body.get("sliders", []), np.float32)
                     session.sliders[:len(sl)] = sl[:session.n_sliders]

@@ -429,7 +429,11 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
             "Mean of normalized data should be zero"
     else:
         x_global_mean = transformer.mean_.reshape((1, sample_dims))
-        x_data = np.asarray(x_block) - x_global_mean  # last block, for stdev baselines
+        # last block, for stdev baselines — stays on device (for conv taps
+        # it can be a 1 GB array; only the [c]-sized stdevs come home)
+        if x_block is None:          # interrupted before any block completed
+            x_block = jnp.zeros((1, sample_dims), jnp.float32)
+        x_data = jnp.asarray(x_block) - jnp.asarray(x_global_mean)
 
     x_comp, x_stdev, x_var_ratio = transformer.get_components()
 
@@ -447,10 +451,13 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
 
     z_comp = z_comp / np.linalg.norm(z_comp, axis=-1, keepdims=True)
 
-    # Random-direction stdev baselines (reference decomposition.py:310-316)
+    # Random-direction stdev baselines (reference decomposition.py:310-316);
+    # the projection contracts over D on device, only [c] stdevs read back.
     random_dirs = get_random_dirs(config.components, np.prod(sample_shape))
     n_rand_samples = min(5000, x_data.shape[0])
-    x_stdev_random = np.dot(random_dirs, x_data[:n_rand_samples, :].T).std(axis=1)
+    x_stdev_random = np.asarray(jnp.std(
+        mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),
+        axis=1))
 
     # Inflate back to proper shapes (for easier broadcasting)
     x_comp = np.array(x_comp).reshape(-1, *sample_shape)
@@ -458,12 +465,14 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     z_comp = z_comp.reshape(-1, *input_shape)
     z_global_mean = z_global_mean.reshape(input_shape)
 
-    # Compute stdev in latent space if non-Gaussian
+    # Compute stdev in latent space if non-Gaussian; the 5000-sample W batch
+    # never leaves the device.
     lat_stdev = np.ones_like(x_stdev)
     if config.use_w:
-        ws = np.asarray(model.sample_latent(5000)).reshape(5000, input_dims)
-        coords = np.dot(z_comp.reshape(-1, input_dims), ws.T)
-        lat_stdev = coords.std(axis=1)
+        ws = jnp.asarray(model.sample_latent(5000)).reshape(5000, input_dims)
+        coords = mm(jnp.asarray(z_comp.reshape(-1, input_dims),
+                                jnp.float32), ws.T)
+        lat_stdev = np.asarray(jnp.std(coords, axis=1))
 
     os.makedirs(dump_name.parent, exist_ok=True)
     np.savez_compressed(dump_name, **{
