@@ -204,6 +204,25 @@ class Session:
         coords = jnp.sum(comp.reshape(n, -1) * jnp.asarray(x).reshape(1, -1), axis=1)
         return np.asarray(coords)
 
+    def warmup(self) -> None:
+        """Precompile the hot frame signatures (no-edit, latent-edit,
+        activation-edit) so the first slider drags don't stall on compiles
+        (SURVEY.md §7 hard part (e))."""
+        saved = self.sliders.copy()
+        saved_mode = self.mode
+        try:
+            for mode in ("latent", "activation"):
+                self.mode = mode
+                self.sliders[:] = 0.0
+                self.render(force=True)
+                self.sliders[0] = 1.0
+                self.render(force=True)
+        finally:
+            self.sliders[:] = saved
+            self.mode = saved_mode
+            self.inst.remove_edits()
+            self.render(force=True)
+
     # -- rendering -----------------------------------------------------------
     def render(self, force=False) -> np.ndarray:
         """Recompute the image if any edit parameter changed
@@ -454,6 +473,8 @@ def main(argv=None):
     args = Config().from_args(argv)
     preview = os.environ.get("GANSPACE_PREVIEW")
     session = Session(args, preview_size=int(preview) if preview else None)
+    print("Precompiling frame signatures...")
+    session.warmup()
     serve(session)
 
 

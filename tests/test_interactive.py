@@ -106,3 +106,13 @@ def test_render_np_uint8(session):
     frame = session.render_np()
     assert frame.dtype == np.uint8
     assert frame.ndim == 3 and frame.shape[2] == 3
+
+
+def test_warmup_preserves_state(session):
+    session.sliders[:] = 0
+    session.sliders[1] = 2.5
+    before = session.render(force=True).copy()
+    session.warmup()
+    assert session.sliders[1] == 2.5
+    after = session.render(force=True)
+    assert np.array_equal(before, after)
