@@ -17,10 +17,16 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 from pathlib import Path
 from types import SimpleNamespace
 
 import numpy as np
+
+# importable without installing the package (scripts run from anywhere)
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import jax.numpy as jnp
 

@@ -7,6 +7,13 @@
 
 import importlib
 import sys
+from pathlib import Path
+
+# runnable from anywhere without installing the package
+_HERE = Path(__file__).resolve().parent
+for p in (str(_HERE), str(_HERE.parent)):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 FIGURES = [
     "figure_pca_illustration",
@@ -26,9 +33,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     failed = []
     for name in FIGURES:
-        print(f"\n=== {name} ===")
-        mod = importlib.import_module(name)
+        print(f"\n=== {name} ===", flush=True)
         try:
+            mod = importlib.import_module(name)
             mod.main(argv)
         except Exception as e:
             print(f"FAILED {name}: {type(e).__name__}: {e}")
