@@ -102,3 +102,13 @@ def test_custom_model_registration(tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         get_model("MyGAN")
+
+
+def test_package_entry_point(tmp_path, capsys):
+    from ganspace_tpu.__main__ import main
+    assert main(["--help"]) == 0
+    assert "visualize" in capsys.readouterr().out
+    assert main(["nope"]) == 2
+    assert main(["makesample", "--model", "DCGAN", "--size", "2",
+                 "--batch", "2", "--outdir", str(tmp_path)]) == 0
+    assert len(list(tmp_path.glob("image_*.png"))) == 2
