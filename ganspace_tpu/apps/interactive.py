@@ -172,7 +172,14 @@ class Session:
             self.model.truncation = self.truncation
         self.inst.retain_layer(self.layer_name)
         self.model.partial_forward(self.state.z, self.layer_name)
-        self.state.base_act = self.inst.retained_features()[self.layer_name]
+        feat = self.inst.retained_features()[self.layer_name]
+        if feat is None:
+            # Mapping-output tap in W mode: the mapping is not executed so
+            # the tap cannot fire — the 'features' there ARE the W latents
+            # (same rule as decomposition._compute; the reference instead
+            # reads a stale Z-mode value left over from shape annotation).
+            feat = self.state.z
+        self.state.base_act = feat
         self.reset_sliders(zero_on_failure=False)
 
     def set_class(self, class_name):

@@ -40,11 +40,23 @@ from ganspace_tpu.estimators import get_estimator
 from ganspace_tpu.estimators.utils import mm
 from ganspace_tpu.models import get_instrumented_model
 from ganspace_tpu.models.base import InstrumentedModel
+from ganspace_tpu.ops.precision import precision as _precision_ctx
+from ganspace_tpu.parallel.mesh import (
+    batch_sharding,
+    feature_sharding,
+    pipeline_mesh,
+    shard_batch,
+)
 from ganspace_tpu.sampling import (
     SEED_LINREG,
     SEED_SAMPLING,
     random_directions,
 )
+
+#: --dtype flag -> matmul/conv precision policy (ops/precision.py): float32
+#: runs true-f32 contractions (component parity with the reference);
+#: bfloat16 uses the MXU's native bf16 datapath (fast previews / big sweeps).
+_DTYPE_PRECISION = {"float32": "highest", "bfloat16": "default"}
 
 get_random_dirs = random_directions  # reference-compatible alias
 
@@ -103,8 +115,9 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
 
     comp_flat = comp.reshape(n_comp, -1)
     layer = config.layer
+    mesh = pipeline_mesh(getattr(config, "mesh_shape", None))
     for _ in range(n_samp // batch):
-        z = model.sample_latent(batch)
+        z = shard_batch(model.sample_latent(batch), mesh)
         model.partial_forward(z, layer)
         act = inst.retained_features()[layer].reshape(batch, -1)
         coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
@@ -134,6 +147,13 @@ def regression(comp, mean, stdev, inst, config):
 # ---------------------------------------------------------------------------
 
 def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
+    """Run the decomposition under the config's precision policy (--dtype)."""
+    prec = _DTYPE_PRECISION.get(getattr(config, "dtype", "float32"), "highest")
+    with _precision_ctx(prec):
+        return _compute(config, dump_name, instrumented_model)
+
+
+def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
     timestamp = lambda: datetime.datetime.now().strftime("%d.%m %H:%M")  # noqa: E731
     print(f"[{timestamp()}] Computing", dump_name.name)
 
@@ -154,6 +174,20 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
         print("Using W latent space")
         model.use_w()
 
+    # Device mesh (SURVEY.md §2.4 — the primary scale-out axis): the latent
+    # stream shards over 'data' (data-parallel synthesis, params replicated),
+    # estimator statistics shard over the feature axis so their contractions
+    # become per-shard matmuls + ICI psums.  Single-device runs keep identity
+    # behaviour throughout (mesh=None).
+    mesh = pipeline_mesh(getattr(config, "mesh_shape", None))
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if mesh is not None and config.n < mesh.devices.size:
+        mesh, n_data = None, 1  # tiny smoke runs: not worth sharding
+    if mesh is not None:
+        model.place_on_mesh(mesh)
+        print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
+
     inst.retain_layer(layer_key)
     z_probe = model.sample_latent(1)
     model.partial_forward(z_probe, layer_key)
@@ -173,7 +207,13 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     input_dims = model.get_latent_dims()
 
     config.components = min(config.components, sample_dims)
-    transformer = get_estimator(config.estimator, config.components, config.sparsity)
+    # Feature-sharded estimator state when D splits evenly over the mesh
+    # (uneven D falls back to replicated state; the batch stays sharded).
+    feat_sh = None
+    if mesh is not None and sample_dims % mesh.devices.size == 0:
+        feat_sh = feature_sharding(mesh)
+    transformer = get_estimator(config.estimator, config.components,
+                                config.sparsity, feature_sharding=feat_sh)
 
     x_global_mean = None
 
@@ -193,6 +233,9 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     # one batch: for small-N runs (tiny models, smoke tests) shrink the batch
     # instead of silently computing on zero samples.
     batch = min(batch, config.n)
+    if mesh is not None:
+        # Keep minibatches evenly shardable over the data axis.
+        batch = max(n_data, batch // n_data * n_data)
     n_total = config.n // batch * batch
 
     if not transformer.batch_support:
@@ -266,13 +309,14 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
         prefetched = None
         if on_device and device_rng:
             prefetched = model.sample_latents_device(
-                n_lat // batch, batch, seed=config.seed or SEED_SAMPLING)
+                n_lat // batch, batch, seed=config.seed or SEED_SAMPLING,
+                sharding=batch_sh)
         if prefetched is None:
             prefetched = model.sample_latents_prefetched(n_lat // batch, batch)
         for i, z in enumerate(prefetched):
             if on_device:
-                latent_chunks.append(
-                    jnp.asarray(z).reshape(batch, *input_shape[1:]))
+                latent_chunks.append(shard_batch(
+                    jnp.asarray(z).reshape(batch, *input_shape[1:]), mesh))
             else:
                 host_latents[i * batch:(i + 1) * batch] = np.asarray(z).reshape(
                     batch, *input_shape[1:])
@@ -283,7 +327,7 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
             block = (latent_chunks[i0] if i1 - i0 == 1
                      else jnp.concatenate(latent_chunks[i0:i1], axis=0))
             return block[start - i0 * batch:stop - i0 * batch]
-        return jnp.asarray(host_latents[start:stop])
+        return shard_batch(host_latents[start:stop], mesh)
 
     canceled = False
     gi = 0
@@ -311,16 +355,20 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
         n_stream = -(-n_total // nb) * nb          # full nb blocks, as before
         n_units = n_stream // unit
         n_tail = -(-(n_stream - n_units * unit) // nb)
+        unit_sh = batch_sh if unit % n_data == 0 else None
+        tail_sh = batch_sh if nb % n_data == 0 else None
         try:
             x_block = None
-            for c in model.sample_latents_device(n_units, unit, seed=seed0):
+            for c in model.sample_latents_device(n_units, unit, seed=seed0,
+                                                 sharding=unit_sh):
                 x_block = c.reshape(unit, -1)
                 transformer.fit_partial(x_block)
                 print(f"\rFitting fused units ({unit} samples each): "
                       f"+{unit}", end="", flush=True)
             # tail at nb granularity under a distinct key stream
             for c in model.sample_latents_device(n_tail, nb,
-                                                 seed=seed0 + 1_000_003):
+                                                 seed=seed0 + 1_000_003,
+                                                 sharding=tail_sh):
                 x_block = c.reshape(nb, -1)
                 transformer.fit_partial(x_block)
             print()
@@ -337,7 +385,14 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
 
         def block_fn(k):
             z = _jax.random.normal(k, (batch, dim), jnp.float32)
-            return acts_fn(model._latents_from_gaussian(z))
+            if batch_sh is not None:
+                z = _jax.lax.with_sharding_constraint(z, batch_sh)
+            a = acts_fn(model._latents_from_gaussian(z))
+            if feat_sh is not None:
+                # batch-sharded synthesis -> feature-sharded estimator
+                # (all-to-all over ICI, inside the same compiled program)
+                a = _jax.lax.with_sharding_constraint(a, feat_sh)
+            return a
 
         n_stream_blocks = -(-n_total // batch)
         key0 = _jax.random.PRNGKey(seed0)

@@ -21,12 +21,17 @@ from ganspace_tpu.estimators.ica import ICAEstimator
 from ganspace_tpu.estimators.spca import SPCAEstimator
 
 
-def get_estimator(name: str, n_components: int, alpha: float = 1.0):
-    """Name -> estimator factory (reference ``estimators.py:206-218``)."""
+def get_estimator(name: str, n_components: int, alpha: float = 1.0,
+                  feature_sharding=None):
+    """Name -> estimator factory (reference ``estimators.py:206-218``).
+
+    ``feature_sharding`` (a NamedSharding over the feature axis) turns the
+    streaming estimator's statistics into mesh-sharded state; the full-batch
+    estimators run host-side and ignore it."""
     if name == "pca":
         return PCAEstimator(n_components)
     if name == "ipca":
-        return IPCAEstimator(n_components)
+        return IPCAEstimator(n_components, feature_sharding=feature_sharding)
     if name == "fbpca":
         return FacebookPCAEstimator(n_components)
     if name == "ica":

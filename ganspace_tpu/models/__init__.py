@@ -81,18 +81,42 @@ def _only(kwargs, keys):
 
 
 def annotate_model_shapes(inst: InstrumentedModel, layers) -> InstrumentedModel:
-    """Shape annotation via abstract evaluation where possible (replaces the
-    reference's zero-latent dry run, ``modelconfig.py:110-144``)."""
+    """Shape annotation via ``jax.eval_shape`` — the forward is traced but
+    never compiled or executed (replaces the reference's zero-latent dry run,
+    ``modelconfig.py:110-144``; on a remote chip a concrete full-resolution
+    probe costs a minutes-scale compile for nothing but shapes)."""
     model = inst.model
     z = model.sample_latent(1, seed=0)
     inst.input_shape = tuple(np.asarray(z).shape)
     for layer in layers:
         inst.retain_layer(layer)
-    out = model.forward(z)
+
+    try:
+        shapes = {}
+
+        def probe(zz):
+            img = model.forward(zz)
+            # Tap values are tracers here; only their static shape survives.
+            shapes.update({l: tuple(f.shape)
+                           for l, f in inst.retained_features().items()
+                           if f is not None})
+            for l in inst._retained:
+                inst._retained[l] = None  # don't leak tracers
+            return img
+
+        out = jax.eval_shape(probe, z)
+        missing = [l for l in layers if l not in shapes]
+        if missing:
+            raise ValueError(f"taps not reached abstractly: {missing}")
+    except Exception:
+        # Models whose forward needs concrete values (host-side control flow)
+        # fall back to one real probe at batch 1.
+        out = model.forward(z)
+        shapes = {l: tuple(np.asarray(inst.retained_features()[l]).shape)
+                  for l in layers}
     inst.output_shape = tuple(out.shape)
     for layer in layers:
-        feat = inst.retained_features()[layer]
-        inst.feature_shape[layer] = tuple(np.asarray(feat).shape)
+        inst.feature_shape[layer] = shapes[layer]
     return inst
 
 

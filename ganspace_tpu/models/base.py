@@ -56,6 +56,17 @@ def _device_normal(key, n: int, d: int) -> jnp.ndarray:
     return jax.random.normal(key, (n, d), jnp.float32)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _device_normal_sharded(n: int, d: int, sharding):
+    """Batch-sharded device gaussians: each chip generates only its shard
+    (jit with ``out_shardings`` — no broadcast, no reshard)."""
+    return jax.jit(lambda key: jax.random.normal(key, (n, d), jnp.float32),
+                   out_shardings=sharding)
+
+
 def apply_edit(x: jnp.ndarray, edit: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Ablation/replacement then offset, as in ``nethook.py:219-231``."""
     a = edit.get("ablation")
@@ -106,9 +117,14 @@ def canonical_tap(tap_names: Sequence[str], layer_name: str) -> str:
     The reference matches by substring in execution order
     (``wrappers.py:243-255``), which mis-fires for e.g. ``convs.10`` vs
     ``convs.1``; we match on exact name or dotted-prefix boundary instead.
+    An exact name always wins — e.g. ``epi1`` is its own tap even though the
+    earlier sub-tap ``epi1.top_epi.noise`` would also prefix-match.
     """
     for t in tap_names:
-        if layer_name == t or layer_name.startswith(t + ".") or t.startswith(layer_name + "."):
+        if layer_name == t:
+            return t
+    for t in tap_names:
+        if layer_name.startswith(t + ".") or t.startswith(layer_name + "."):
             return t
     raise ValueError(
         f"Layer '{layer_name}' not found. Available taps:\n" + "\n".join(tap_names))
@@ -195,8 +211,26 @@ class BaseGenerator(ABC):
         Z-primary models; the mapping network for W)."""
         return z
 
+    def place_on_mesh(self, mesh) -> None:
+        """Replicate device state over the mesh for data-parallel synthesis.
+
+        Parameters/constants replicate (all supported generators are
+        <~100M params, SURVEY.md §2.4); the latent batch shards over the
+        ``data`` axis, and XLA propagates that sharding through the jitted
+        synthesis with no per-model code.  Covers every attr the jitted
+        cores consume (``params``/``consts``/``latent_avg``/``v_class``);
+        idempotent, and a no-op for host-only models.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        for attr in ("params", "consts", "latent_avg", "v_class"):
+            v = getattr(self, attr, None)
+            if v is not None:
+                setattr(self, attr, jax.tree.map(
+                    lambda a: jax.device_put(a, rep), v))
+
     def sample_latents_device(self, n_batches: int, batch_size: int,
-                              seed: int):
+                              seed: int, sharding=None):
         """Device-side latent stream: batch ``i`` is generated entirely in
         HBM from ``fold_in(PRNGKey(seed), i)`` (fused with the mapping
         network where one exists) — zero host->device latent traffic.
@@ -211,8 +245,11 @@ class BaseGenerator(ABC):
         if dim is None:
             return None
         key = jax.random.PRNGKey(int(seed))
+        normal = (_partial(_device_normal, n=batch_size, d=dim)
+                  if sharding is None
+                  else _device_normal_sharded(batch_size, dim, sharding))
         return [self._latents_from_gaussian(
-                    _device_normal(jax.random.fold_in(key, i), batch_size, dim))
+                    normal(jax.random.fold_in(key, i)))
                 for i in range(n_batches)]
 
     def sample_latents_prefetched(self, n_batches: int, batch_size: int):

@@ -34,7 +34,9 @@ def get_mesh(shape: Optional[str] = None, devices=None) -> Mesh:
     """Build (and memoize) the global device mesh.
 
     ``shape`` is the CLI ``--mesh`` string: '8' or '4x2'; default = all
-    devices on a 1-D ``data`` axis.
+    devices on a 1-D ``data`` axis.  A shape smaller than the host's device
+    count uses the first ``prod(shape)`` devices (e.g. ``--mesh 4`` on an
+    8-chip pod slice).
     """
     global _DEFAULT_MESH
     if shape is None and devices is None and _DEFAULT_MESH is not None:
@@ -42,15 +44,31 @@ def get_mesh(shape: Optional[str] = None, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     if shape:
         dims = tuple(int(s) for s in shape.lower().split("x"))
+        need = int(np.prod(dims))
+        if need > devices.size:
+            raise ValueError(
+                f"Mesh shape {dims} needs {need} devices, have {devices.size}")
+        devices = devices.reshape(-1)[:need]
     else:
         dims = (devices.size,)
-    if int(np.prod(dims)) != devices.size:
-        raise ValueError(f"Mesh shape {dims} does not match {devices.size} devices")
     axis_names = ("data",) if len(dims) == 1 else ("data", "model")[:len(dims)]
     mesh = Mesh(devices.reshape(dims), axis_names)
     if shape is None and _DEFAULT_MESH is None:
         _DEFAULT_MESH = mesh
     return mesh
+
+
+def pipeline_mesh(shape: Optional[str] = None) -> Optional[Mesh]:
+    """Mesh for the production pipeline, or ``None`` for single-device runs.
+
+    ``None`` shape -> all devices (1-D ``data`` axis); a 1-device result
+    collapses to ``None`` so single-chip callers keep identity behaviour
+    (no resharding device_puts anywhere on the hot path).
+    """
+    if shape is None and len(jax.devices()) == 1:
+        return None
+    mesh = get_mesh(shape)
+    return None if mesh.devices.size == 1 else mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -59,8 +77,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def feature_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """[..., D] arrays sharded along the trailing feature axis."""
-    spec = [None] * (ndim - 1) + ["data"]
+    """[..., D] arrays sharded along the trailing feature axis.
+
+    The feature dimension splits over ALL mesh axes (on a 2-D ``data x model``
+    mesh the estimator state shards D over both), maximizing per-chip HBM
+    headroom for the [D, D] / [D, l] statistics."""
+    axes = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
+    spec = [None] * (ndim - 1) + [axes]
     return NamedSharding(mesh, P(*spec))
 
 
@@ -69,9 +92,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(x, mesh: Optional[Mesh]):
-    """Place a host batch onto the mesh, sharded along axis 0 (no-op without
-    a mesh).  Pads nothing: callers keep batch % n_devices == 0."""
+    """Place a batch onto the mesh, sharded along axis 0 (no-op without a
+    mesh).  Batches that don't divide the ``data`` axis stay unsharded —
+    callers on the hot path keep batch % n_devices == 0."""
     if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.numpy.asarray(x)
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    if x.shape[0] % n_data != 0:
         return jax.numpy.asarray(x)
     return jax.device_put(x, batch_sharding(mesh))
 

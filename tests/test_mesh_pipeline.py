@@ -1,0 +1,60 @@
+"""Production pipeline on the virtual 8-device mesh.
+
+``decomposition.compute`` itself builds the mesh from ``config.mesh_shape``
+(VERDICT r1 item 2: sharding must be the production path, not a demo):
+data-parallel latent stream, feature-sharded estimator state, and the
+``--dtype`` precision policy.  The conv-tap variant of this check lives in
+``__graft_entry__._dryrun_multichip_impl`` (exercised by
+``test_sharding.test_dryrun_entrypoint``); here the flagship W-space fused
+path runs meshed vs single-device.
+"""
+
+import numpy as np
+
+from ganspace_tpu.config import Config
+from ganspace_tpu.decomposition import compute
+from ganspace_tpu.models.base import InstrumentedModel
+from ganspace_tpu.ops.precision import get_precision
+
+from helpers import tiny_stylegan2
+
+
+def _run_w_pipeline(mesh_shape, dump_path, **cfg_kw):
+    model = tiny_stylegan2(use_w=True)
+    inst = InstrumentedModel(model)
+    cfg_kw.setdefault("n", 8192)
+    cfg = Config(model="StyleGAN2", layer="style", estimator="ipca",
+                 components=8, use_w=True, mesh_shape=mesh_shape, **cfg_kw)
+    compute(cfg, dump_path, inst)
+    with np.load(dump_path) as d:
+        return {k: d[k] for k in d.files}
+
+
+def test_w_fused_pipeline_meshed_matches_single(tmp_path):
+    meshed = _run_w_pipeline("8", tmp_path / "mesh.npz")
+    single = _run_w_pipeline("1", tmp_path / "single.npz")
+
+    a = meshed["act_comp"].reshape(8, -1)
+    b = single["act_comp"].reshape(8, -1)
+    cos = np.abs(np.sum(a * b, -1))
+    assert cos.min() > 0.999, f"min |cos| {cos.min()}"
+    assert np.abs(meshed["act_mean"] - single["act_mean"]).max() < 1e-4
+    assert np.allclose(meshed["act_stdev"], single["act_stdev"], rtol=1e-3)
+
+
+def test_mesh_flag_subset_of_devices():
+    from ganspace_tpu.parallel import get_mesh, pipeline_mesh
+    mesh = get_mesh("4")
+    assert mesh.devices.size == 4
+    assert pipeline_mesh("1") is None  # single-device collapses to identity
+    assert pipeline_mesh("2x2").axis_names == ("data", "model")
+
+
+def test_dtype_flag_bf16_smoke(tmp_path):
+    # --dtype bfloat16 maps to the DEFAULT (bf16 MXU) precision policy for
+    # the duration of compute() and restores the global policy after.
+    before = get_precision()
+    out = _run_w_pipeline("8", tmp_path / "bf16.npz", dtype="bfloat16", n=4096)
+    assert get_precision() == before
+    assert np.all(np.isfinite(out["act_comp"]))
+    assert np.all(out["act_stdev"] >= 0)
