@@ -448,21 +448,26 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
         def do_POST(self):
             if self.path == "/state":
                 length = int(self.headers.get("Content-Length", 0))
+                # All coercion stays inside the try: a JSON-valid but
+                # non-numeric payload (sliders=["a"]) must 400, not kill
+                # the handler thread mid-response.
                 try:
                     body = json.loads(self.rfile.read(length))
                     if not isinstance(body, dict):
                         raise ValueError("state must be a JSON object")
-                except (ValueError, UnicodeDecodeError) as e:
+                    sl = np.asarray(body.get("sliders", []), np.float32)
+                    mode = body.get("mode", session.mode)
+                    lstart = int(body.get("lstart", 0))
+                    lend = int(body.get("lend", session.edit_layer_end))
+                    new_trunc = float(body.get("trunc", session.truncation))
+                except (ValueError, TypeError, UnicodeDecodeError) as e:
                     self._send(400, f"bad state: {e}".encode(), "text/plain")
                     return
                 with lock:
-                    sl = np.asarray(body.get("sliders", []), np.float32)
                     session.sliders[:len(sl)] = sl[:session.n_sliders]
-                    session.mode = body.get("mode", session.mode)
-                    session.edit_layer_start = int(body.get("lstart", 0))
-                    session.edit_layer_end = int(body.get("lend",
-                                                          session.edit_layer_end))
-                    new_trunc = float(body.get("trunc", session.truncation))
+                    session.mode = mode
+                    session.edit_layer_start = lstart
+                    session.edit_layer_end = lend
                     if new_trunc != session.truncation:
                         session.truncation = new_trunc
                         session.resample_latent(session.state.seed)

@@ -530,6 +530,16 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         lat_stdev = np.asarray(jnp.std(coords, axis=1))
 
     os.makedirs(dump_name.parent, exist_ok=True)
+    # Provenance sidecar key (reference keys stay untouched): the filename
+    # encodes model/layer/estimator/n, but NOT which RNG stream produced the
+    # samples — record it so mixed-provenance caches are detectable
+    # (see get_or_compute's mismatch warning).
+    import json as _json
+    meta = _json.dumps({
+        "device_rng": device_rng,
+        "dtype": getattr(config, "dtype", "float32"),
+        "mesh": getattr(config, "mesh_shape", None),
+    })
     np.savez_compressed(dump_name, **{
         "act_comp": x_comp.astype(np.float32),
         "act_mean": x_global_mean.astype(np.float32),
@@ -539,6 +549,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "lat_stdev": lat_stdev.astype(np.float32),
         "var_ratio": np.asarray(x_var_ratio, np.float32),
         "random_stdevs": x_stdev_random.astype(np.float32),
+        "_meta": np.bytes_(meta.encode()),
     })
 
     if canceled:
@@ -587,4 +598,29 @@ def get_or_compute(config, model: Optional[InstrumentedModel] = None,
         t_start = datetime.datetime.now()
         compute(config, dump_path, model)
         print("Total time:", datetime.datetime.now() - t_start)
+    else:
+        _warn_on_rng_mismatch(dump_path)
     return dump_path
+
+
+def _warn_on_rng_mismatch(dump_path: Path) -> None:
+    """Device-RNG and host-RNG sample streams are statistically equivalent
+    but not bit-identical; flag a cache hit produced under the other mode so
+    cross-run comparisons aren't silently mixed (files with no provenance
+    key — reference-pipeline exports — are accepted as-is)."""
+    current = os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
+    try:
+        with np.load(dump_path, allow_pickle=False) as d:
+            if "_meta" not in d.files:
+                return
+            import json as _json
+            cached = _json.loads(d["_meta"].item().decode()).get("device_rng")
+    except Exception:
+        return
+    if cached is not None and cached != current:
+        print(f"WARNING: {dump_path.name} was computed with "
+              f"{'device' if cached else 'host'}-side RNG but this run uses "
+              f"{'device' if current else 'host'}-side RNG "
+              f"(GANSPACE_DEVICE_RNG); components are statistically "
+              f"equivalent, not bit-identical. Use --force or a fresh "
+              f"output dir for a like-for-like cache.")

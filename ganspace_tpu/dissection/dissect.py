@@ -141,7 +141,23 @@ def tally_stats(inst: InstrumentedModel, layer: str, *, n_samples: int = 1000,
         topk_idx = np.take_along_axis(cand_idx, order, axis=1)
 
     return {"quantiles": rq, "topk_values": topk_val, "topk_samples": topk_idx,
-            "units": topk_val.shape[0]}
+            "units": topk_val.shape[0],
+            # RNG geometry, so sample indices can be regenerated faithfully
+            "seed": seed, "batch": batch, "n_samples": n_samples}
+
+
+def regenerate_sample(model, s: int, *, seed: int, batch: int, n_samples: int):
+    """Latent of global sample index ``s``, exactly as the stats passes drew
+    it: batches start at multiples of ``batch`` with seed ``seed + start``,
+    so ``s`` is row ``s - start`` of its batch.  (Drawing
+    ``sample_latent(1, seed=seed + s)`` instead returns an *unrelated*
+    latent for any ``s % batch != 0`` — the reference avoids the hazard by
+    indexing one fixed z_universe.)"""
+    s = int(s)
+    start = (s // batch) * batch
+    b = min(batch, n_samples - start)
+    z = model.sample_latent(b, seed=seed + start)
+    return z[s - start][None]
 
 
 def _flatten_seg(seg: jnp.ndarray) -> jnp.ndarray:
@@ -335,6 +351,8 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
         "layer": layer,
         "model": getattr(model, "name", model.model_name),
         "n_samples": n_samples,
+        "batch": stats.get("batch", batch),
+        "seed": stats.get("seed", seed),
         "level_quantile": level_quantile,
         "labels": labels,
         "units": report_units,

@@ -47,11 +47,18 @@ def save_unit_images(report: Dict, inst: InstrumentedModel, outdir,
     own_pool = pool is None
     pool = pool or ImageWriterPool(4)
     model = inst.model
+    # Regenerate batch-aligned: a top-sample index s belongs to the batch
+    # drawn with seed + (s//batch)*batch (see dissect.regenerate_sample).
+    from ganspace_tpu.dissection.dissect import regenerate_sample
+    seed = report.get("seed", seed)
+    batch = report.get("batch", 16)
+    n_samples = report.get("n_samples", 1000)
     try:
         for rec in report["units"][:n_units]:
             imgs = []
             for s in rec["top_samples"][:4]:
-                z = model.sample_latent(1, seed=seed + int(s))
+                z = regenerate_sample(model, s, seed=seed, batch=batch,
+                                      n_samples=n_samples)
                 img = np.asarray(model.forward(z))[0]
                 imgs.append(np.transpose(img, (1, 2, 0)))
             grid = to_uint8(np.clip(np.hstack(imgs), 0, 1))

@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from ganspace_tpu.dissection import tally_stats
+    from ganspace_tpu.dissection.dissect import regenerate_sample
     from ganspace_tpu.models import get_instrumented_model
     from ganspace_tpu.native import ImageWriterPool
     from ganspace_tpu.utils import to_uint8
@@ -42,7 +43,10 @@ def main(argv=None) -> int:
         for u in range(stats["units"]):
             imgs = []
             for s in stats["topk_samples"][u][:args.topk]:
-                z = model.sample_latent(1, seed=args.seed + int(s))
+                # Batch-aligned regeneration: index s lives in the batch
+                # drawn with seed + (s//batch)*batch, not seed + s.
+                z = regenerate_sample(model, s, seed=args.seed,
+                                      batch=args.batch, n_samples=args.samples)
                 img = np.asarray(model.forward(z))[0]
                 imgs.append(np.clip(np.transpose(img, (1, 2, 0)), 0, 1))
             pool.save_png(outdir / f"unit_{u:04d}.png",

@@ -16,6 +16,7 @@ import errno
 import os
 import socket
 import sys
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -64,10 +65,51 @@ def claim_job(directory) -> bool:
                 raise
             if not _lock_is_stale(lock):
                 return False
-            try:                       # break the stale lock, retry the claim
+            if not _break_stale_lock(lock):
+                return False           # someone else is breaking/claiming
+
+
+#: a breaker mutex older than this is considered orphaned (its critical
+#: section is microseconds; the margin covers pathological scheduler pauses)
+_BREAKER_TTL_S = 30.0
+
+
+def _break_stale_lock(lock: Path) -> bool:
+    """Remove a stale lock with at-most-once semantics; True if the caller
+    may retry its claim.
+
+    Plain check-then-unlink races: two claimants can both observe the stale
+    lock, and the slower unlink then deletes the *fresh* lock the faster
+    claimant just created — two winners.  Breaking therefore serializes
+    through a second O_EXCL file (the breaker mutex): only its holder may
+    re-verify staleness and unlink.  An orphaned breaker (holder died inside
+    the tiny critical section) is expired by age.
+    """
+    breaker = lock.with_name(LOCK_NAME + ".breaker")
+    try:
+        if breaker.stat().st_mtime < time.time() - _BREAKER_TTL_S:
+            breaker.unlink()           # orphaned breaker; missing_ok races OK
+    except FileNotFoundError:
+        pass
+    try:
+        bfd = os.open(str(breaker), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            return False               # another breaker is at work
+        raise
+    try:
+        if _lock_is_stale(lock):       # re-verify under the mutex
+            try:
                 lock.unlink()
             except FileNotFoundError:
                 pass
+        return True
+    finally:
+        os.close(bfd)
+        try:
+            breaker.unlink()
+        except FileNotFoundError:
+            pass
 
 
 def _lock_is_stale(lock: Path) -> bool:

@@ -1,5 +1,7 @@
 """End-to-end decomposition pipeline tests on tiny models (SURVEY.md §4)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -40,7 +42,7 @@ def test_w_space_fast_path(model, tmp_path, monkeypatch):
     path = get_or_compute(cfg, inst)
     assert path.is_file()
     data = np.load(path)
-    assert set(data.files) == NPZ_KEYS
+    assert set(data.files) == NPZ_KEYS | {"_meta"}
     assert data["act_comp"].shape == (4, 1, 512)
     assert data["lat_comp"].shape == (4, 1, 512)
     # W fast path: lat_comp == act_comp up to row normalization
@@ -127,3 +129,27 @@ def test_fit_stream_matches_fit_partial():
     cn2, _, _ = seq_n.get_components()
     cos = np.abs(np.sum(cn * cn2, -1))
     assert cos.min() > 0.9999
+
+
+def test_cache_records_rng_provenance(model, tmp_path, monkeypatch):
+    """ADVICE r1: the npz must record which RNG stream produced it, and a
+    cache hit under the other mode must warn instead of silently mixing."""
+    from ganspace_tpu.decomposition import _warn_on_rng_mismatch
+
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_DEVICE_RNG", "1")
+    cfg = Config(model="StyleGAN2", layer="style", estimator="ipca",
+                 components=4, n=512, use_w=True)
+    inst = InstrumentedModel(model)
+    path = get_or_compute(cfg, inst)
+    with np.load(path, allow_pickle=False) as d:
+        assert "_meta" in d.files
+        meta = json.loads(d["_meta"].item().decode())
+    assert meta["device_rng"] is True
+
+    import io, contextlib
+    monkeypatch.setenv("GANSPACE_DEVICE_RNG", "0")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _warn_on_rng_mismatch(path)
+    assert "WARNING" in buf.getvalue()

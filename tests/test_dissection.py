@@ -66,3 +66,33 @@ def test_tally_and_dissect(inst, tmp_path):
 def test_svg_bargraph():
     svg = make_svg_bargraph(["a", "b"], [0.5, 0.25])
     assert svg.startswith("<svg") and "rect" in svg and "0.500" in svg
+
+
+def test_regenerate_sample_matches_top_activator():
+    """ADVICE r1: top-sample indices must regenerate the latent that
+    actually produced the recorded activation (batch-aligned seeds), for
+    any s % batch != 0."""
+    from ganspace_tpu.dissection.dissect import regenerate_sample
+
+    model = tiny_stylegan2()
+    inst = InstrumentedModel(model)
+    layer = "convs.0"
+    n, batch, seed = 64, 16, 9
+    stats = tally_stats(inst, layer, n_samples=n, batch=batch, seed=seed,
+                        k_top=4)
+    assert stats["seed"] == seed and stats["batch"] == batch
+
+    inst.retain_layer(layer)
+    checked = 0
+    for u in range(min(stats["units"], 8)):
+        s = int(stats["topk_samples"][u][0])
+        if s % batch == 0:
+            continue  # the old buggy path got these right by luck
+        z = regenerate_sample(model, s, seed=seed, batch=batch, n_samples=n)
+        model.partial_forward(z, layer)
+        act = np.asarray(inst.retained_features()[layer])
+        got = act[0, u].max()
+        want = stats["topk_values"][u][0]
+        assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (u, s, got, want)
+        checked += 1
+    assert checked > 0, "no off-boundary top samples in this draw"
