@@ -74,20 +74,29 @@ def main():
         jax.block_until_ready(warm_est._moments or warm_est._state)
         warmup_s = time.perf_counter() - t_warm
 
-        # Best of two timed runs: the tunneled chip's dispatch latency has
-        # ~3x run-to-run variance under external load; the minimum is the
-        # steady-state throughput of the pipeline itself.
-        elapsed = float("inf")
+        # Two timed runs: run 1 is the COLD number (fresh dispatch queues,
+        # any residual compiles), run 2 the steady state.  The tunneled
+        # chip's dispatch latency has ~3x run-to-run variance under external
+        # load; the minimum is the pipeline's own steady-state throughput.
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             path = get_or_compute(cfg, inst, force_recompute=True)
-            elapsed = min(elapsed, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        cold_s, steady_s = runs[0], min(runs)
 
         data = np.load(path)
         assert data["act_comp"].shape[0] == 80
         data.close()
 
-    sps = n / elapsed
+    # Driver metric #2: 1024px StyleGAN2 synthesis throughput, f32
+    # (component-parity precision) and bf16 (MXU-native preview precision).
+    img_s = {}
+    if os.environ.get("GANSPACE_BENCH_SYNTH", "1") == "1":
+        img_s = {"img_s_1024_f32": _bench_synthesis("highest"),
+                 "img_s_1024_bf16": _bench_synthesis("default")}
+
+    sps = n / steady_s
     sps_chip = sps / n_chips
     baseline_sps_chip = 1_000_000 / 60.0 / 8.0  # north-star v5p-8 target
     result = {
@@ -95,10 +104,39 @@ def main():
         "value": round(sps_chip, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_chip / baseline_sps_chip, 3),
+        "wpca_cold_s": round(cold_s, 2),
+        "wpca_steady_s": round(steady_s, 2),
+        "warmup_s": round(warmup_s, 1),
+        **img_s,
     }
     print(json.dumps(result))
-    print(f"# total {elapsed:.1f}s for n={n} on {n_chips} chip(s); "
-          f"warmup {warmup_s:.1f}s", file=sys.stderr)
+    print(f"# cold {cold_s:.1f}s / steady {steady_s:.1f}s for n={n} on "
+          f"{n_chips} chip(s); warmup {warmup_s:.1f}s; {img_s}",
+          file=sys.stderr)
+
+
+def _bench_synthesis(precision_name: str, batch: int = 8, iters: int = 3) -> float:
+    """1024px StyleGAN2-FFHQ forward images/sec at the given precision.
+
+    A fresh model instance per precision: the matmul precision is read at
+    trace time, so each needs its own jit cache entry.  Timing uses a scalar
+    readback (a plain block_until_ready under-reports through the relay).
+    """
+    import jax.numpy as jnp
+
+    from ganspace_tpu.models.stylegan2 import StyleGAN2
+    from ganspace_tpu.ops.precision import precision
+
+    with precision(precision_name):
+        model = StyleGAN2(class_name="ffhq")
+        z = model.sample_latent(batch, seed=0)
+        float(jnp.sum(model.forward(z)))          # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(model.forward(z)))
+            best = min(best, time.perf_counter() - t0)
+    return round(batch / best, 2)
 
 
 if __name__ == "__main__":

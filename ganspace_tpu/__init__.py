@@ -13,6 +13,33 @@ activations through sharded sufficient statistics psum-reduced over ICI.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (on by default).
+
+    On remotely-attached chips a fresh compile is a minutes-scale round
+    trip; caching compiled executables across processes turns every CLI
+    restart, bench warmup, and notebook rerun into a disk hit.  Disable
+    with ``GANSPACE_COMPILE_CACHE=`` (empty) or point it elsewhere.
+    """
+    cache_dir = _os.environ.get(
+        "GANSPACE_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or read-only fs: run uncached
+
+
+_enable_compile_cache()
+
 from ganspace_tpu.config import Config
 
 __all__ = ["Config", "__version__"]

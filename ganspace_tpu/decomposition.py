@@ -64,6 +64,18 @@ get_random_dirs = random_directions  # reference-compatible alias
 _ACT_BUDGET_BYTES = int(os.environ.get("GANSPACE_ACT_BUDGET", 256 * 1024 * 1024))
 
 
+def _fused_scan_cached() -> bool:
+    """True when the fused activation stream's scan program has been
+    compiled before on this machine (persistent-cache probe): re-tracing it
+    is then a disk hit, so the per-block dispatch saving is pure profit."""
+    import glob
+    import jax
+    cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if not cache_dir:
+        return False
+    return bool(glob.glob(os.path.join(cache_dir, "*scan_chunk*")))
+
+
 def get_max_batch_size(inst: InstrumentedModel, device=None, layer_name=None) -> int:
     """Static batch-size rule replacing the reference's CUDA VRAM probe.
 
@@ -292,12 +304,15 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     acts_fn = None if samples_are_latents else model.pure_acts_fn(layer_key)
     streamable = (getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
                   or getattr(transformer, "_use_nystrom", lambda d: False)(sample_dims))
-    # Off by default: for conv taps synthesis FLOPs dominate dispatch
-    # overhead, and compiling synthesis inside a scan costs more than the
-    # ~20ms/block it saves (measured: 50k-sample conv-tap run 109s grouped
-    # vs 174s fused, identical results). Enable on directly-attached chips
-    # with persistent compile caches where the tradeoff flips.
-    fused_acts = (os.environ.get("GANSPACE_FUSED_ACTS", "0") == "1"
+    # GANSPACE_FUSED_ACTS: 1=on, 0=off, auto (default) = on only when the
+    # fused scan program is already in the persistent compile cache.  The
+    # fused stream saves ~20ms dispatch per block but costs one scan-wrapped
+    # synthesis compile (minutes on remotely-attached chips; measured
+    # 109s grouped vs 174s fused cold on a 50k conv-tap run, identical
+    # results) — so it pays exactly when that compile is a disk hit.
+    fused_env = os.environ.get("GANSPACE_FUSED_ACTS", "auto")
+    fused_on = _fused_scan_cached() if fused_env == "auto" else fused_env == "1"
+    fused_acts = (fused_on
                   and acts_fn is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")
                   and model._gaussian_latent_dim() is not None

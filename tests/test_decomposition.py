@@ -153,3 +153,19 @@ def test_cache_records_rng_provenance(model, tmp_path, monkeypatch):
     with contextlib.redirect_stdout(buf):
         _warn_on_rng_mismatch(path)
     assert "WARNING" in buf.getvalue()
+
+
+def test_fused_acts_cache_probe(tmp_path):
+    """GANSPACE_FUSED_ACTS=auto turns the fused stream on exactly when the
+    scan program is already in the persistent compile cache."""
+    import jax
+    from ganspace_tpu.decomposition import _fused_scan_cached
+
+    old = getattr(jax.config, "jax_compilation_cache_dir", None)
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        assert not _fused_scan_cached()
+        (tmp_path / "jit_scan_chunk-abc123-cache").write_bytes(b"x")
+        assert _fused_scan_cached()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
