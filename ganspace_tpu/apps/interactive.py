@@ -84,6 +84,13 @@ class Session:
         # Downscale frames ON DEVICE before readback (halves latency twice
         # over for 1024px models on slow host links); None = native size.
         self.preview_size = preview_size
+        # Preview precision: bf16 MXU synthesis by default (~3x faster
+        # frames, visually indistinguishable at 8-bit output); --dtype
+        # float32 pins the full-precision path.  Decomposition runs are
+        # unaffected — compute() scopes its own precision from --dtype.
+        from ganspace_tpu.ops.precision import set_precision
+        set_precision({"float32": "highest", "bfloat16": "default",
+                       None: "default"}[getattr(args, "dtype", None)])
         self.model_name = args.model
         self.layer_name = args.layer
         self.inst = get_instrumented_model(args.model, args.output_class,
@@ -297,6 +304,30 @@ class Session:
         """[H, W*B, 3] uint8 tile of the current batch."""
         img = self.render()          # [B, H, W, 3] uint8
         return np.hstack(list(img))
+
+    def time_frame(self, iters: int = 11):
+        """Median (synthesis_ms, readback_ms, total_ms) of a slider-drag
+        frame — the SURVEY §7(e) latency diagnostic.  Synthesis is timed
+        with a scalar readback (plain block_until_ready under-reports
+        through a relay); readback is the device->host uint8 frame copy."""
+        import time as _t
+        self.render(force=True)                       # warm signatures
+        synth, read, total = [], [], []
+        for i in range(iters):
+            self.sliders[0] = 0.05 * (i + 1)          # dirty the cache
+            t0 = _t.perf_counter()
+            self.render(force=True)
+            total.append(_t.perf_counter() - t0)
+            t0 = _t.perf_counter()
+            img = self.model.forward(self.state.z)
+            float(jnp.sum(img))
+            synth.append(_t.perf_counter() - t0)
+            t0 = _t.perf_counter()
+            np.asarray(_frame_u8(img, max_hw=self.preview_size))
+            read.append(_t.perf_counter() - t0)
+        self.sliders[0] = 0.0
+        ms = lambda xs: 1e3 * float(np.median(xs))  # noqa: E731
+        return ms(synth), ms(read), ms(total)
 
     # -- export --------------------------------------------------------------
     def export_direction(self, idx: int, name: str, sigma_range: float = 2.0,

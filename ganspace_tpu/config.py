@@ -53,8 +53,10 @@ def _build_parser() -> argparse.ArgumentParser:
     # TPU-specific knobs (not present in the reference).
     p.add_argument("--mesh", dest="mesh_shape", type=str, default=None,
                    help="Device mesh shape, e.g. '8' or '4x2'; default: all devices, 1-D")
-    p.add_argument("--dtype", dest="dtype", type=str, default="float32",
-                   help="Synthesis compute dtype (float32 | bfloat16)")
+    p.add_argument("--dtype", dest="dtype", type=str, default=None,
+                   help="Synthesis compute dtype (float32 | bfloat16). "
+                        "Default: float32 for decomposition/export, "
+                        "bfloat16 for interactive previews")
     return p
 
 

@@ -159,8 +159,10 @@ def regression(comp, mean, stdev, inst, config):
 # ---------------------------------------------------------------------------
 
 def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
-    """Run the decomposition under the config's precision policy (--dtype)."""
-    prec = _DTYPE_PRECISION.get(getattr(config, "dtype", "float32"), "highest")
+    """Run the decomposition under the config's precision policy (--dtype);
+    an unset dtype means float32 (component parity with the reference)."""
+    prec = _DTYPE_PRECISION.get(getattr(config, "dtype", None) or "float32",
+                                "highest")
     with _precision_ctx(prec):
         return _compute(config, dump_name, instrumented_model)
 
