@@ -30,9 +30,13 @@ import jax.numpy as jnp
 
 from ganspace_tpu.dissection.dissect import SegmenterBase
 from ganspace_tpu.dissection.segmodel import (
-    Params, UPerNetConfig, init_upernet_params, resize_bilinear,
-    upernet_forward,
+    Params, UPerNetConfig, adaptive_avg_pool, init_upernet_params,
+    resize_bilinear, upernet_forward,
 )
+
+# The reference feeds the net 0-255 BGR images minus the Caffe-era channel
+# means (``segmenter.py:146-150``).
+_BGR_MEAN = (102.9801, 115.9465, 122.7717)
 
 CATEGORIES = ("object", "part", "material")
 
@@ -90,9 +94,13 @@ class UnifiedParsingSegmenter(SegmenterBase):
         """softmax probabilities per category at eval ``size``, upsampled
         back to the input resolution."""
         h, w = images.shape[2:]
-        x = resize_bilinear(images, (size, size)) if (h, w) != (size, size) \
-            else images
-        x = x * 2.0 - 1.0                       # [0,1] -> roughly normalized
+        # Reference preprocessing (segmenter.py:146-150,163-166): [0,1] RGB
+        # -> 0-255 BGR minus channel means, adaptive-avg-pool resize.
+        x = images[:, ::-1] * 255.0 - jnp.asarray(
+            _BGR_MEAN, images.dtype).reshape(1, 3, 1, 1)
+        if (h, w) != (size, size):
+            x = adaptive_avg_pool(x, (size, size)) if (h >= size and w >= size) \
+                else resize_bilinear(x, (size, size))
         logits = upernet_forward(params, x, self.cfg)
         out = {}
         for c in CATEGORIES:
@@ -193,13 +201,15 @@ def _decoder_name_map(cfg: UPerNetConfig):
     reference decoder's layout (``upsegmodel/models.py``)."""
     m = {}
     for i in range(len(cfg.ppm_scales)):
-        m[f"ppm.conv{i}"] = (f"ppm_conv.{i}.1", f"ppm_conv.{i}.2")
+        m[f"ppm.conv{i}"] = (f"ppm_conv.{i}.0", f"ppm_conv.{i}.1")
     m["ppm.fusion"] = ("ppm_last_conv.0", "ppm_last_conv.1")
     for i in range(3):
         m[f"fpn.lateral{i}"] = (f"fpn_in.{i}.0", f"fpn_in.{i}.1")
         m[f"fpn.smooth{i}"] = (f"fpn_out.{i}.0.0", f"fpn_out.{i}.0.1")
     m["fuse"] = ("conv_fusion.0", "conv_fusion.1")
     for head in ("object", "part", "material"):
-        m[f"head.{head}.conv"] = (f"{head}_head.0", f"{head}_head.1")
-        m[f"head.{head}"] = (f"{head}_head.3", None)
+        m[f"head.{head}.conv"] = (f"{head}_head.0.0", f"{head}_head.0.1")
+        m[f"head.{head}"] = (f"{head}_head.1", None)
+    m["head.scene.conv"] = ("scene_head.0.0", "scene_head.0.1")
+    m["head.scene"] = ("scene_head.2", None)
     return m

@@ -1,11 +1,24 @@
 """Semantic-segmentation network: ResNet encoder + UPerNet decoder.
 
-TPU-native re-design of the reference's segmentation models
-(``netdissect/upsegmodel/models.py:441`` + ``resnet.py``/``resnext.py``
-backbones, ~1800 LoC of torch modules): the unified-parsing network used by
-GAN dissection — a ResNet trunk feeding a UPerNet decoder (pyramid pooling
-on the deepest stage + FPN lateral fusion) with object / part / material /
-scene heads.
+TPU-native re-design of the reference's unified-parsing segmentation model
+(``netdissect/upsegmodel/models.py:441`` + ``resnet.py`` backbone, ~1800 LoC
+of torch modules): a deep-stem ResNet trunk feeding a UPerNet decoder
+(PrRoI pyramid pooling on the deepest stage + FPN lateral fusion) with
+object / part / material / scene heads.
+
+Dataflow mirrors the reference exactly (validated by
+``tests/test_upernet_parity.py`` against the torch original):
+
+* stem: three 3x3 convs 3->w->w->2w, first strided (``resnet.py:103-115``);
+* bottleneck stages with 1x1-strided downsample projections;
+* PPM: PrRoI pooling of c5 over the full-image ROI at scales (1,2,3,6),
+  bilinear upsample back to c5 size, THEN 1x1 conv+BN+ReLU
+  (``models.py:280-289,352-357`` — pool -> interpolate -> conv order matters
+  because the ReLU does not commute with interpolation);
+* FPN top-down: f = lateral(c_i) + upsample(f), smoothed copies collected
+  (``models.py:365-375``);
+* heads: scene on the PPM output (global pool), material on P2, object and
+  part on the 4-level fusion (``models.py:315-338,378-394``).
 
 Design notes (vs the torch original):
 
@@ -16,8 +29,10 @@ Design notes (vs the torch original):
   import time (``fold_bn``), so the hot path is conv+scale+relu — exactly
   what XLA fuses onto the MXU.  The reference's SynchronizedBatchNorm
   machinery (a multi-GPU training artifact) has no TPU equivalent to build.
-* **NCHW layout** end-to-end to match the generators; interpolation uses
-  ``jax.image.resize`` (bilinear) as the reference uses ``F.interpolate``.
+* **NCHW layout** end-to-end to match the generators; upsampling uses
+  ``jax.image.resize`` (bilinear, half-pixel centers == torch
+  ``align_corners=False``); the PPM pooling reuses :mod:`ops.prroi`, the
+  same op the reference's CUDA PrRoIPool2D implements.
 """
 
 from __future__ import annotations
@@ -31,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ganspace_tpu.ops.precision import get_precision
+from ganspace_tpu.ops.prroi import prroi_pool2d
 
 Params = Dict[str, np.ndarray]
 
@@ -67,6 +83,33 @@ def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, x.shape[:2] + tuple(hw), method="bilinear")
 
 
+def adaptive_avg_pool(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch ``AdaptiveAvgPool2d``: exact mean pooling when the target
+    divides the input, integral-based fractional bins otherwise (this is
+    what the reference's image-downsize path uses, ``segmenter.py:166``)."""
+    h, w = x.shape[2], x.shape[3]
+    th, tw = hw
+    if h == th and w == tw:
+        return x
+    if h % th == 0 and w % tw == 0:
+        kh, kw = h // th, w // tw
+        y = lax.reduce_window(x, 0.0, lax.add, (1, 1, kh, kw), (1, 1, kh, kw),
+                              "VALID")
+        return y / (kh * kw)
+    # Fractional bins via the integral image (same math as torch's
+    # adaptive pooling: bin p covers [floor(p*h/th), ceil((p+1)*h/th))).
+    integ = jnp.pad(jnp.cumsum(jnp.cumsum(x, 2), 3),
+                    ((0, 0), (0, 0), (1, 0), (1, 0)))
+    ys = np.floor(np.arange(th) * h / th).astype(int)
+    ye = np.ceil((np.arange(th) + 1) * h / th).astype(int)
+    xs = np.floor(np.arange(tw) * w / tw).astype(int)
+    xe = np.ceil((np.arange(tw) + 1) * w / tw).astype(int)
+    area = (ye - ys)[:, None] * (xe - xs)[None, :]
+    out = (integ[:, :, ye][:, :, :, xe] - integ[:, :, ys][:, :, :, xe]
+           - integ[:, :, ye][:, :, :, xs] + integ[:, :, ys][:, :, :, xs])
+    return out / jnp.asarray(area, x.dtype)
+
+
 def _he(rs: np.random.RandomState, *shape) -> np.ndarray:
     fan_in = int(np.prod(shape[1:]))
     return (rs.randn(*shape) * np.sqrt(2.0 / max(fan_in, 1))).astype(np.float32)
@@ -92,7 +135,8 @@ def conv_bn_relu(x, p: Params, name: str, stride=1, dilation=1) -> jnp.ndarray:
 @dataclass(frozen=True)
 class ResNetConfig:
     """ResNet-v1 with the 3-conv deep stem used by the reference's encoder
-    (``upsegmodel/resnet.py``).  ``blocks=(3,4,6,3), width=64`` = ResNet-50."""
+    (``upsegmodel/resnet.py:103-115``: 3->64->64->128, first conv strided).
+    ``blocks=(3,4,6,3), width=64`` = the reference's resnet50."""
     blocks: Tuple[int, ...] = (3, 4, 6, 3)
     width: int = 64
     expansion: int = 4
@@ -107,10 +151,10 @@ def init_resnet_params(cfg: ResNetConfig, seed: int = 0) -> Params:
     rs = np.random.RandomState(seed)
     p: Params = {}
     w = cfg.width
-    _init_conv_bn(p, rs, "stem.conv1", 3, w // 2, 3)
-    _init_conv_bn(p, rs, "stem.conv2", w // 2, w // 2, 3)
-    _init_conv_bn(p, rs, "stem.conv3", w // 2, w, 3)
-    cin = w
+    _init_conv_bn(p, rs, "stem.conv1", 3, w, 3)
+    _init_conv_bn(p, rs, "stem.conv2", w, w, 3)
+    _init_conv_bn(p, rs, "stem.conv3", w, 2 * w, 3)
+    cin = 2 * w
     for si, n in enumerate(cfg.blocks):
         planes = w * (2 ** si)
         cout = planes * cfg.expansion
@@ -144,8 +188,9 @@ def resnet_features(params: Params, x: jnp.ndarray,
     y = conv_bn_relu(x, params, "stem.conv1", stride=2)
     y = conv_bn_relu(y, params, "stem.conv2")
     y = conv_bn_relu(y, params, "stem.conv3")
+    # torch MaxPool2d(3, stride=2, padding=1)
     y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
-                          "SAME")
+                          ((0, 0), (0, 0), (1, 1), (1, 1)))
     feats = {}
     for si, n in enumerate(cfg.blocks):
         stride = 1 if si == 0 else 2
@@ -164,6 +209,8 @@ def resnet_features(params: Params, x: jnp.ndarray,
 class UPerNetConfig:
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
     fpn_dim: int = 512
+    ppm_dim: int = 512         # PPM branch width (fixed 512 in the reference
+                               # regardless of fpn_dim, models.py:283)
     ppm_scales: Tuple[int, ...] = (1, 2, 3, 6)
     n_objects: int = 336       # unified-parsing label counts
     n_parts: int = 153
@@ -179,45 +226,66 @@ def init_upernet_params(cfg: UPerNetConfig, seed: int = 0) -> Params:
     d = cfg.fpn_dim
     # PPM: one 1x1 conv per pooling scale on c5, then a fusion 3x3
     for i in range(len(cfg.ppm_scales)):
-        _init_conv_bn(p, rs, f"ppm.conv{i}", chans[-1], d, 1)
+        _init_conv_bn(p, rs, f"ppm.conv{i}", chans[-1], cfg.ppm_dim, 1)
     _init_conv_bn(p, rs, "ppm.fusion",
-                  chans[-1] + d * len(cfg.ppm_scales), d, 3)
+                  chans[-1] + cfg.ppm_dim * len(cfg.ppm_scales), d, 3)
     # FPN lateral 1x1s for c2..c4 + post-merge 3x3s
     for i, c in enumerate(chans[:-1]):
         _init_conv_bn(p, rs, f"fpn.lateral{i}", c, d, 1)
         _init_conv_bn(p, rs, f"fpn.smooth{i}", d, d, 3)
     _init_conv_bn(p, rs, "fuse", d * len(chans), d, 3)
-    # Heads (1x1 classifier each, on the fused pixel features)
+    # Heads: conv3x3+BN+ReLU then a 1x1 classifier each (models.py:315-338)
     for head, n in (("object", cfg.n_objects), ("part", cfg.n_parts),
                     ("material", cfg.n_materials)):
         _init_conv_bn(p, rs, f"head.{head}.conv", d, d, 3)
         p[f"head.{head}.weight"] = _he(rs, n, d, 1, 1)
         p[f"head.{head}.bias"] = np.zeros((n,), np.float32)
-    p["head.scene.weight"] = (rs.randn(cfg.n_scenes, d)
-                              * 0.01).astype(np.float32)
+    _init_conv_bn(p, rs, "head.scene.conv", d, d, 3)
+    p["head.scene.weight"] = _he(rs, cfg.n_scenes, d, 1, 1)
     p["head.scene.bias"] = np.zeros((cfg.n_scenes,), np.float32)
     return p
 
 
+def _head(pix, params: Params, name: str) -> jnp.ndarray:
+    y = conv_bn_relu(pix, params, f"{name}.conv")
+    y = conv2d(y, jnp.asarray(params[f"{name}.weight"]), 1, 1, 0)
+    return y + jnp.asarray(params[f"{name}.bias"], y.dtype).reshape(1, -1, 1, 1)
+
+
 def upernet_forward(params: Params, x: jnp.ndarray,
                     cfg: UPerNetConfig) -> Dict[str, jnp.ndarray]:
-    """x [B,3,H,W] in [0,1] -> logits dict:
-    object/part/material [B,L,H/4,W/4], scene [B,n_scenes]."""
+    """x [B,3,H,W] (reference-normalized) -> logits dict:
+    object/part [B,L,H/4,W/4] on the fusion, material [B,L,H/4,W/4] on P2,
+    scene [B,n_scenes] on the PPM output (``models.py:341-394``)."""
     enc = {k[len("encoder."):]: v for k, v in params.items()
            if k.startswith("encoder.")}
     feats = resnet_features(enc, x, cfg.resnet)
     c2, c3, c4, c5 = feats["c2"], feats["c3"], feats["c4"], feats["c5"]
 
-    # Pyramid pooling on c5
-    h5, w5 = c5.shape[2], c5.shape[3]
+    # Pyramid pooling on c5: PrRoI full-image pool -> upsample -> conv
+    # (the conv runs at full c5 resolution, after the interpolation —
+    # reference models.py:352-357).
+    b, _, h5, w5 = c5.shape
+    roi = jnp.concatenate([
+        jnp.arange(b, dtype=c5.dtype)[:, None],
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, w5, h5], c5.dtype), (b, 4)),
+    ], axis=1)
     ppm_out = [c5]
     for i, s in enumerate(cfg.ppm_scales):
-        pooled = jax.image.resize(c5, c5.shape[:2] + (s, s), method="linear")
-        pooled = conv_bn_relu(pooled, params, f"ppm.conv{i}")
-        ppm_out.append(resize_bilinear(pooled, (h5, w5)))
+        pooled = prroi_pool2d(c5, roi, s, s)
+        up = resize_bilinear(pooled, (h5, w5))
+        ppm_out.append(conv_bn_relu(up, params, f"ppm.conv{i}"))
     f5 = conv_bn_relu(jnp.concatenate(ppm_out, axis=1), params, "ppm.fusion")
 
-    # FPN top-down
+    out: Dict[str, jnp.ndarray] = {}
+    # Scene head reads the PPM output directly (models.py:378-379).
+    y = conv_bn_relu(f5, params, "head.scene.conv")
+    pooled = jnp.mean(y, axis=(2, 3))
+    w_s = jnp.asarray(params["head.scene.weight"], pooled.dtype)
+    out["scene"] = pooled @ w_s.reshape(w_s.shape[0], -1).T \
+        + jnp.asarray(params["head.scene.bias"], pooled.dtype)
+
+    # FPN top-down: the raw sum propagates; smoothed copies are collected.
     laterals = [conv_bn_relu(c, params, f"fpn.lateral{i}")
                 for i, c in enumerate((c2, c3, c4))]
     fpn = [f5]
@@ -226,21 +294,16 @@ def upernet_forward(params: Params, x: jnp.ndarray,
         top = laterals[i] + resize_bilinear(top, laterals[i].shape[2:])
         fpn.insert(0, conv_bn_relu(top, params, f"fpn.smooth{i}"))
 
-    # Fuse all levels at the c2 resolution
-    hw = fpn[0].shape[2:]
-    fused = jnp.concatenate([resize_bilinear(f, hw) for f in fpn], axis=1)
-    pix = conv_bn_relu(fused, params, "fuse")
+    # Material head reads P2 (models.py:381-383).
+    out["material"] = _head(fpn[0], params, "head.material")
 
-    out: Dict[str, jnp.ndarray] = {}
-    for head in ("object", "part", "material"):
-        y = conv_bn_relu(pix, params, f"head.{head}.conv")
-        y = conv2d(y, jnp.asarray(params[f"head.{head}.weight"]), 1, 1, 0)
-        out[head] = y + jnp.asarray(
-            params[f"head.{head}.bias"], y.dtype).reshape(1, -1, 1, 1)
-    pooled = jnp.mean(pix, axis=(2, 3))
-    out["scene"] = pooled @ jnp.asarray(
-        params["head.scene.weight"], pooled.dtype).T \
-        + jnp.asarray(params["head.scene.bias"], pooled.dtype)
+    # Object/part heads read the 4-level fusion at c2 resolution.
+    hw = fpn[0].shape[2:]
+    fused = jnp.concatenate([fpn[0]] + [resize_bilinear(f, hw)
+                                        for f in fpn[1:]], axis=1)
+    pix = conv_bn_relu(fused, params, "fuse")
+    out["object"] = _head(pix, params, "head.object")
+    out["part"] = _head(pix, params, "head.part")
     return out
 
 

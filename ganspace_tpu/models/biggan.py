@@ -402,13 +402,20 @@ class BigGAN(BaseGenerator):
         return jnp.asarray(sampling.truncated_latents(
             n_samples, self.cfg.z_dim, truncation or self.truncation, seed))
 
-    def sample_latents_device(self, n_batches, batch_size, seed):
-        """Device truncnorm stream (scipy truncnorm(-2,2) distributionally)."""
+    def sample_latents_device(self, n_batches, batch_size, seed,
+                              sharding=None):
+        """Device truncnorm stream (scipy truncnorm(-2,2) distributionally).
+        With ``sharding`` the per-batch draw is jitted straight into the
+        mesh layout so samples materialize shard-local (no resharding)."""
         key = jax.random.PRNGKey(int(seed))
-        return [self.truncation * jax.random.truncated_normal(
-                    jax.random.fold_in(key, i), -2.0, 2.0,
-                    (batch_size, self.cfg.z_dim), jnp.float32)
-                for i in range(n_batches)]
+
+        def draw(k):
+            return self.truncation * jax.random.truncated_normal(
+                k, -2.0, 2.0, (batch_size, self.cfg.z_dim), jnp.float32)
+
+        if sharding is not None:
+            draw = jax.jit(draw, out_shardings=sharding)
+        return [draw(jax.random.fold_in(key, i)) for i in range(n_batches)]
 
     def tap_names(self):
         names = ["embeddings", "generator.gen_z"]

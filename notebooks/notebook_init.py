@@ -96,7 +96,9 @@ def setup(args, use_w: bool = True, estimator: str = "ipca"):
                  seed=args.seed if args.seed else None)
     dump = get_or_compute(cfg, inst)
     data = np.load(dump, allow_pickle=False)
-    t = SimpleNamespace(**{k: jnp.asarray(data[k]) for k in data.files})
+    # Skip non-numeric sidecar keys (e.g. the _meta provenance string).
+    t = SimpleNamespace(**{k: jnp.asarray(data[k]) for k in data.files
+                           if np.issubdtype(data[k].dtype, np.number)})
     data.close()
 
     outdir = Path(args.outdir) if args.outdir else OUTDIR
