@@ -117,6 +117,12 @@ def main(argv=None) -> int:
                                progress=True)
             effect = ablation_effect(inst, layer, segmenter, args.ace_class,
                                      ace["ranking"])
+            # Comparison ranking: units by IoU with the target class
+            # (reference aceplotablate.py plots 'Units by ACE' vs
+            # 'Top units by IoU').
+            iou_rank = np.argsort(-report["iou_matrix"][:, args.ace_class])
+            iou_effect = ablation_effect(inst, layer, segmenter,
+                                         args.ace_class, iou_rank)
             (outdir / "ace.json").write_text(json.dumps({
                 "classnum": ace["classnum"],
                 "baseline": ace["baseline"],
@@ -124,9 +130,16 @@ def main(argv=None) -> int:
                 "ranking": ace["ranking"].tolist(),
                 "loss_history": ace["loss_history"],
                 "ablation_effect": effect,
+                "iou_ablation_effect": iou_effect,
             }, indent=2))
+            from ganspace_tpu.dissection.report import generate_ace_report
+            classname = report["labels"][args.ace_class]
+            ace_html = generate_ace_report(
+                outdir, classname, {"ace": ace},
+                {"Units by ACE": effect, "Top units by IoU": iou_effect})
             print(f"ace: baseline {ace['baseline']:.5f}, "
-                  f"effect@top8 {effect.get(8, float('nan')):.5f}")
+                  f"effect@top8 {effect.get(8, float('nan')):.5f}; "
+                  f"report: {ace_html}")
 
     if args.done_dir:
         from ganspace_tpu.utils import mark_job_done

@@ -96,3 +96,35 @@ def test_edit_override_restored_on_error(setup):
     with pytest.raises(Exception):
         _forward_with_ablation(inst, "deconv0", "not-a-latent", jnp.ones(()))
     assert inst._edit_override is None
+
+
+def test_ace_report_generation(tmp_path):
+    """ACE reporting halves (reference acesummarize.py/aceplotablate.py):
+    loss plot, normalized effect curves, and the summary html."""
+    from ganspace_tpu.dissection.report import (
+        generate_ace_report, save_ablation_effect_plot, save_ace_loss_plot)
+
+    runs = {
+        "reg 0.01": {"loss_history": [0.5, 0.4, 0.3],
+                     "ablation": np.array([1.0, 0.2, 0.0, 1.0]),
+                     "ranking": np.array([0, 3, 1, 2]),
+                     "baseline": 0.25},
+        "reg 0.05": {"loss_history": [0.6, 0.5, 0.45],
+                     "ablation": np.array([0.0, 0.0, 0.0, 1.0]),
+                     "ranking": np.array([3, 0, 1, 2]),
+                     "baseline": 0.25},
+    }
+    effects = {
+        "Units by ACE": {0: 0.25, 2: 0.10, 4: 0.02},
+        "Top units by IoU": {0: 0.25, 2: 0.18, 4: 0.09},
+    }
+
+    p = save_ace_loss_plot(runs, tmp_path / "loss.png")
+    assert p.exists() and p.stat().st_size > 0
+    p = save_ablation_effect_plot(effects, 0.25, tmp_path / "eff.png", "door")
+    assert p.exists() and p.stat().st_size > 0
+
+    html_path = generate_ace_report(tmp_path / "rep", "door", runs, effects)
+    text = html_path.read_text()
+    assert "ace-loss.png" in text and "ace-effect.png" in text
+    assert "reg 0.01" in text and "2/4" in text   # saturated-unit count
