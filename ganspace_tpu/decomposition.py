@@ -419,7 +419,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             if not transformer.fit_stream(block_fn, n_stream_blocks, key0):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
-            x_block = block_fn(_jax.random.fold_in(key0, 0))
+            # jitted (not eager): eager op-by-op synthesis on a mesh risks
+            # XLA's 40 s collective-rendezvous timeout under compile load.
+            x_block = _jax.jit(block_fn)(_jax.random.fold_in(key0, 0))
         except KeyboardInterrupt:
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
             dump_name = dump_name.parent / dump_name.name.replace(
@@ -488,6 +490,46 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             f"n{n_total}", f"n{n_fitted}")
         print(f'Saving current state to "{dump_name.name}" before exiting')
         canceled = True
+
+    # Sketch-tier refine pass: the latent stream is kept/regenerable, so one
+    # extra synthesis sweep buys a power iteration on the scatter — taking
+    # the big-D streaming PCA from ~0.9 to >0.995 per-component cosine vs
+    # exact (IPCAEstimator.begin_refine; the fused paths refine inside
+    # fit_stream, and the moments/sklearn tiers never need it).
+    if (not canceled and not (fused or fused_acts)
+            and transformer.batch_support
+            and hasattr(transformer, "begin_refine")
+            and transformer.begin_refine()):
+        try:
+            for bi, gi in enumerate(range(0, n_total, nb)):
+                if samples_are_latents:
+                    x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
+                else:
+                    chunks = []
+                    for mb in range(0, nb, batch):
+                        z = latent_slice(gi + mb, gi + mb + batch)
+                        model.partial_forward(z, layer_key)
+                        chunks.append(inst.retained_features()[layer_key]
+                                      .reshape(batch, -1))
+                    x_block = jnp.concatenate(chunks, axis=0)[:nb]
+                if can_group:
+                    pending.append(x_block)
+                    if len(pending) >= group_size and not flush_pending():
+                        break
+                elif not transformer.fit_partial(x_block):
+                    break
+                print(f"\rRefine pass (NB={nb}): {bi + 1}/{n_blocks}",
+                      end="", flush=True)
+            if can_group:
+                flush_pending(final=True)
+            print()
+        except KeyboardInterrupt:
+            n_fitted = getattr(transformer, "n_samples_seen_", 0)
+            dump_name = dump_name.parent / dump_name.name.replace(
+                f"n{n_total}", f"n{n_fitted}")
+            print(f'Saving partial refine state to "{dump_name.name}" '
+                  "before exiting")
+            canceled = True
 
     if not transformer.batch_support:
         x_data = samples

@@ -135,6 +135,26 @@ def _nystrom_update(state: _NystromState, x: jnp.ndarray,
         state.y + mm(x.T, xo))
 
 
+@jax.jit
+def _nystrom_range(state: _NystromState, omega: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of the centered first-pass sketch, via tall-skinny
+    Cholesky QR (two gemms + one l x l factorization — no [D, l] QR, so the
+    feature axis stays sharded).  Used as the test matrix of the refine
+    pass: streaming the data once more against this basis is one power
+    iteration on the centered scatter, which squares the sketch's
+    convergence ratios (measured: l=4c goes from ~0.9 to >0.995 per-component
+    cosine on production-shape conv taps, tests/test_nystrom_production.py)."""
+    n = state.count
+    mu = state.s / n
+    yc = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
+    g = mm(yc.T, yc)
+    g = 0.5 * (g + g.T)
+    shift = 1e-6 * jnp.trace(g) / g.shape[0] + 1e-20
+    chol = jnp.linalg.cholesky(g + shift * jnp.eye(g.shape[0], dtype=g.dtype))
+    # yc = Q L^T  =>  Q = yc L^{-T}
+    return jax.scipy.linalg.solve_triangular(chol, yc.T, lower=True).T
+
+
 @partial(jax.jit, static_argnames=("n_components",))
 def _nystrom_finish(state: _NystromState, omega: jnp.ndarray,
                     *, n_components: int):
@@ -219,12 +239,15 @@ class IPCAEstimator:
         self._moments: Optional[_MomentsState] = None
         self._nystrom: Optional[_NystromState] = None
         self._omega: Optional[jnp.ndarray] = None
+        self._refined = False
         self._sharding = feature_sharding
         assert mode in ("auto", "sklearn", "moments", "nystrom")
         self.mode = mode
-        # Single-pass Nystrom needs more oversampling than two-pass rSVD:
-        # l=2c reaches ~0.9 component cosine on decaying spectra, l=4c
-        # ~0.998, l=8c exact (measured on synthetic data, test suite).
+        # Sketch oversampling l=4c.  Single-pass, this reaches ~0.9
+        # per-component cosine on real conv-tap spectra; with the refine
+        # pass (begin_refine — one power iteration over the regenerated
+        # stream, the production default) every component lands >0.99 vs
+        # exact PCA (measured at D=131072, tests/test_nystrom_production.py).
         self.oversample = max(4 * n_components, n_components + 32)
         # sklearn default batch size used by fit() (estimators.py:59)
         self.batch_size = max(100, 2 * n_components)
@@ -273,6 +296,54 @@ class IPCAEstimator:
             x, NamedSharding(self._sharding.mesh,
                              P(*((axis,) + (None,) * (x.ndim - 1)))))
 
+    def begin_refine(self) -> bool:
+        """Arm the sketch tier's second data pass (power iteration).
+
+        Returns True when re-streaming the SAME activation stream through
+        ``fit_partial`` will improve the estimate: the test matrix becomes
+        the orthonormal range of the first-pass sketch and accumulation
+        restarts.  Callers with regenerable streams (seeded latents — zero
+        storage cost, one extra synthesis sweep) should do so; the moments
+        and sklearn tiers never need it.  Disable with
+        ``GANSPACE_IPCA_REFINE=0`` to keep the single-pass sketch."""
+        import os
+        if (self._nystrom is None or self._refined
+                or os.environ.get("GANSPACE_IPCA_REFINE", "1") != "1"):
+            return False
+        d, l = self._nystrom.y.shape
+        self._omega = _nystrom_range(self._nystrom, self._omega)
+        self._nystrom = _NystromState(
+            jnp.asarray(0.0),
+            self._placed(jnp.zeros((d,), jnp.float32)),
+            jnp.asarray(0.0),
+            self._placed_rows(jnp.zeros((d, l), jnp.float32)))
+        self.n_samples_seen_ = 0
+        self._refined = True
+        return True
+
+    def _maybe_init_tier(self, d: int) -> None:
+        """Allocate the moments/sketch state on first contact with the
+        feature dimensionality (no-op when a tier is already live or the
+        sklearn-mirror tier applies)."""
+        if not (self._state is None and self._moments is None
+                and self._nystrom is None):
+            return
+        if self._use_moments(d):
+            self._moments = _MomentsState(
+                jnp.asarray(0.0),
+                self._placed(jnp.zeros((d,), jnp.float32)),
+                self._placed(jnp.zeros((d, d), jnp.float32)))
+        elif self._use_nystrom(d):
+            l = min(self.oversample, d)
+            # [D, l] tensors carry the feature axis FIRST: shard rows.
+            self._omega = self._placed_rows(jax.random.normal(
+                jax.random.PRNGKey(0xA5), (d, l), jnp.float32))
+            self._nystrom = _NystromState(
+                jnp.asarray(0.0),
+                self._placed(jnp.zeros((d,), jnp.float32)),
+                jnp.asarray(0.0),
+                self._placed_rows(jnp.zeros((d, l), jnp.float32)))
+
     def fit_partial(self, x) -> bool:
         x = jnp.asarray(x, dtype=jnp.float32)
         n, d = x.shape
@@ -280,23 +351,7 @@ class IPCAEstimator:
             print(f"\nIPCA error: n_samples={n} < n_components={self.n_components}")
             return False
         x = self._placed(x)
-        if self._state is None and self._moments is None \
-                and self._nystrom is None:
-            if self._use_moments(d):
-                self._moments = _MomentsState(
-                    jnp.asarray(0.0),
-                    self._placed(jnp.zeros((d,), jnp.float32)),
-                    self._placed(jnp.zeros((d, d), jnp.float32)))
-            elif self._use_nystrom(d):
-                l = min(self.oversample, d)
-                # [D, l] tensors carry the feature axis FIRST: shard rows.
-                self._omega = self._placed_rows(jax.random.normal(
-                    jax.random.PRNGKey(0xA5), (d, l), jnp.float32))
-                self._nystrom = _NystromState(
-                    jnp.asarray(0.0),
-                    self._placed(jnp.zeros((d,), jnp.float32)),
-                    jnp.asarray(0.0),
-                    self._placed_rows(jnp.zeros((d, l), jnp.float32)))
+        self._maybe_init_tier(d)
         if self._moments is not None:
             self._moments = _moments_update(self._moments, x)
             self.n_samples_seen_ += n
@@ -364,13 +419,21 @@ class IPCAEstimator:
         """
         if n_blocks <= 0:
             return True
-        # Eager first block: initializes the tier state and gives D.
-        x0 = block_fn(jax.random.fold_in(key, 0))
-        if not self.fit_partial(x0):
+        # Shape-only probe: initialize the tier state WITHOUT running the
+        # first block eagerly — eager synthesis executes op-by-op, and on a
+        # meshed run each tiny op is its own collective program (measured:
+        # XLA's 40 s cross-device rendezvous can time out under compile
+        # load, aborting the process).  Everything streams through the
+        # jitted scans below instead.
+        shape = jax.eval_shape(block_fn, jax.random.fold_in(key, 0))
+        nb, d = shape.shape
+        if nb < self.n_components:
+            print(f"\nIPCA error: n_samples={nb} < "
+                  f"n_components={self.n_components}")
             return False
+        self._maybe_init_tier(d)
         if self._moments is None and self._nystrom is None:
             return False                      # sklearn tier: no fused stream
-        nb = x0.shape[0]
 
         tier = "moments" if self._moments is not None else "nystrom"
 
@@ -384,20 +447,26 @@ class IPCAEstimator:
             state, _ = jax.lax.scan(body, state, jnp.arange(k))
             return state
 
-        i = 1
-        while i + chunk <= n_blocks:
-            if tier == "moments":
-                self._moments = scan_chunk(self._moments, 0, jnp.int32(i),
-                                           k=chunk)
-            else:
-                self._nystrom = scan_chunk(self._nystrom, self._omega,
-                                           jnp.int32(i), k=chunk)
-            self.n_samples_seen_ += chunk * nb
-            i += chunk
-        while i < n_blocks:                   # tail, eager per block
-            if not self.fit_partial(block_fn(jax.random.fold_in(key, i))):
-                return False
-            i += 1
+        def run_pass() -> None:
+            # Full chunks share one scan program; the tail gets its own
+            # static length (one extra compile, disk-cached) — no block is
+            # ever synthesized eagerly.
+            i = 0
+            while i < n_blocks:
+                k = min(chunk, n_blocks - i)
+                if tier == "moments":
+                    self._moments = scan_chunk(self._moments, 0, jnp.int32(i),
+                                               k=k)
+                else:
+                    self._nystrom = scan_chunk(self._nystrom, self._omega,
+                                               jnp.int32(i), k=k)
+                self.n_samples_seen_ += k * nb
+                i += k
+
+        run_pass()
+        # Sketch tier: regenerable stream -> free power-iteration pass.
+        if self._nystrom is not None and self.begin_refine():
+            run_pass()
         return True
 
     def fit(self, x):

@@ -119,12 +119,18 @@ def test_fit_stream_matches_fit_partial():
     assert cos.min() > 0.9999
     assert np.allclose(sa, sb, rtol=1e-3)
 
-    # nystrom tier through the same path
+    # nystrom tier through the same path; fit_stream refines internally, so
+    # the sequential reference must run the same two passes (the production
+    # driver's begin_refine + re-stream).
     streamed_n = IPCAEstimator(c, mode="nystrom")
     assert streamed_n.fit_stream(block_fn, n_blocks, key, chunk=8)
     seq_n = IPCAEstimator(c, mode="nystrom")
     for i in range(n_blocks):
         assert seq_n.fit_partial(block_fn(jax.random.fold_in(key, i)))
+    assert seq_n.begin_refine()
+    for i in range(n_blocks):
+        assert seq_n.fit_partial(block_fn(jax.random.fold_in(key, i)))
+    assert streamed_n.n_samples_seen_ == seq_n.n_samples_seen_
     cn, _, _ = streamed_n.get_components()
     cn2, _, _ = seq_n.get_components()
     cos = np.abs(np.sum(cn * cn2, -1))

@@ -55,3 +55,27 @@ def test_data_parallel_synthesis_matches_single_device():
 def test_dryrun_entrypoint():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_feature_sharded_nystrom_refine_matches_replicated():
+    """Sketch tier + refine pass under feature sharding: the [D, l] sketch,
+    the CholQR range finder, and the second pass must all run shard-local
+    and match the replicated run."""
+    rs = np.random.RandomState(1)
+    x = (rs.randn(2048, 4096) * np.linspace(5, 0.5, 4096)).astype(np.float32)
+
+    def run(feat_sh):
+        est = IPCAEstimator(8, feature_sharding=feat_sh, mode="nystrom")
+        for i in range(0, 2048, 256):
+            est.fit_partial(x[i:i + 256])
+        assert est.begin_refine()
+        for i in range(0, 2048, 256):
+            est.fit_partial(x[i:i + 256])
+        return est.get_components()
+
+    comp_ref, stdev_ref, _ = run(None)
+    mesh = get_mesh()
+    comp, stdev, _ = run(NamedSharding(mesh, P(None, "data")))
+
+    assert np.abs(np.abs(np.sum(comp * comp_ref, -1)) - 1).max() < 1e-4
+    assert np.allclose(stdev, stdev_ref, rtol=1e-4)
