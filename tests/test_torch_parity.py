@@ -192,3 +192,119 @@ def test_stylegan1_activation_parity():
         err = _rel_err(np.asarray(inst.retained_features()[t]), store[t])
         assert err < 1e-4, f"{t}: rel err {err}"
     assert _rel_err(raw, out_t) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# BigGAN-deep (reference models/biggan/.../pytorch_pretrained_biggan/model.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_biggan():
+    """Import the reference BigGAN package standalone; its file_utils needs
+    boto3 (absent) and is only used by from_pretrained — stub it."""
+    if "ref_biggan.model" in sys.modules:
+        return sys.modules["ref_biggan.model"]
+    pkgdir = f"{REF}/models/biggan/pytorch_biggan/pytorch_pretrained_biggan"
+    pkg = types.ModuleType("ref_biggan")
+    pkg.__path__ = [pkgdir]
+    sys.modules["ref_biggan"] = pkg
+    fu = types.ModuleType("ref_biggan.file_utils")
+    fu.cached_path = lambda *a, **k: None
+    sys.modules["ref_biggan.file_utils"] = fu
+    for name in ("config", "model"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_biggan.{name}", f"{pkgdir}/{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "ref_biggan"
+        sys.modules[f"ref_biggan.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["ref_biggan.model"]
+
+
+def test_biggan_activation_parity():
+    ref = _load_ref_biggan()
+    # Channel chain must end at width-mult 1 (the reference Generator
+    # hardcodes its final BN/to-rgb at channel_width, model.py:226-228) and
+    # may only halve or hold (GenBlock's drop-channels skip, model.py:196-199).
+    ref_cfg = sys.modules["ref_biggan.config"].BigGANConfig(
+        output_dim=64, z_dim=16, class_embed_dim=16, channel_width=8,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 4), (True, 4, 2),
+                (True, 2, 1)],
+        attention_layer_position=2)
+    torch.manual_seed(13)
+    g = ref.BigGAN(ref_cfg)
+    g.eval()
+
+    # Non-trivial truncation-interpolated BN stats (they init to 0/1).
+    rs = np.random.RandomState(8)
+    for name, buf in g.named_buffers():
+        if name.endswith("running_means"):
+            buf.copy_(torch.from_numpy(
+                rs.randn(*buf.shape).astype(np.float32) * 0.2))
+        elif name.endswith("running_vars"):
+            buf.copy_(torch.from_numpy(
+                rs.uniform(0.5, 1.5, buf.shape).astype(np.float32)))
+
+    z = np.random.RandomState(31).randn(2, 16).astype(np.float32)
+    onehot = np.zeros((2, 10), np.float32)
+    onehot[:, 3] = 1.0
+
+    # Converge the spectral-norm u/v vectors (train-mode power iterations):
+    # unconverged sigma estimates at random init let every conv amplify
+    # ~10x and the 20-conv stack overflows f32.  The baked importer and the
+    # eval-mode torch forward then agree on the SAME normalized weights.
+    g.train()
+    with torch.no_grad():
+        for _ in range(30):
+            g(torch.from_numpy(z), torch.from_numpy(onehot), truncation=0.4)
+    g.eval()
+
+    from ganspace_tpu.models.biggan import BigGAN, BigGANConfig
+    from ganspace_tpu.models.torch_import import import_biggan
+    params = import_biggan({k: v.clone() for k, v in g.state_dict().items()})
+    cfg = BigGANConfig(output_dim=64, z_dim=16, channel_width=8,
+                       num_classes=10,
+                       layers=((False, 16, 16), (True, 16, 8), (True, 8, 4),
+                               (True, 4, 2), (True, 2, 1)),
+                       attention_layer_position=2)
+    trunc = 0.4
+    ours = BigGAN(resolution=64, class_name=3, truncation=trunc,
+                  cfg=cfg, params=params)
+
+    taps = ["generator.gen_z", "generator.layers.1.conv_1",
+            "generator.layers.3.bn_2", "generator.layers.2"]  # 2 = attention
+    store, handles = _hook_outputs(g, taps)
+
+    with torch.no_grad():
+        out_t = g(torch.from_numpy(z), torch.from_numpy(onehot),
+                  truncation=trunc).numpy()
+    for h in handles:
+        h.remove()
+
+    from ganspace_tpu.models.base import InstrumentedModel
+    inst = InstrumentedModel(ours)
+    inst.retain_layers(taps)
+    raw = 2.0 * np.asarray(ours.forward(z)) - 1.0
+
+    # 1e-3 (not 1e-4): the 20-conv spectral-normed stack amplifies
+    # ulp-level GEMM reduction-order differences (torch's CPU thread split
+    # varies under machine load) by ~1e3; real import bugs are orders of
+    # magnitude larger.
+    for t in taps:
+        err = _rel_err(np.asarray(inst.retained_features()[t]), store[t])
+        assert err < 1e-3, f"{t}: rel err {err}"
+    assert _rel_err(raw, out_t) < 1e-3
+
+    # Layerwise-z contract: distinct per-layer latents agree end-to-end too.
+    zs = [np.random.RandomState(40 + i).randn(2, 16).astype(np.float32)
+          for i in range(ours.get_max_latents())]
+    with torch.no_grad():
+        out_t = g([torch.from_numpy(zz) for zz in zs],
+                  torch.from_numpy(onehot), truncation=trunc).numpy()
+    raw = 2.0 * np.asarray(ours.forward([jnp_asarray(zz) for zz in zs])) - 1.0
+    assert _rel_err(raw, out_t) < 1e-3
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
