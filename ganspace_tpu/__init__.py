@@ -30,6 +30,19 @@ def _enable_compile_cache() -> None:
             _os.path.abspath(__file__))), ".jax_cache"))
     if not cache_dir:
         return
+    # XLA:CPU persists AOT executables specialized to the *host's* CPU
+    # features, but the cache key does not include them — a cache written on
+    # one machine poisons runs on another (observed: avx512/amx host change
+    # -> per-entry load errors and flaky numerics).  Partition by a host
+    # fingerprint so a machine change starts a fresh subcache.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        cache_dir = _os.path.join(
+            cache_dir, hashlib.sha1(flags.encode()).hexdigest()[:10])
+    except OSError:
+        pass
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", cache_dir)
