@@ -100,6 +100,14 @@ class TapState:
         self.retained: Dict[str, jnp.ndarray] = {}
         self.stopped = False
 
+    def needs(self, name: str) -> bool:
+        """True if tapping ``name`` has any visible effect (retain/edit/stop).
+
+        Lets layout-transformed execution paths (e.g. the space-to-depth
+        tail, ``ops/s2d.py``) skip the conversion back to the reference NCHW
+        layout when nobody is watching the tap."""
+        return name in self.retain or name in self.edits or name == self.stop_at
+
     def tap(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
         if name in self.retain:
             self.retained[name] = x

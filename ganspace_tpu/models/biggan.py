@@ -37,10 +37,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 from ganspace_tpu import sampling
 from ganspace_tpu.models.base import BaseGenerator, TapState
 from ganspace_tpu.ops.precision import get_precision
 from ganspace_tpu.ops.upfirdn import nearest_upsample2x
+from ganspace_tpu.ops import s2d as s2d_ops
 
 # (up-sample?, in-width-mult, out-width-mult), reference biggan config.py:21-31
 LAYERS_128 = ((False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
@@ -239,6 +242,127 @@ def _self_attn(params, base, x, ts: TapState):
     return ts.tap(base, out)
 
 
+# Space-to-depth tail (see ``ops/s2d.py``): GenBlocks whose bottleneck width
+# mid = cin/4 falls to or below this run in (H/2, W/2, 4C) block layout from
+# their up-conv onward (BigGAN-256/512 tails reach mid=32 at 256-512 px,
+# where plain NCHW convs run far off roofline on TPU).
+S2D_MAX_CH = 64
+
+
+def _cond_bn_blk(params, name, x_blk, cond, truncation, n_stats, eps=1e-4):
+    mean, var = _trunc_stats(params, name, truncation, n_stats)
+    weight = 1.0 + jnp.matmul(cond, params[f"{name}.scale.weight"].T,
+                              precision=get_precision())
+    bias = jnp.matmul(cond, params[f"{name}.offset.weight"].T,
+                      precision=get_precision())
+    inv = lax.rsqrt(var + eps)
+    b, h, w, f = x_blk.shape
+    c = f // 4
+    y = x_blk.reshape(b, h, w, 4, c)
+    y = (y - mean[None, None, None, None, :]) * inv[None, None, None, None, :]
+    y = (y * weight[:, None, None, None, :].astype(y.dtype)
+         + bias[:, None, None, None, :].astype(y.dtype))
+    return y.reshape(b, h, w, f)
+
+
+def _plain_bn_blk(params, name, x_blk, truncation, n_stats, eps=1e-4):
+    mean, var = _trunc_stats(params, name, truncation, n_stats)
+    inv = lax.rsqrt(var + eps)
+    w_, b_ = params[f"{name}.weight"], params[f"{name}.bias"]
+    scale = inv * w_
+    shift = b_ - mean * scale
+    b, h, w, f = x_blk.shape
+    c = f // 4
+    y = x_blk.reshape(b, h, w, 4, c)
+    y = y * scale[None, None, None, None, :] + shift[None, None, None, None, :]
+    return y.reshape(b, h, w, f)
+
+
+def _conv_blk(params, name, x_blk, k):
+    w = params[f"{name}.weight"].astype(x_blk.dtype)
+    if k == 1:
+        y = s2d_ops.conv1x1_blocks(x_blk, w)
+    else:
+        y = s2d_ops.conv3x3_blocks(x_blk, w)
+    b = params.get(f"{name}.bias")
+    if b is not None:
+        y = y + jnp.tile(b, 4).astype(y.dtype)
+    return y
+
+
+def _gen_block_blk(params, base, x, cond, truncation, n_stats, up, ts: TapState,
+                   enter: bool):
+    """Block-layout GenBlock.  With ``enter`` the input is still NCHW: the
+    pre-upsample half runs in pixel layout and the layout switch happens
+    inside the fused nearest-up conv_1 (free)."""
+    tb = s2d_ops.tap_blocks
+    if enter:
+        x0 = x
+        x = ts.tap(f"{base}.bn_0", _cond_bn(params, f"{base}.bn_0", x, cond, truncation, n_stats))
+        x = ts.tap(f"{base}.relu", jax.nn.relu(x))
+        x = ts.tap(f"{base}.conv_0", _conv(params, f"{base}.conv_0", x, 1, 0))
+        x = ts.tap(f"{base}.bn_1", _cond_bn(params, f"{base}.bn_1", x, cond, truncation, n_stats))
+        x = ts.tap(f"{base}.relu", jax.nn.relu(x))
+        if ts.stopped:
+            return x
+        x = jnp.transpose(x, (0, 2, 3, 1))  # pixel NHWC
+        w1 = params[f"{base}.conv_1.weight"].astype(x.dtype)
+        x = s2d_ops.nearestup_conv_blocks(x, w1, pixel_input=True)
+        b1 = params.get(f"{base}.conv_1.bias")
+        if b1 is not None:
+            x = x + jnp.tile(b1, 4).astype(x.dtype)
+        x = tb(ts, f"{base}.conv_1", x)
+    else:
+        x0 = x
+        x = tb(ts, f"{base}.bn_0", _cond_bn_blk(params, f"{base}.bn_0", x, cond, truncation, n_stats))
+        x = tb(ts, f"{base}.relu", jax.nn.relu(x))
+        x = tb(ts, f"{base}.conv_0", _conv_blk(params, f"{base}.conv_0", x, 1))
+        x = tb(ts, f"{base}.bn_1", _cond_bn_blk(params, f"{base}.bn_1", x, cond, truncation, n_stats))
+        x = tb(ts, f"{base}.relu", jax.nn.relu(x))
+        if ts.stopped:
+            return x
+        if up:
+            w1 = params[f"{base}.conv_1.weight"].astype(x.dtype)
+            x = s2d_ops.nearestup_conv_blocks(x, w1)
+            b1 = params.get(f"{base}.conv_1.bias")
+            if b1 is not None:
+                x = x + jnp.tile(b1, 4).astype(x.dtype)
+            x = tb(ts, f"{base}.conv_1", x)
+        else:
+            x = tb(ts, f"{base}.conv_1", _conv_blk(params, f"{base}.conv_1", x, 3))
+    if ts.stopped:
+        return x
+
+    x = tb(ts, f"{base}.bn_2", _cond_bn_blk(params, f"{base}.bn_2", x, cond, truncation, n_stats))
+    x = tb(ts, f"{base}.relu", jax.nn.relu(x))
+    x = tb(ts, f"{base}.conv_2", _conv_blk(params, f"{base}.conv_2", x, 3))
+    x = tb(ts, f"{base}.bn_3", _cond_bn_blk(params, f"{base}.bn_3", x, cond, truncation, n_stats))
+    x = tb(ts, f"{base}.relu", jax.nn.relu(x))
+    x = tb(ts, f"{base}.conv_3", _conv_blk(params, f"{base}.conv_3", x, 1))
+    if ts.stopped:
+        return x
+
+    if enter:
+        cin = x0.shape[1]
+        cout4 = x.shape[-1]
+        if cout4 != cin * 4:
+            x0 = x0[:, :cin // 2]  # channel-drop skip (model.py:195-197)
+        x0 = jnp.transpose(x0, (0, 2, 3, 1))
+        if up:
+            x0 = s2d_ops.nearest_up_blocks(x0, x0.shape[-1], pixel_input=True)
+        else:
+            x0 = s2d_ops.nchw_to_blocks(jnp.transpose(x0, (0, 3, 1, 2)))
+    else:
+        cin4 = x0.shape[-1]
+        if x.shape[-1] != cin4:
+            b, h, w, _ = x0.shape
+            x0 = x0.reshape(b, h, w, 4, cin4 // 4)[..., :cin4 // 8]
+            x0 = x0.reshape(b, h, w, cin4 // 2)
+        if up:
+            x0 = s2d_ops.nearest_up_blocks(x0, x0.shape[-1] // 4)
+    return tb(ts, base, x + x0)
+
+
 def _gen_block(params, base, x, cond, truncation, n_stats, up, ts: TapState):
     x0 = x
     x = ts.tap(f"{base}.bn_0", _cond_bn(params, f"{base}.bn_0", x, cond, truncation, n_stats))
@@ -268,7 +392,8 @@ def _gen_block(params, base, x, cond, truncation, n_stats, up, ts: TapState):
 
 def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
                truncation: float, n_layers_to_run: int,
-               retain: Tuple[str, ...], stop_at: Optional[str]):
+               retain: Tuple[str, ...], stop_at: Optional[str],
+               s2d_tail: bool = True):
     """zs: tuple of n_latents [B, z_dim] arrays; class_onehot [B, 1000]."""
     ts = TapState(retain, edits, stop_at)
     embeds = []
@@ -290,6 +415,19 @@ def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
     ch16 = 16 * cfg.channel_width
     x = z.reshape(-1, 4, 4, ch16).transpose(0, 3, 1, 2)
 
+    # Block-layout entry point: the first up-GenBlock whose bottleneck has
+    # thinned to <= S2D_MAX_CH channels (static — part of the jit signature).
+    entry_mi = None
+    if s2d_tail:
+        plan = cfg.module_plan()
+        attn_mi = max((mi for mi, mod in enumerate(plan) if mod[0] == "attn"),
+                      default=-1)
+        for mi, mod in enumerate(plan):
+            if (mi > attn_mi and mod[0] == "gen" and mod[1]
+                    and mod[2] // 4 <= S2D_MAX_CH):
+                entry_mi = mi
+                break
+
     cond_idx = 1
     for mi, mod in enumerate(cfg.module_plan()):
         if mi >= n_layers_to_run:
@@ -299,11 +437,28 @@ def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
             x = _self_attn(params, base, x, ts)
         else:
             _, up, _, _ = mod
-            x = _gen_block(params, base, x, conds[cond_idx], truncation,
-                           cfg.n_stats, up, ts)
+            if entry_mi is not None and mi >= entry_mi:
+                x = _gen_block_blk(params, base, x, conds[cond_idx], truncation,
+                                   cfg.n_stats, up, ts, enter=(mi == entry_mi))
+            else:
+                x = _gen_block(params, base, x, conds[cond_idx], truncation,
+                               cfg.n_stats, up, ts)
             cond_idx += 1
         if ts.stopped:
             return None, ts.retained
+
+    if entry_mi is not None:
+        tb = s2d_ops.tap_blocks
+        x = tb(ts, "generator.bn", _plain_bn_blk(params, "generator.bn", x, truncation, cfg.n_stats))
+        x = tb(ts, "generator.relu", jax.nn.relu(x))
+        x = tb(ts, "generator.conv_to_rgb", _conv_blk(params, "generator.conv_to_rgb", x, 3))
+        if ts.stopped:
+            return None, ts.retained
+        b, h, w, f = x.shape
+        x = x.reshape(b, h, w, 4, f // 4)[..., :3].reshape(b, h, w, 12)
+        x = s2d_ops.blocks_to_nchw(x)
+        x = jnp.tanh(x)
+        return x, ts.retained
 
     x = ts.tap("generator.bn", _plain_bn(params, "generator.bn", x, truncation, cfg.n_stats))
     x = ts.tap("generator.relu", jax.nn.relu(x))
@@ -346,9 +501,11 @@ class BigGAN(BaseGenerator):
         self.set_output_class(class_name if class_name is not None else "husky")
         self.name = f"BigGAN-{resolution}-{self.outclass}-t{self.truncation}"
         self.has_latent_residual = True
+        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
             jax.jit,
-            static_argnames=("truncation", "n_layers_to_run", "retain", "stop_at"))(
+            static_argnames=("truncation", "n_layers_to_run", "retain",
+                             "stop_at", "s2d_tail"))(
             partial(synthesize, cfg=self.cfg))
 
     # -- class conditioning --------------------------------------------------
@@ -448,13 +605,15 @@ class BigGAN(BaseGenerator):
         params, cfg, v_class = self.params, self.cfg, self.v_class
         trunc = float(self.truncation)
         n_run = self._n_layers_for(layer_name)
+        s2d_tail = self._s2d
 
         def fn(z):
             zs = tuple([z] * cfg.n_latents)
             onehot = jnp.broadcast_to(v_class, (z.shape[0], cfg.num_classes))
             _, retained = synthesize(params, zs, onehot, {}, cfg=cfg,
                                      truncation=trunc, n_layers_to_run=n_run,
-                                     retain=(tap,), stop_at=tap)
+                                     retain=(tap,), stop_at=tap,
+                                     s2d_tail=s2d_tail)
             return retained[tap].reshape(z.shape[0], -1)
         return fn
 
@@ -471,7 +630,7 @@ class BigGAN(BaseGenerator):
         img, retained = self._jit_core(
             self.params, zs, class_onehot, edits,
             truncation=float(self.truncation), n_layers_to_run=n_run,
-            retain=retain, stop_at=stop_at)
+            retain=retain, stop_at=stop_at, s2d_tail=self._s2d)
         if store is not None:
             store(retained)
         return img

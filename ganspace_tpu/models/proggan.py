@@ -10,6 +10,7 @@ checkpoints' layer naming: ``layer1 .. layerN`` plus ``output_KxK``
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -23,6 +24,7 @@ from ganspace_tpu import sampling
 from ganspace_tpu.models.base import BaseGenerator, TapState
 from ganspace_tpu.ops.precision import get_precision
 from ganspace_tpu.ops.upfirdn import nearest_upsample2x
+from ganspace_tpu.ops import s2d as s2d_ops
 
 VALID_CLASSES = ["bedroom", "churchoutdoor", "conferenceroom", "diningroom",
                  "kitchen", "livingroom", "restaurant"]
@@ -77,31 +79,68 @@ def _pixel_norm_nchw(x):
         jnp.sqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + 1e-8))
 
 
+# The block-layout (space-to-depth) tail enters at the first up-conv whose
+# output channels drop to or below this — see ``ops/s2d.py``; ProGAN tails
+# thin out to C=16-64 where the plain NCHW conv runs ~10-30x off roofline.
+S2D_MAX_CH = 64
+
+
 def synthesize(params, z, edits, *, cfg: ProGANConfig,
-               retain: Tuple[str, ...], stop_at: Optional[str]):
+               retain: Tuple[str, ...], stop_at: Optional[str],
+               s2d_tail: bool = True):
     ts = TapState(retain, edits, stop_at)
     x = z.reshape(z.shape[0], z.shape[1], 1, 1)
     plan = cfg.layer_plan()
+    in_blocks = False
     for li, (name, cin, cout, k, pad, up) in enumerate(plan):
         is_output = li == len(plan) - 1
-        x = _pixel_norm_nchw(x)
-        if up:
-            x = nearest_upsample2x(x)
-        w = params[f"{name}.conv.weight"].astype(x.dtype)
-        x = lax.conv_general_dilated(
-            x, w, (1, 1), ((pad, pad), (pad, pad)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=get_precision())
-        # WScaleLayer (proggan.py:110-121): gain/sqrt(fan_in) with
-        # gain = sqrt(2)/kernel_size for conv blocks, 1 for the output block.
-        gain = 1.0 if is_output else math.sqrt(2.0) / k
-        scale = gain / math.sqrt(cin)
-        b = params[f"{name}.wscale.b"].astype(x.dtype)
-        x = x * scale + b.reshape(1, -1, 1, 1)
-        if not is_output:
-            x = jnp.where(x >= 0, x, 0.2 * x)
-        x = ts.tap(name, x)
-        if ts.stopped:
-            return None, ts.retained
+        enter = (s2d_tail and not in_blocks and up and k == 3
+                 and cout <= S2D_MAX_CH)
+        if in_blocks or enter:
+            w = params[f"{name}.conv.weight"].astype(x.dtype)
+            if enter:
+                x = jnp.transpose(x, (0, 2, 3, 1))  # pixel NHWC at entry
+                x = x * jnp.reciprocal(jnp.sqrt(
+                    jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8))
+                x = s2d_ops.nearestup_conv_blocks(x, w, pixel_input=True)
+                in_blocks = True
+            else:
+                x = s2d_ops.pixel_norm_blocks(x)
+                if up:
+                    x = s2d_ops.nearestup_conv_blocks(x, w)
+                elif k == 3:
+                    x = s2d_ops.conv3x3_blocks(x, w)
+                else:  # 1x1 output conv
+                    x = s2d_ops.conv1x1_blocks(x, w)
+            gain = 1.0 if is_output else math.sqrt(2.0) / k
+            b = params[f"{name}.wscale.b"].astype(x.dtype)
+            x = x * (gain / math.sqrt(cin)) + jnp.tile(b, 4)
+            if not is_output:
+                x = jnp.where(x >= 0, x, 0.2 * x)
+            x = s2d_ops.tap_blocks(ts, name, x)
+            if ts.stopped:
+                return None, ts.retained
+        else:
+            x = _pixel_norm_nchw(x)
+            if up:
+                x = nearest_upsample2x(x)
+            w = params[f"{name}.conv.weight"].astype(x.dtype)
+            x = lax.conv_general_dilated(
+                x, w, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=get_precision())
+            # WScaleLayer (proggan.py:110-121): gain/sqrt(fan_in) with
+            # gain = sqrt(2)/kernel_size for conv blocks, 1 for the output block.
+            gain = 1.0 if is_output else math.sqrt(2.0) / k
+            scale = gain / math.sqrt(cin)
+            b = params[f"{name}.wscale.b"].astype(x.dtype)
+            x = x * scale + b.reshape(1, -1, 1, 1)
+            if not is_output:
+                x = jnp.where(x >= 0, x, 0.2 * x)
+            x = ts.tap(name, x)
+            if ts.stopped:
+                return None, ts.retained
+    if in_blocks:
+        x = s2d_ops.blocks_to_nchw(x)
     return x, ts.retained
 
 
@@ -132,7 +171,9 @@ class ProGAN(BaseGenerator):
         self.has_latent_residual = False
         self.params = jax.tree.map(
             jnp.asarray, params if params is not None else init_params(self.cfg, init_seed))
-        self._jit_core = partial(jax.jit, static_argnames=("retain", "stop_at"))(
+        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
+        self._jit_core = partial(
+            jax.jit, static_argnames=("retain", "stop_at", "s2d_tail"))(
             partial(synthesize, cfg=self.cfg))
 
     def tap_names(self):
@@ -152,9 +193,11 @@ class ProGAN(BaseGenerator):
         tap = self.resolve_tap(layer_name)
         params, cfg = self.params, self.cfg
 
+        s2d_tail = self._s2d
+
         def fn(z):
             _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
-                                     stop_at=tap)
+                                     stop_at=tap, s2d_tail=s2d_tail)
             return retained[tap].reshape(z.shape[0], -1)
         return fn
 
@@ -164,7 +207,8 @@ class ProGAN(BaseGenerator):
             x = x[0]
         retain, edits, store = self._instrumentation()
         img, retained = self._jit_core(self.params, jnp.asarray(x), edits,
-                                       retain=retain, stop_at=stop_at)
+                                       retain=retain, stop_at=stop_at,
+                                       s2d_tail=self._s2d)
         if store is not None:
             store(retained)
         return img

@@ -30,10 +30,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 from ganspace_tpu import sampling
 from ganspace_tpu.models.base import BaseGenerator, TapState
 from ganspace_tpu.ops import equal_linear, pixel_norm
 from ganspace_tpu.ops.precision import get_precision
+from ganspace_tpu.ops import s2d as s2d_ops
 
 # Reference wrapper class->resolution table (wrappers.py:276-291).
 CONFIGS = {
@@ -172,6 +175,39 @@ def _my_conv2d(params, name, x, *, gain=math.sqrt(2.0), upscale=False,
     return y + b.reshape(1, -1, 1, 1).astype(y.dtype), (upscale and not fused_ok)
 
 
+# Space-to-depth tail threshold (see ``ops/s2d.py`` and the identical scheme
+# in ``models/stylegan2.py``): blocks with <=64 channels (256px+ on the 1024
+# models) run in (H/2, W/2, 4C) layout.  Entry requires the fused transpose
+# path (res >= 128), which holds whenever channels have thinned this far.
+S2D_MAX_CH = 64
+
+
+def _layer_epilogue_blk(params, name, x_blk, w_lat, noise_blk, ts: TapState):
+    """Block-layout ``_layer_epilogue``: noise -> lrelu -> InstanceNorm ->
+    StyleMod, with the instance statistics taken over all four phases."""
+    b, h, w, f = x_blk.shape
+    c = f // 4
+    nw = params[f"{name}.top_epi.noise.weight"]
+    y = x_blk.reshape(b, h, w, 4, c)
+    y = y + noise_blk[None, :, :, :, None].astype(y.dtype) * nw.astype(y.dtype)
+    x_blk = s2d_ops.tap_blocks(ts, f"{name}.top_epi.noise", y.reshape(b, h, w, f))
+    if ts.stopped:
+        return x_blk
+    x = jnp.where(x_blk >= 0, x_blk, 0.2 * x_blk)
+    y = x.reshape(b, h, w, 4, c)
+    mu = jnp.mean(y, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(y, axis=(1, 2, 3), keepdims=True)
+    y = (y - mu) * lax.rsqrt(var + 1e-5)
+    style = equal_linear(w_lat, params[f"{name}.style_mod.lin.weight"],
+                         params[f"{name}.style_mod.lin.bias"], gain=1.0)
+    style = ts.tap(f"{name}.style_mod.lin", style)
+    if ts.stopped:
+        return y.reshape(b, h, w, f)
+    style = style.reshape(-1, 2, c)[:, :, None, None, None, :].astype(y.dtype)
+    y = y * (style[:, 0] + 1.0) + style[:, 1]
+    return s2d_ops.tap_blocks(ts, name, y.reshape(b, h, w, f))
+
+
 def _layer_epilogue(params, name, x, w_lat, noise, ts: TapState):
     """NoiseLayer -> lrelu -> InstanceNorm -> StyleMod (model.py:230-253)."""
     nw = params[f"{name}.top_epi.noise.weight"]
@@ -202,7 +238,8 @@ def mapping_forward(params, z) -> jnp.ndarray:
 
 
 def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: bool,
-               retain: Tuple[str, ...], stop_at: Optional[str]):
+               retain: Tuple[str, ...], stop_at: Optional[str],
+               s2d_tail: bool = True):
     ts = TapState(retain, edits, stop_at)
 
     if input_is_w:
@@ -234,6 +271,7 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
     batch = latent.shape[0]
 
     x = None
+    in_blocks = False
     for bi, bname in enumerate(names):
         base = f"g_synthesis.blocks.{bname}"
         if bi == 0:
@@ -247,6 +285,40 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
             x = ts.tap(f"{base}.conv", x)
             if ts.stopped:
                 return None, ts.retained
+        elif in_blocks or (s2d_tail and chans[bi] <= S2D_MAX_CH
+                           and (2 ** (bi + 2)) >= 128):
+            enter = not in_blocks
+            wname = f"{base}.conv0_up"
+            w = params[f"{wname}.weight"]
+            wm = (w * (math.sqrt(2.0) * ((w.shape[1] * 9) ** -0.5))).astype(x.dtype)
+            if enter:
+                x = jnp.transpose(x, (0, 2, 3, 1))  # pixel NHWC at entry
+                in_blocks = True
+            x = s2d_ops.sg1_upconv_blocks(x, wm, pixel_input=enter)
+            x = x + jnp.tile(params[f"{wname}.bias"], 4).astype(x.dtype)
+            x = s2d_ops.tap_blocks(ts, f"{base}.conv0_up", x)
+            if ts.stopped:
+                return None, ts.retained
+            noise_blk = s2d_ops.noise_to_blocks(noise[bi])
+            x = _layer_epilogue_blk(params, f"{base}.epi1", x,
+                                    latent[:, 2 * bi], noise_blk, ts)
+            if ts.stopped:
+                return None, ts.retained
+            w1 = params[f"{base}.conv1.weight"]
+            wm1 = (w1 * (math.sqrt(2.0) * ((w1.shape[1] * 9) ** -0.5))).astype(x.dtype)
+            x = s2d_ops.conv3x3_blocks(x, wm1)
+            x = x + jnp.tile(params[f"{base}.conv1.bias"], 4).astype(x.dtype)
+            x = s2d_ops.tap_blocks(ts, f"{base}.conv1", x)
+            if ts.stopped:
+                return None, ts.retained
+            x = _layer_epilogue_blk(params, f"{base}.epi2", x,
+                                    latent[:, 2 * bi + 1], noise_blk, ts)
+            if ts.stopped:
+                return None, ts.retained
+            x = s2d_ops.tap_blocks(ts, base, x)
+            if ts.stopped:
+                return None, ts.retained
+            continue
         else:
             # Fused transpose path only when output res >= 128 (model.py:82).
             fused = (2 ** (bi + 2)) >= 128
@@ -276,7 +348,14 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
         if ts.stopped:
             return None, ts.retained
 
-    rgb, _ = _my_conv2d(params, "g_synthesis.torgb", x, gain=1.0)
+    if in_blocks:
+        w = params["g_synthesis.torgb.weight"]
+        wm = (w * ((w.shape[1]) ** -0.5)).astype(x.dtype)
+        rgb = s2d_ops.conv1x1_blocks(x, wm)
+        rgb = rgb + jnp.tile(params["g_synthesis.torgb.bias"], 4).astype(rgb.dtype)
+        rgb = s2d_ops.blocks_to_nchw(rgb)
+    else:
+        rgb, _ = _my_conv2d(params, "g_synthesis.torgb", x, gain=1.0)
     rgb = ts.tap("g_synthesis.torgb", rgb)
     return rgb, ts.retained
 
@@ -316,8 +395,10 @@ class StyleGAN(BaseGenerator):
                 params = init_params(cfg, init_seed)
         self.params = jax.tree.map(jnp.asarray, params)
         self.set_noise_seed(0)
+        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
-            jax.jit, static_argnames=("input_is_w", "retain", "stop_at"))(
+            jax.jit, static_argnames=("input_is_w", "retain", "stop_at",
+                                      "s2d_tail"))(
             partial(synthesize, cfg=self.cfg))
 
     def latent_space_name(self):
@@ -388,11 +469,12 @@ class StyleGAN(BaseGenerator):
         tap = self.resolve_tap(layer_name)
         params, consts, cfg = self.params, self.consts, self.cfg
         input_is_w = self.w_primary
+        s2d_tail = self._s2d
 
         def fn(lat):
             _, retained = synthesize(params, consts, (lat,), {}, cfg=cfg,
                                      input_is_w=input_is_w, retain=(tap,),
-                                     stop_at=tap)
+                                     stop_at=tap, s2d_tail=s2d_tail)
             return retained[tap].reshape(lat.shape[0], -1)
         return fn
 
@@ -401,7 +483,8 @@ class StyleGAN(BaseGenerator):
         retain, edits, store = self._instrumentation()
         img, retained = self._jit_core(self.params, self.consts, styles, edits,
                                        input_is_w=self.w_primary,
-                                       retain=retain, stop_at=stop_at)
+                                       retain=retain, stop_at=stop_at,
+                                       s2d_tail=self._s2d)
         if store is not None:
             store(retained)
         return img

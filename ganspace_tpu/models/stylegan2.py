@@ -25,6 +25,7 @@ renaming-free copy (see ``models/torch_import.py``).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -43,6 +44,13 @@ from ganspace_tpu.ops import (
     pixel_norm,
     upsample2x,
 )
+from ganspace_tpu.ops import s2d as s2d_ops
+
+# Stages whose channel count is at or below this run in space-to-depth block
+# layout (``ops/s2d.py``): measured on v5e, XLA conv throughput collapses
+# below ~128 channels, so the 512px (C=64) and 1024px (C=32) stages are held
+# as (H/2, W/2, 4C) blocks with MXU-friendly channel counts.
+S2D_MAX_CH = 64
 
 # Reference wrapper class->resolution table (wrappers.py:106-117).
 CONFIGS = {
@@ -180,9 +188,50 @@ def _to_rgb(params, name, x, w_lat, skip, blur_k, ts: TapState):
     return ts.tap(name, out)
 
 
+_tap_blk = s2d_ops.tap_blocks
+
+
+def _styled_conv_blk(params, name, x, w_lat, noise_blk, blur_k, ts: TapState, mode):
+    """Block-layout styled conv; ``mode`` in {"entry", "up", "plain"}.
+    "entry" consumes a pixel-layout NHWC tensor and emits blocks of the
+    2x-upsampled map (the layout switch costs nothing)."""
+    s = equal_linear(w_lat, params[f"{name}.conv.modulation.weight"],
+                     params[f"{name}.conv.modulation.bias"], gain=1.0)
+    w = params[f"{name}.conv.weight"]
+    if mode == "plain":
+        x = s2d_ops.modulated_conv3x3_blocks(x, w, s)
+    else:
+        x = s2d_ops.modulated_upconv_blocks(x, w, s, blur_k,
+                                            pixel_input=(mode == "entry"))
+    x = _tap_blk(ts, f"{name}.conv", x)
+    if ts.stopped:
+        return x
+    x = s2d_ops.add_noise_blocks(x, noise_blk, params[f"{name}.noise.weight"][0])
+    x = fused_leaky_relu(x, jnp.tile(params[f"{name}.activate.bias"], 4),
+                         channel_axis=-1)
+    return _tap_blk(ts, name, x)
+
+
+def _to_rgb_blk(params, name, x_blk, w_lat, skip, blur_k, ts: TapState, *,
+                skip_is_pixel=False):
+    s = equal_linear(w_lat, params[f"{name}.conv.modulation.weight"],
+                     params[f"{name}.conv.modulation.bias"], gain=1.0)
+    out = s2d_ops.modulated_rgb_blocks(x_blk, params[f"{name}.conv.weight"], s)
+    out = out + jnp.tile(params[f"{name}.bias"].reshape(-1), 4).astype(out.dtype)
+    if skip is not None:
+        if skip_is_pixel:  # NCHW skip from the last pixel-layout stage
+            skip_nhwc = jnp.transpose(skip, (0, 2, 3, 1))
+            out = out + s2d_ops.upsample2x_blocks(skip_nhwc, blur_k,
+                                                  pixel_input=True)
+        else:
+            out = out + s2d_ops.upsample2x_blocks(skip, blur_k)
+    return _tap_blk(ts, name, out)
+
+
 def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: bool,
                inject_index: Optional[int], truncation: float,
-               retain: Tuple[str, ...], stop_at: Optional[str]):
+               retain: Tuple[str, ...], stop_at: Optional[str],
+               s2d_tail: bool = True):
     """One traced program covering forward AND partial_forward.
 
     Mirrors the reference's staged walk (``wrappers.py:194-259``); with a
@@ -238,21 +287,48 @@ def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: boo
     i = 1
     noise_i = 1
     n_pairs = cfg.log_size - 2
+    ch = cfg.channel_map()
+    in_blocks = False
     for pair in range(n_pairs):
-        out = _styled_conv(params, f"convs.{i - 1}", out, latent[:, i],
-                           noise[noise_i], blur_k, ts, upsample=True)
-        if ts.stopped:
-            return None, ts.retained
-        out = _styled_conv(params, f"convs.{i}", out, latent[:, i + 1],
-                           noise[noise_i + 1], blur_k, ts)
-        if ts.stopped:
-            return None, ts.retained
-        skip = _to_rgb(params, f"to_rgbs.{i // 2}", out, latent[:, i + 2], skip, blur_k, ts)
-        if ts.stopped:
-            return None, ts.retained
+        res = 2 ** (pair + 3)
+        enter = s2d_tail and not in_blocks and ch[res] <= S2D_MAX_CH
+        if in_blocks or enter:
+            if enter:
+                # The entry up-conv consumes the pixel layout directly
+                # (NHWC); switching into block layout is part of the conv.
+                out = jnp.transpose(out, (0, 2, 3, 1))
+                in_blocks = True
+            out = _styled_conv_blk(params, f"convs.{i - 1}", out, latent[:, i],
+                                   s2d_ops.noise_to_blocks(noise[noise_i]),
+                                   blur_k, ts, "entry" if enter else "up")
+            if ts.stopped:
+                return None, ts.retained
+            out = _styled_conv_blk(params, f"convs.{i}", out, latent[:, i + 1],
+                                   s2d_ops.noise_to_blocks(noise[noise_i + 1]),
+                                   blur_k, ts, "plain")
+            if ts.stopped:
+                return None, ts.retained
+            skip = _to_rgb_blk(params, f"to_rgbs.{i // 2}", out, latent[:, i + 2],
+                               skip, blur_k, ts, skip_is_pixel=enter)
+            if ts.stopped:
+                return None, ts.retained
+        else:
+            out = _styled_conv(params, f"convs.{i - 1}", out, latent[:, i],
+                               noise[noise_i], blur_k, ts, upsample=True)
+            if ts.stopped:
+                return None, ts.retained
+            out = _styled_conv(params, f"convs.{i}", out, latent[:, i + 1],
+                               noise[noise_i + 1], blur_k, ts)
+            if ts.stopped:
+                return None, ts.retained
+            skip = _to_rgb(params, f"to_rgbs.{i // 2}", out, latent[:, i + 2], skip, blur_k, ts)
+            if ts.stopped:
+                return None, ts.retained
         i += 2
         noise_i += 2
 
+    if in_blocks:
+        skip = s2d_ops.blocks_to_nchw(skip)
     return skip, ts.retained
 
 
@@ -299,9 +375,12 @@ class StyleGAN2(BaseGenerator):
             latent_avg if latent_avg is not None else np.zeros((cfg.w_dim,), np.float32))
         self.set_noise_seed(0)
 
+        # Space-to-depth tail (ops/s2d.py): on by default, opt out with
+        # GANSPACE_S2D=0 (e.g. when diffing against the plain formulation).
+        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "inject_index", "truncation",
-                                      "retain", "stop_at"))(
+                                      "retain", "stop_at", "s2d_tail"))(
             partial(synthesize, cfg=self.cfg))
 
     # -- reference API -------------------------------------------------------
@@ -363,11 +442,13 @@ class StyleGAN2(BaseGenerator):
         params, consts, cfg = self.params, self.consts, self.cfg
         input_is_w, trunc = self.w_primary, float(self.truncation)
 
+        s2d_tail = self._s2d
+
         def fn(lat):
             _, retained = synthesize(
                 params, consts, (lat,), {}, cfg=cfg, input_is_w=input_is_w,
                 inject_index=None, truncation=trunc, retain=(tap,),
-                stop_at=tap)
+                stop_at=tap, s2d_tail=s2d_tail)
             return retained[tap].reshape(lat.shape[0], -1)
         return fn
 
@@ -382,7 +463,8 @@ class StyleGAN2(BaseGenerator):
         img, retained = self._jit_core(
             self.params, self.consts, styles, edits,
             input_is_w=self.w_primary, inject_index=inject_index,
-            truncation=float(self.truncation), retain=retain, stop_at=stop_at)
+            truncation=float(self.truncation), retain=retain, stop_at=stop_at,
+            s2d_tail=self._s2d)
         if store is not None:
             store(retained)
         return img
