@@ -93,8 +93,13 @@ def main():
     # (component-parity precision) and bf16 (MXU-native preview precision).
     img_s = {}
     if os.environ.get("GANSPACE_BENCH_SYNTH", "1") == "1":
+        # batch 8 = legacy fields (round-over-round comparable); batch 32
+        # amortizes the relay's ~30 ms dispatch round trip per call and is
+        # the honest THROUGHPUT number.
         img_s = {"img_s_1024_f32": _bench_synthesis("highest"),
-                 "img_s_1024_bf16": _bench_synthesis("default")}
+                 "img_s_1024_bf16": _bench_synthesis("default"),
+                 "img_s_1024_f32_b32": _bench_synthesis("highest", batch=32),
+                 "img_s_1024_bf16_b32": _bench_synthesis("default", batch=32)}
 
     sps = n / steady_s
     sps_chip = sps / n_chips
@@ -122,12 +127,18 @@ def _bench_synthesis(precision_name: str, batch: int = 8, iters: int = 3) -> flo
     trace time, so each needs its own jit cache entry.  Timing uses a scalar
     readback (a plain block_until_ready under-reports through the relay).
     """
+    import contextlib
+
     import jax.numpy as jnp
 
     from ganspace_tpu.models.stylegan2 import StyleGAN2
-    from ganspace_tpu.ops.precision import precision
+    from ganspace_tpu.ops.precision import precision, synth_dtype
 
-    with precision(precision_name):
+    # The bf16 leg measures the true preview path: bf16 MXU passes AND bf16
+    # activation storage (what the interactive viewer runs).
+    storage = (synth_dtype("bfloat16") if precision_name == "default"
+               else contextlib.nullcontext())
+    with precision(precision_name), storage:
         model = StyleGAN2(class_name="ffhq")
         z = model.sample_latent(batch, seed=0)
         float(jnp.sum(model.forward(z)))          # compile + warm

@@ -84,13 +84,6 @@ class Session:
         # Downscale frames ON DEVICE before readback (halves latency twice
         # over for 1024px models on slow host links); None = native size.
         self.preview_size = preview_size
-        # Preview precision: bf16 MXU synthesis by default (~3x faster
-        # frames, visually indistinguishable at 8-bit output); --dtype
-        # float32 pins the full-precision path.  Decomposition runs are
-        # unaffected — compute() scopes its own precision from --dtype.
-        from ganspace_tpu.ops.precision import set_precision
-        set_precision({"float32": "highest", "bfloat16": "default",
-                       None: "default"}[getattr(args, "dtype", None)])
         self.model_name = args.model
         self.layer_name = args.layer
         self.inst = get_instrumented_model(args.model, args.output_class,
@@ -511,10 +504,27 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
     server.serve_forever()
 
 
+def apply_preview_precision(args) -> None:
+    """Preview precision policy for the viewer PROCESS: bf16 MXU passes +
+    bf16 activation storage by default (~3x faster frames + half the HBM
+    traffic, visually indistinguishable at 8-bit output); ``--dtype
+    float32`` pins the full-precision path.  Deliberately process-global
+    (precision is read at trace time) and applied only from the CLI entry —
+    library users and tests scope ``precision()``/``synth_dtype()``
+    themselves.  Decomposition runs are unaffected: ``compute()`` scopes
+    its own precision."""
+    from ganspace_tpu.ops.precision import set_precision, set_synth_dtype
+    mode = {"float32": "highest", "bfloat16": "default",
+            None: "default"}[getattr(args, "dtype", None)]
+    set_precision(mode)
+    set_synth_dtype("bfloat16" if mode == "default" else None)
+
+
 def main(argv=None):
     import os
     args = Config().from_args(argv)
     preview = os.environ.get("GANSPACE_PREVIEW")
+    apply_preview_precision(args)
     session = Session(args, preview_size=int(preview) if preview else None)
     print("Precompiling frame signatures...")
     session.warmup()

@@ -81,6 +81,13 @@ def main(args=None):
     inst = get_instrumented_model(args.model, args.output_class, layer_key,
                                   use_w=args.use_w)
     model = inst.model
+    # --mesh: data-parallel rendering — params replicate over the mesh and
+    # every sample_np batch (grids, strips, sweeps) shards over 'data'.
+    from ganspace_tpu.parallel.mesh import pipeline_mesh
+    mesh = pipeline_mesh(getattr(args, "mesh_shape", None))
+    if mesh is not None:
+        model.place_on_mesh(mesh)
+        print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
     feature_shape = inst.feature_shape[layer_key]
     latent_shape = model.get_latent_shape()
     print("Feature shape:", feature_shape)

@@ -213,3 +213,83 @@ def _decoder_name_map(cfg: UPerNetConfig):
     m["head.scene.conv"] = ("scene_head.0.0", "scene_head.0.1")
     m["head.scene"] = ("scene_head.2", None)
     return m
+
+
+# ---------------------------------------------------------------------------
+# Single-category semantic segmenter over the ADE20K scene-parsing family
+# (reference ``segmenter.py:286-430`` ``SemanticSegmenter``, which consumes
+# ``segmodel/models.py`` nets via ModelBuilder)
+# ---------------------------------------------------------------------------
+
+# torchvision-standard normalization the reference applies after mapping
+# its [-1,1] inputs to [0,1] (``segmenter.py:404-408``).
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class SemanticSegmenter(SegmenterBase):
+    """Flat single-category semantic segmentation (ADE150-style).
+
+    Wraps a ``segmodel.build_segmodel`` net (dilated ResNet + PPM/C1
+    bilinear decoder): multi-size inference with softmax-probability voting
+    (``raw_seg_prediction``, reference ``segmenter.py:394-430``), imagenet
+    input normalization, and the dissection readout protocol.  Flat label 0
+    is '-' (unlabeled); net class k maps to flat label k+1.
+    """
+
+    def __init__(self, arch_encoder: str = "resnet50_dilated8",
+                 arch_decoder: str = "ppm_bilinear",
+                 params=None, labels: Optional[List[str]] = None,
+                 num_class: Optional[int] = None,
+                 segsizes: Sequence[int] = (256,), category: str = "object",
+                 seed: int = 0):
+        from ganspace_tpu.dissection import segmodel as _sm
+        if num_class is None:
+            num_class = (len(labels) if labels else 150)
+        init, fwd, cfg = _sm.build_segmodel(arch_encoder, arch_decoder,
+                                            num_class=num_class, seed=seed)
+        self.cfg = cfg
+        self._forward = fwd
+        self.params = jax.tree.map(jnp.asarray,
+                                   params if params is not None else init)
+        self.segsizes = tuple(segsizes)
+        names = list(labels) if labels else [f"class-{i}" for i in range(num_class)]
+        self.labels = ["-"] + names
+        self.categories = ["-"] + [category] * num_class
+        self._probs_jit = partial(jax.jit, static_argnames=("size",))(self._probs)
+
+    def get_label_and_category_names(self) -> Tuple[List[str], List[str]]:
+        return list(self.labels), list(self.categories)
+
+    def _probs(self, params, images, *, size: int) -> jnp.ndarray:
+        h, w = images.shape[2:]
+        x = (images - jnp.asarray(_IMAGENET_MEAN, images.dtype).reshape(1, 3, 1, 1)) \
+            / jnp.asarray(_IMAGENET_STD, images.dtype).reshape(1, 3, 1, 1)
+        if (h, w) != (size, size):
+            x = adaptive_avg_pool(x, (size, size)) if (h >= size and w >= size) \
+                else resize_bilinear(x, (size, size))
+        logits = self._forward(params, x, seg_size=(h, w))
+        return jax.nn.softmax(logits, axis=1)
+
+    def class_probabilities(self, images) -> jnp.ndarray:
+        """Multi-size averaged class probabilities [B, num_class, H, W]."""
+        images = jnp.asarray(images)
+        acc = 0
+        for s in self.segsizes:
+            acc = acc + self._probs_jit(self.params, images, size=int(s))
+        return acc / len(self.segsizes)
+
+    def segment_batch(self, images, downsample: int = 1) -> jnp.ndarray:
+        """images [B,3,H,W] in [0,1] -> flat labels [B, 1, H', W']."""
+        p = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
+        return (jnp.argmax(p, axis=1) + 1)[:, None]
+
+    def class_probability(self, images, classnum: int) -> jnp.ndarray:
+        return self.class_probabilities(images)[:, classnum - 1]
+
+    def predict_single_class(self, images, classnum: int,
+                             downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        p = self.class_probabilities(images)[:, classnum - 1,
+                                             ::downsample, ::downsample]
+        seg = self.segment_batch(images, downsample=downsample)
+        return p, jnp.any(seg == classnum, axis=1)

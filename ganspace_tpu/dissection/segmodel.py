@@ -38,6 +38,7 @@ Design notes (vs the torch original):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, Tuple
 
 import numpy as np
@@ -136,10 +137,24 @@ def conv_bn_relu(x, p: Params, name: str, stride=1, dilation=1) -> jnp.ndarray:
 class ResNetConfig:
     """ResNet-v1 with the 3-conv deep stem used by the reference's encoder
     (``upsegmodel/resnet.py:103-115``: 3->64->64->128, first conv strided).
-    ``blocks=(3,4,6,3), width=64`` = the reference's resnet50."""
+    ``blocks=(3,4,6,3), width=64`` = the reference's resnet50.
+
+    ``dilate_scale`` (0/8/16) reproduces the second encoder family,
+    ``segmodel/models.py:225-270`` ``ResnetDilated``: strided 3x3 convs in
+    the late stages become stride-1 dilated convs (output stride 8/16
+    instead of 32), the variant the ADE20K scene-parsing decoders consume."""
     blocks: Tuple[int, ...] = (3, 4, 6, 3)
     width: int = 64
     expansion: int = 4
+    dilate_scale: int = 0
+
+    def stage_dilation(self, si: int) -> int:
+        """_nostride_dilate's per-stage dilate factor (0 = stride normally)."""
+        if self.dilate_scale == 8:
+            return {2: 2, 3: 4}.get(si, 0)
+        if self.dilate_scale == 16:
+            return {3: 2}.get(si, 0)
+        return 0
 
     @property
     def stage_channels(self) -> Tuple[int, ...]:
@@ -169,9 +184,10 @@ def init_resnet_params(cfg: ResNetConfig, seed: int = 0) -> Params:
     return p
 
 
-def _bottleneck(x, p: Params, base: str, stride: int) -> jnp.ndarray:
+def _bottleneck(x, p: Params, base: str, stride: int,
+                dilation: int = 1) -> jnp.ndarray:
     y = conv_bn_relu(x, p, f"{base}.conv1")
-    y = conv_bn_relu(y, p, f"{base}.conv2", stride=stride)
+    y = conv_bn_relu(y, p, f"{base}.conv2", stride=stride, dilation=dilation)
     y = conv2d(y, jnp.asarray(p[f"{base}.conv3.weight"]), 1, 1, 0)
     y = scale_bias(y, p, f"{base}.conv3.bn")
     if f"{base}.downsample.weight" in p:
@@ -184,7 +200,8 @@ def _bottleneck(x, p: Params, base: str, stride: int) -> jnp.ndarray:
 
 def resnet_features(params: Params, x: jnp.ndarray,
                     cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
-    """x [B,3,H,W] -> {'c2': /4, 'c3': /8, 'c4': /16, 'c5': /32}."""
+    """x [B,3,H,W] -> {'c2': /4, 'c3': /8, 'c4': /16, 'c5': /32} (late
+    stages keep their resolution when ``dilate_scale`` is set)."""
     y = conv_bn_relu(x, params, "stem.conv1", stride=2)
     y = conv_bn_relu(y, params, "stem.conv2")
     y = conv_bn_relu(y, params, "stem.conv3")
@@ -194,9 +211,16 @@ def resnet_features(params: Params, x: jnp.ndarray,
     feats = {}
     for si, n in enumerate(cfg.blocks):
         stride = 1 if si == 0 else 2
+        dil = cfg.stage_dilation(si)
         for bi in range(n):
-            y = _bottleneck(y, params, f"layer{si + 1}.{bi}",
-                            stride if bi == 0 else 1)
+            if dil:
+                # ``_nostride_dilate`` (segmodel/models.py:257-270): the
+                # formerly-strided conv gets dilation d/2, the rest d.
+                y = _bottleneck(y, params, f"layer{si + 1}.{bi}", 1,
+                                max(dil // 2, 1) if bi == 0 else dil)
+            else:
+                y = _bottleneck(y, params, f"layer{si + 1}.{bi}",
+                                stride if bi == 0 else 1)
         feats[f"c{si + 2}"] = y
     return feats
 
@@ -342,3 +366,165 @@ def import_torch_resnet(state: Dict[str, "np.ndarray"],
                 put(f"{dst}.downsample", f"{src}.downsample.0",
                     f"{src}.downsample.1")
     return p
+
+
+# ---------------------------------------------------------------------------
+# ADE20K scene-parsing decoders (the reference's SECOND seg-model family:
+# ``segmodel/models.py`` — dilated encoder + PPM/C1 bilinear decoders, the
+# nets the classifier-dissection path consumes via ``ModelBuilder``).
+# Deep-supervision branches are training-only and omitted: at inference
+# PPMBilinearDeepsup/C1BilinearDeepSup compute exactly the main branch
+# (``models.py:443-467``).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PPMBilinearConfig:
+    """``PPMBilinear`` (``segmodel/models.py:355-403``)."""
+    resnet: ResNetConfig = field(
+        default_factory=lambda: ResNetConfig(dilate_scale=8))
+    num_class: int = 150
+    ppm_dim: int = 512
+    pool_scales: Tuple[int, ...] = (1, 2, 3, 6)
+
+    @property
+    def fc_dim(self) -> int:
+        return self.resnet.stage_channels[-1]
+
+
+def init_ppm_params(cfg: PPMBilinearConfig, seed: int = 0) -> Params:
+    rs = np.random.RandomState(seed)
+    p: Params = {f"encoder.{k}": v
+                 for k, v in init_resnet_params(cfg.resnet, seed).items()}
+    for i in range(len(cfg.pool_scales)):
+        _init_conv_bn(p, rs, f"decoder.ppm.{i}", cfg.fc_dim, cfg.ppm_dim, 1)
+    cat = cfg.fc_dim + len(cfg.pool_scales) * cfg.ppm_dim
+    _init_conv_bn(p, rs, "decoder.conv_last", cat, cfg.ppm_dim, 3)
+    p["decoder.classifier.weight"] = _he(rs, cfg.num_class, cfg.ppm_dim, 1, 1)
+    p["decoder.classifier.bias"] = np.zeros((cfg.num_class,), np.float32)
+    return p
+
+
+def _split(params: Params, prefix: str) -> Params:
+    n = len(prefix)
+    return {k[n:]: v for k, v in params.items() if k.startswith(prefix)}
+
+
+def ppm_bilinear_forward(params: Params, x: jnp.ndarray,
+                         cfg: PPMBilinearConfig,
+                         seg_size: Tuple[int, int] | None = None) -> jnp.ndarray:
+    """x [B,3,H,W] -> class logits [B,num_class,h,w] (h=H/dilate_scale); with
+    ``seg_size`` the logits are bilinearly resized first (the reference then
+    softmaxes — left to the caller, like ``upernet_forward``)."""
+    enc = _split(params, "encoder.")
+    dec = _split(params, "decoder.")
+    c5 = resnet_features(enc, x, cfg.resnet)["c5"]
+    hw = c5.shape[2:]
+    outs = [c5]
+    for i, scale in enumerate(cfg.pool_scales):
+        y = adaptive_avg_pool(c5, (scale, scale))
+        y = conv_bn_relu(y, dec, f"ppm.{i}")
+        outs.append(resize_bilinear(y, hw))
+    y = jnp.concatenate(outs, axis=1)
+    y = conv_bn_relu(y, dec, "conv_last")
+    y = conv2d(y, jnp.asarray(dec["classifier.weight"]), 1, 1, 0)
+    y = y + jnp.asarray(dec["classifier.bias"], y.dtype).reshape(1, -1, 1, 1)
+    if seg_size is not None:
+        y = resize_bilinear(y, seg_size)
+    return y
+
+
+@dataclass(frozen=True)
+class C1BilinearConfig:
+    """``C1Bilinear`` (``segmodel/models.py:327-352``): one conv-bn-relu at
+    fc_dim/4 then a 1x1 classifier."""
+    resnet: ResNetConfig = field(
+        default_factory=lambda: ResNetConfig(dilate_scale=8))
+    num_class: int = 150
+
+    @property
+    def fc_dim(self) -> int:
+        return self.resnet.stage_channels[-1]
+
+
+def init_c1_params(cfg: C1BilinearConfig, seed: int = 0) -> Params:
+    rs = np.random.RandomState(seed)
+    p: Params = {f"encoder.{k}": v
+                 for k, v in init_resnet_params(cfg.resnet, seed).items()}
+    _init_conv_bn(p, rs, "decoder.cbr", cfg.fc_dim, cfg.fc_dim // 4, 3)
+    p["decoder.classifier.weight"] = _he(rs, cfg.num_class, cfg.fc_dim // 4, 1, 1)
+    p["decoder.classifier.bias"] = np.zeros((cfg.num_class,), np.float32)
+    return p
+
+
+def c1_bilinear_forward(params: Params, x: jnp.ndarray,
+                        cfg: C1BilinearConfig,
+                        seg_size: Tuple[int, int] | None = None) -> jnp.ndarray:
+    enc = _split(params, "encoder.")
+    dec = _split(params, "decoder.")
+    c5 = resnet_features(enc, x, cfg.resnet)["c5"]
+    y = conv_bn_relu(c5, dec, "cbr")
+    y = conv2d(y, jnp.asarray(dec["classifier.weight"]), 1, 1, 0)
+    y = y + jnp.asarray(dec["classifier.bias"], y.dtype).reshape(1, -1, 1, 1)
+    if seg_size is not None:
+        y = resize_bilinear(y, seg_size)
+    return y
+
+
+def import_torch_segmodel(encoder_state, decoder_state, cfg) -> Params:
+    """Translate reference ``ModelBuilder`` encoder/decoder ``state_dict``s
+    (``segmodel/models.py``) into folded params for the forwards above."""
+    def np_(state, k):
+        v = state[k]
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    p: Params = {f"encoder.{k}": v
+                 for k, v in import_torch_resnet(encoder_state, cfg.resnet).items()}
+
+    def put(dst, conv_key, bn_key):
+        p[f"decoder.{dst}.weight"] = np_(decoder_state, f"{conv_key}.weight")
+        s, b = fold_bn(np_(decoder_state, f"{bn_key}.weight"),
+                       np_(decoder_state, f"{bn_key}.bias"),
+                       np_(decoder_state, f"{bn_key}.running_mean"),
+                       np_(decoder_state, f"{bn_key}.running_var"))
+        p[f"decoder.{dst}.bn.scale"] = s
+        p[f"decoder.{dst}.bn.bias"] = b
+
+    if isinstance(cfg, PPMBilinearConfig):
+        # torch Sequential indices: ppm.{i} = [pool, conv, bn, relu];
+        # conv_last = [conv, bn, relu, dropout, classifier].
+        for i in range(len(cfg.pool_scales)):
+            put(f"ppm.{i}", f"ppm.{i}.1", f"ppm.{i}.2")
+        put("conv_last", "conv_last.0", "conv_last.1")
+        p["decoder.classifier.weight"] = np_(decoder_state, "conv_last.4.weight")
+        p["decoder.classifier.bias"] = np_(decoder_state, "conv_last.4.bias")
+    else:
+        # C1Bilinear: cbr = conv3x3_bn_relu Sequential [conv, bn, relu].
+        put("cbr", "cbr.0", "cbr.1")
+        p["decoder.classifier.weight"] = np_(decoder_state, "conv_last.weight")
+        p["decoder.classifier.bias"] = np_(decoder_state, "conv_last.bias")
+    return p
+
+
+def build_segmodel(arch_encoder: str = "resnet50_dilated8",
+                   arch_decoder: str = "ppm_bilinear",
+                   num_class: int = 150, seed: int = 0):
+    """Mirror of the reference ``ModelBuilder`` arch-name surface
+    (``segmodel/models.py:65-185``): returns ``(params, forward, cfg)``
+    with ``forward(params, x, seg_size=None) -> logits``.  Deepsup arch
+    names map to the same inference nets."""
+    blocks = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+    name = arch_encoder.replace("_dilated8", "").replace("_dilated16", "")
+    dilate = 8 if arch_encoder.endswith("dilated8") else (
+        16 if arch_encoder.endswith("dilated16") else 0)
+    if name not in blocks:
+        raise ValueError(f"Unknown encoder arch {arch_encoder}")
+    rn = ResNetConfig(blocks=blocks[name], dilate_scale=dilate)
+    dec = arch_decoder.replace("_deepsup", "")
+    if dec == "ppm_bilinear":
+        cfg = PPMBilinearConfig(resnet=rn, num_class=num_class)
+        return init_ppm_params(cfg, seed), partial(ppm_bilinear_forward, cfg=cfg), cfg
+    if dec == "c1_bilinear":
+        cfg = C1BilinearConfig(resnet=rn, num_class=num_class)
+        return init_c1_params(cfg, seed), partial(c1_bilinear_forward, cfg=cfg), cfg
+    raise ValueError(f"Unknown decoder arch {arch_decoder}")

@@ -184,13 +184,18 @@ class BaseGenerator(ABC):
         self.outclass = new_class
 
     def sample_np(self, z=None, n_samples: int = 1, seed=None) -> np.ndarray:
-        """Generate images, return clipped HWC numpy in [0,1] (squeezed)."""
+        """Generate images, return clipped HWC numpy in [0,1] (squeezed).
+
+        After ``place_on_mesh`` the latent batch shards over the ``data``
+        axis here, so batch rendering (visualize grids, edit strips, MP4
+        sweeps) runs data-parallel across the mesh."""
         if z is None:
             z = self.sample_latent(n_samples, seed=seed)
-        elif isinstance(z, list):
-            z = [jnp.asarray(l) for l in z]
+        mesh = getattr(self, "_mesh", None)
+        if isinstance(z, list):
+            z = [self._shard_latents(l, mesh) for l in z]
         else:
-            z = jnp.asarray(z)
+            z = self._shard_latents(z, mesh)
         img = self.forward(z)
         img_np = np.asarray(jnp.transpose(img, (0, 2, 3, 1)))
         return np.clip(img_np, 0.0, 1.0).squeeze()
@@ -236,6 +241,13 @@ class BaseGenerator(ABC):
             if v is not None:
                 setattr(self, attr, jax.tree.map(
                     lambda a: jax.device_put(a, rep), v))
+        self._mesh = mesh
+
+    @staticmethod
+    def _shard_latents(z, mesh):
+        from ganspace_tpu.parallel.mesh import shard_batch
+        z = jnp.asarray(z)
+        return z if mesh is None else shard_batch(z, mesh)
 
     def sample_latents_device(self, n_batches: int, batch_size: int,
                               seed: int, sharding=None):

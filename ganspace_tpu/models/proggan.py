@@ -89,7 +89,11 @@ def synthesize(params, z, edits, *, cfg: ProGANConfig,
                retain: Tuple[str, ...], stop_at: Optional[str],
                s2d_tail: bool = True):
     ts = TapState(retain, edits, stop_at)
+    from ganspace_tpu.ops.precision import get_synth_dtype
+    dt = get_synth_dtype()
     x = z.reshape(z.shape[0], z.shape[1], 1, 1)
+    if dt is not None:
+        x = x.astype(dt)
     plan = cfg.layer_plan()
     in_blocks = False
     for li, (name, cin, cout, k, pad, up) in enumerate(plan):
@@ -114,7 +118,7 @@ def synthesize(params, z, edits, *, cfg: ProGANConfig,
                     x = s2d_ops.conv1x1_blocks(x, w)
             gain = 1.0 if is_output else math.sqrt(2.0) / k
             b = params[f"{name}.wscale.b"].astype(x.dtype)
-            x = x * (gain / math.sqrt(cin)) + jnp.tile(b, 4)
+            x = x * jnp.asarray(gain / math.sqrt(cin), x.dtype) + jnp.tile(b, 4)
             if not is_output:
                 x = jnp.where(x >= 0, x, 0.2 * x)
             x = s2d_ops.tap_blocks(ts, name, x)
@@ -133,7 +137,7 @@ def synthesize(params, z, edits, *, cfg: ProGANConfig,
             gain = 1.0 if is_output else math.sqrt(2.0) / k
             scale = gain / math.sqrt(cin)
             b = params[f"{name}.wscale.b"].astype(x.dtype)
-            x = x * scale + b.reshape(1, -1, 1, 1)
+            x = x * jnp.asarray(scale, x.dtype) + b.reshape(1, -1, 1, 1)
             if not is_output:
                 x = jnp.where(x >= 0, x, 0.2 * x)
             x = ts.tap(name, x)
@@ -141,6 +145,8 @@ def synthesize(params, z, edits, *, cfg: ProGANConfig,
                 return None, ts.retained
     if in_blocks:
         x = s2d_ops.blocks_to_nchw(x)
+    if dt is not None and x is not None:
+        x = x.astype(jnp.float32)
     return x, ts.retained
 
 

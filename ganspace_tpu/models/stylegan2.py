@@ -173,7 +173,7 @@ def _styled_conv(params, name, x, w_lat, noise, blur_k, ts: TapState, upsample=F
     x = modulated_conv2d(x, params[f"{name}.conv.weight"], s,
                          demodulate=True, upsample=upsample, blur_kernel=blur_k)
     x = ts.tap(f"{name}.conv", x)
-    x = x + params[f"{name}.noise.weight"][0] * noise.astype(x.dtype)
+    x = x + params[f"{name}.noise.weight"][0].astype(x.dtype) * noise.astype(x.dtype)
     x = fused_leaky_relu(x, params[f"{name}.activate.bias"], channel_axis=1)
     return ts.tap(name, x)
 
@@ -182,7 +182,7 @@ def _to_rgb(params, name, x, w_lat, skip, blur_k, ts: TapState):
     s = equal_linear(w_lat, params[f"{name}.conv.modulation.weight"],
                      params[f"{name}.conv.modulation.bias"], gain=1.0)
     out = modulated_conv2d(x, params[f"{name}.conv.weight"], s, demodulate=False)
-    out = out + params[f"{name}.bias"]
+    out = out + params[f"{name}.bias"].astype(out.dtype)
     if skip is not None:
         out = out + upsample2x(skip, blur_k)
     return ts.tap(name, out)
@@ -267,11 +267,21 @@ def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: boo
     if stop_at == "style":
         return None, ts.retained
 
+    # Optional half-precision activation storage (ops/precision.py
+    # set_synth_dtype): halves HBM traffic through the whole synthesis;
+    # read at trace time like the matmul precision.
+    from ganspace_tpu.ops.precision import get_synth_dtype
+    dt = get_synth_dtype()
+    if dt is not None:
+        latent = latent.astype(dt)
+
     noise = consts["noise"]
     batch = latent.shape[0]
 
     out = jnp.broadcast_to(params["input.input"],
                            (batch,) + params["input.input"].shape[1:])
+    if dt is not None:
+        out = out.astype(dt)
     out = ts.tap("input", out)
     if ts.stopped:
         return None, ts.retained
@@ -329,6 +339,8 @@ def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: boo
 
     if in_blocks:
         skip = s2d_ops.blocks_to_nchw(skip)
+    if dt is not None and skip is not None:
+        skip = skip.astype(jnp.float32)
     return skip, ts.retained
 
 

@@ -75,5 +75,6 @@ def fused_leaky_relu(
     if bias is not None:
         shape = [1] * x.ndim
         shape[channel_axis] = bias.shape[0]
-        x = x + bias.reshape(shape)
-    return jnp.where(x >= 0, x, negative_slope * x) * scale
+        x = x + bias.reshape(shape).astype(x.dtype)
+    return (jnp.where(x >= 0, x, negative_slope * x)
+            * jnp.asarray(scale, x.dtype))

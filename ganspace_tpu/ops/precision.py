@@ -50,3 +50,42 @@ def precision(p):
         yield
     finally:
         set_precision(old)
+
+
+# --------------------------------------------------------------------------
+# Activation storage dtype (orthogonal to matmul precision)
+# --------------------------------------------------------------------------
+# DEFAULT matmul precision alone only switches the MXU datapath; activations
+# remain float32, so memory-bound stages (blurs, upsamples, epilogues) see
+# no speedup.  Opting into bfloat16 *storage* halves HBM traffic end-to-end
+# through the synthesis network.  Off by default: it changes output numerics
+# (~1e-2 relative), fine for previews/throughput but not for parity runs.
+
+_SYNTH_DTYPE = None  # None -> float32 activations
+
+
+def get_synth_dtype():
+    """Activation storage dtype for generator synthesis, or None for f32."""
+    return _SYNTH_DTYPE
+
+
+def set_synth_dtype(dt) -> None:
+    """dt: None / 'float32' for full precision, 'bfloat16' for half storage."""
+    global _SYNTH_DTYPE
+    if dt is None or dt == "float32":
+        _SYNTH_DTYPE = None
+    elif dt == "bfloat16":
+        import jax.numpy as jnp
+        _SYNTH_DTYPE = jnp.bfloat16
+    else:
+        _SYNTH_DTYPE = dt
+
+
+@contextlib.contextmanager
+def synth_dtype(dt):
+    old = _SYNTH_DTYPE
+    set_synth_dtype(dt)
+    try:
+        yield
+    finally:
+        set_synth_dtype(old)

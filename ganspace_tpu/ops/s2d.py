@@ -97,7 +97,8 @@ def add_noise_blocks(x_blk: jnp.ndarray, noise_blk: jnp.ndarray,
     """x + gain * noise with (h,w,4) phase-layout noise, broadcast over c."""
     b, h, w, f = x_blk.shape
     c = f // 4
-    y = x_blk.reshape(b, h, w, 4, c) + (gain * noise_blk.astype(x_blk.dtype))[..., None]
+    y = (x_blk.reshape(b, h, w, 4, c)
+         + (jnp.asarray(gain, x_blk.dtype) * noise_blk.astype(x_blk.dtype))[..., None])
     return y.reshape(b, h, w, f)
 
 

@@ -58,3 +58,23 @@ def test_dtype_flag_bf16_smoke(tmp_path):
     assert get_precision() == before
     assert np.all(np.isfinite(out["act_comp"]))
     assert np.all(out["act_stdev"] >= 0)
+
+
+def test_meshed_rendering_matches_single_device():
+    """place_on_mesh + sample_np: data-parallel batch rendering (the
+    visualize/edit path under --mesh) must reproduce single-device images."""
+    from ganspace_tpu.parallel import get_mesh
+
+    model = tiny_stylegan2(use_w=False)
+    z = model.sample_latent(8, seed=5)
+    n = model.get_max_latents()
+    zl = [model.sample_latent(8, seed=5) for _ in range(n)]
+    ref = np.asarray(model.sample_np(z))
+    ref_l = np.asarray(model.sample_np(zl))  # W+ per-layer latent list
+
+    model.place_on_mesh(get_mesh("8"))
+    got = np.asarray(model.sample_np(z))
+    got_l = np.asarray(model.sample_np(zl))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5
+    assert np.abs(got_l - ref_l).max() < 1e-5
