@@ -163,3 +163,78 @@ def write_synthetic_broden(directory, n_images: int = 4, size: int = 32,
         w.writeheader()
         w.writerows(rows)
     return directory
+
+
+# ---------------------------------------------------------------------------
+# Parallel image folders (reference ``netdissect/parallelfolder.py``)
+# ---------------------------------------------------------------------------
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".npy")
+
+
+def _index_folder(root: Path) -> Dict[str, Path]:
+    """{relative-path-sans-extension: file} for every image under root."""
+    out: Dict[str, Path] = {}
+    for p in sorted(root.rglob("*")):
+        if p.suffix.lower() in _IMAGE_EXTS and p.is_file():
+            out[str(p.relative_to(root).with_suffix(""))] = p
+    return out
+
+
+def _load_any(path: Path) -> np.ndarray:
+    if path.suffix.lower() == ".npy":
+        return np.load(path)
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+class ParallelImageFolders:
+    """Paired samples from parallel directory trees keyed by filename
+    (reference ``ParallelImageFolders``, ``parallelfolder.py:19-68``): e.g.
+    ``photos/park/0042.jpg`` pairs with ``segs/park/0042.png``.
+
+    ``intersection=False`` demands identical keys in every root (mismatches
+    raise, like the reference); ``True`` silently keeps the common subset.
+    ``transforms`` is one callable per root (or one shared), applied to the
+    loaded numpy arrays.  Iteration yields tuples; ``batches`` stacks them.
+    """
+
+    def __init__(self, image_roots: Sequence, transforms=None,
+                 intersection: bool = False, size: Optional[int] = None):
+        self.roots = [Path(r) for r in image_roots]
+        indexes = [_index_folder(r) for r in self.roots]
+        keys = set(indexes[0])
+        for idx in indexes[1:]:
+            keys = keys & set(idx)
+        if not intersection:
+            for root, idx in zip(self.roots, indexes):
+                extra = set(idx) - keys
+                if extra:
+                    raise RuntimeError(
+                        f"Images not found in all folders: {sorted(extra)[:5]}"
+                        f" (e.g. under {root})")
+        self.keys = sorted(keys)[:size]
+        if not self.keys:
+            raise RuntimeError(f"Found 0 images within: {image_roots}")
+        self.paths = [[idx[k] for idx in indexes] for k in self.keys]
+        if transforms is not None and not isinstance(transforms, (list, tuple)):
+            transforms = [transforms] * len(self.roots)
+        self.transforms = transforms
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, ...]:
+        arrs = [_load_any(p) for p in self.paths[i]]
+        if self.transforms is not None:
+            arrs = [t(a) if t is not None else a
+                    for a, t in zip(arrs, self.transforms)]
+        return tuple(arrs)
+
+    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, ...]]:
+        for start in range(0, len(self), batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size,
+                                                       len(self)))]
+            yield tuple(np.stack([it[j] for it in items])
+                        for j in range(len(items[0])))

@@ -114,3 +114,28 @@ def test_dissection_server(tmp_path):
             urllib.request.urlopen(f"{base}/api/nope")
     finally:
         server.shutdown()
+
+
+def test_parallel_image_folders(tmp_path):
+    """Reference ``parallelfolder.py`` semantics: filename-keyed pairing,
+    mismatch detection, intersection mode, stacked batches."""
+    from PIL import Image
+    from ganspace_tpu.dissection.broden import ParallelImageFolders
+    for root in ("photo", "seg"):
+        d = tmp_path / root / "park"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(np.full((8, 8, 3), i * 30, np.uint8)).save(d / f"{i}.png")
+    ds = ParallelImageFolders([tmp_path / "photo", tmp_path / "seg"])
+    assert len(ds) == 3
+    a, b = ds[1]
+    assert a.shape == (8, 8, 3) and (a == 30).all() and (b == 30).all()
+    batches = list(ds.batches(2))
+    assert batches[0][0].shape == (2, 8, 8, 3) and len(batches) == 2
+
+    extra = tmp_path / "photo" / "park" / "zz.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(extra)
+    with pytest.raises(RuntimeError, match="not found in all folders"):
+        ParallelImageFolders([tmp_path / "photo", tmp_path / "seg"])
+    assert len(ParallelImageFolders([tmp_path / "photo", tmp_path / "seg"],
+                                    intersection=True)) == 3
