@@ -38,7 +38,11 @@ def _enable_compile_cache() -> None:
     try:
         import hashlib
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            # x86 lists 'flags'; ARM lists 'Features'.  Fall back to the
+            # whole first processor block if neither is present.
+            lines = f.read().split("\n\n", 1)[0]
+        flags = next((ln for ln in lines.splitlines()
+                      if ln.startswith(("flags", "Features"))), lines)
         cache_dir = _os.path.join(
             cache_dir, hashlib.sha1(flags.encode()).hexdigest()[:10])
     except OSError:

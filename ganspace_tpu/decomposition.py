@@ -41,6 +41,7 @@ from ganspace_tpu.estimators.utils import mm
 from ganspace_tpu.models import get_instrumented_model
 from ganspace_tpu.models.base import InstrumentedModel
 from ganspace_tpu.ops.precision import precision as _precision_ctx
+from ganspace_tpu.ops.precision import synth_dtype as _synth_dtype_ctx
 from ganspace_tpu.parallel.mesh import (
     batch_sharding,
     feature_sharding,
@@ -163,7 +164,10 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
     an unset dtype means float32 (component parity with the reference)."""
     prec = _DTYPE_PRECISION.get(getattr(config, "dtype", None) or "float32",
                                 "highest")
-    with _precision_ctx(prec):
+    # Also pin f32 activation storage: a viewer process sets the bf16
+    # preview policy globally, and components fit on preview-grade
+    # activations must never reach the persisted npz cache.
+    with _precision_ctx(prec), _synth_dtype_ctx(None):
         return _compute(config, dump_name, instrumented_model)
 
 

@@ -173,11 +173,18 @@ _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".npy")
 
 
 def _index_folder(root: Path) -> Dict[str, Path]:
-    """{relative-path-sans-extension: file} for every image under root."""
+    """{relative-path-sans-extension: file} for every image under root.
+    Two files differing only by extension would pair ambiguously — raise
+    instead of silently dropping one."""
     out: Dict[str, Path] = {}
     for p in sorted(root.rglob("*")):
         if p.suffix.lower() in _IMAGE_EXTS and p.is_file():
-            out[str(p.relative_to(root).with_suffix(""))] = p
+            key = str(p.relative_to(root).with_suffix(""))
+            if key in out:
+                raise RuntimeError(
+                    f"Ambiguous image key '{key}' under {root}: "
+                    f"{out[key].name} vs {p.name}")
+            out[key] = p
     return out
 
 

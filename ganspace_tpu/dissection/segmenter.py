@@ -141,14 +141,16 @@ class UnifiedParsingSegmenter(SegmenterBase):
     def predict_single_class(self, images, classnum: int,
                              downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(probability, mask) for one flat label — the ACE objective's
-        signal (reference ``segmenter.predict_single_class``)."""
+        signal (reference ``segmenter.predict_single_class``).  One network
+        pass: the label map derives from the same probabilities."""
         cat = self.categories[classnum]
         local = classnum - self._flat_offset[cat]
         probs = self.category_probabilities(jnp.asarray(images))
         p = probs[cat][:, local, ::downsample, ::downsample]
-        seg = self.segment_batch(images, downsample=downsample)
-        mask = jnp.any(seg == classnum, axis=1)
-        return p, mask
+        pc = probs[cat][:, :, ::downsample, ::downsample]
+        lab = jnp.argmax(pc, axis=1)
+        flat = jnp.where(lab == 0, 0, lab + self._flat_offset[cat])
+        return p, flat == classnum
 
 
 def import_torch_upernet(encoder_state, decoder_state,
@@ -284,12 +286,20 @@ class SemanticSegmenter(SegmenterBase):
         p = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
         return (jnp.argmax(p, axis=1) + 1)[:, None]
 
+    def _check_classnum(self, classnum: int) -> None:
+        if not 1 <= classnum < len(self.labels):
+            raise ValueError(
+                f"classnum {classnum} out of range (flat label 0 is '-'; "
+                f"valid classes are 1..{len(self.labels) - 1})")
+
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
+        self._check_classnum(classnum)
         return self.class_probabilities(images)[:, classnum - 1]
 
     def predict_single_class(self, images, classnum: int,
                              downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        p = self.class_probabilities(images)[:, classnum - 1,
-                                             ::downsample, ::downsample]
-        seg = self.segment_batch(images, downsample=downsample)
-        return p, jnp.any(seg == classnum, axis=1)
+        self._check_classnum(classnum)
+        probs = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
+        p = probs[:, classnum - 1]
+        mask = jnp.argmax(probs, axis=1) + 1 == classnum
+        return p, mask

@@ -87,10 +87,9 @@ S2D_MAX_CH = 64
 
 def synthesize(params, z, edits, *, cfg: ProGANConfig,
                retain: Tuple[str, ...], stop_at: Optional[str],
-               s2d_tail: bool = True):
+               s2d_tail: bool = True, act_dtype: Optional[str] = None):
     ts = TapState(retain, edits, stop_at)
-    from ganspace_tpu.ops.precision import get_synth_dtype
-    dt = get_synth_dtype()
+    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
     x = z.reshape(z.shape[0], z.shape[1], 1, 1)
     if dt is not None:
         x = x.astype(dt)
@@ -179,7 +178,8 @@ class ProGAN(BaseGenerator):
             jnp.asarray, params if params is not None else init_params(self.cfg, init_seed))
         self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
-            jax.jit, static_argnames=("retain", "stop_at", "s2d_tail"))(
+            jax.jit, static_argnames=("retain", "stop_at", "s2d_tail",
+                                      "act_dtype"))(
             partial(synthesize, cfg=self.cfg))
 
     def tap_names(self):
@@ -200,10 +200,13 @@ class ProGAN(BaseGenerator):
         params, cfg = self.params, self.cfg
 
         s2d_tail = self._s2d
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        act_dtype = _act_dtype_name()
 
         def fn(z):
             _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
-                                     stop_at=tap, s2d_tail=s2d_tail)
+                                     stop_at=tap, s2d_tail=s2d_tail,
+                                     act_dtype=act_dtype)
             return retained[tap].reshape(z.shape[0], -1)
         return fn
 
@@ -212,9 +215,11 @@ class ProGAN(BaseGenerator):
             assert len(x) == 1, "ProGAN only supports a single global latent"
             x = x[0]
         retain, edits, store = self._instrumentation()
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
         img, retained = self._jit_core(self.params, jnp.asarray(x), edits,
                                        retain=retain, stop_at=stop_at,
-                                       s2d_tail=self._s2d)
+                                       s2d_tail=self._s2d,
+                                       act_dtype=_act_dtype_name())
         if store is not None:
             store(retained)
         return img

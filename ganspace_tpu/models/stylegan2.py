@@ -46,6 +46,12 @@ from ganspace_tpu.ops import (
 )
 from ganspace_tpu.ops import s2d as s2d_ops
 
+def _act_dtype_name() -> Optional[str]:
+    """Current activation-storage policy as a static jit-key string."""
+    from ganspace_tpu.ops.precision import get_synth_dtype
+    return "bfloat16" if get_synth_dtype() is not None else None
+
+
 # Stages whose channel count is at or below this run in space-to-depth block
 # layout (``ops/s2d.py``): measured on v5e, XLA conv throughput collapses
 # below ~128 channels, so the 512px (C=64) and 1024px (C=32) stages are held
@@ -231,7 +237,7 @@ def _to_rgb_blk(params, name, x_blk, w_lat, skip, blur_k, ts: TapState, *,
 def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: bool,
                inject_index: Optional[int], truncation: float,
                retain: Tuple[str, ...], stop_at: Optional[str],
-               s2d_tail: bool = True):
+               s2d_tail: bool = True, act_dtype: Optional[str] = None):
     """One traced program covering forward AND partial_forward.
 
     Mirrors the reference's staged walk (``wrappers.py:194-259``); with a
@@ -267,11 +273,11 @@ def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: boo
     if stop_at == "style":
         return None, ts.retained
 
-    # Optional half-precision activation storage (ops/precision.py
-    # set_synth_dtype): halves HBM traffic through the whole synthesis;
-    # read at trace time like the matmul precision.
-    from ganspace_tpu.ops.precision import get_synth_dtype
-    dt = get_synth_dtype()
+    # Optional half-precision activation storage: halves HBM traffic
+    # through the whole synthesis.  ``act_dtype`` is a STATIC argument (part
+    # of the jit cache key) — callers read the ops.precision.synth_dtype
+    # policy per call, so scoping the context works on warm caches too.
+    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
     if dt is not None:
         latent = latent.astype(dt)
 
@@ -392,7 +398,8 @@ class StyleGAN2(BaseGenerator):
         self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "inject_index", "truncation",
-                                      "retain", "stop_at", "s2d_tail"))(
+                                      "retain", "stop_at", "s2d_tail",
+                                      "act_dtype"))(
             partial(synthesize, cfg=self.cfg))
 
     # -- reference API -------------------------------------------------------
@@ -455,12 +462,13 @@ class StyleGAN2(BaseGenerator):
         input_is_w, trunc = self.w_primary, float(self.truncation)
 
         s2d_tail = self._s2d
+        act_dtype = _act_dtype_name()
 
         def fn(lat):
             _, retained = synthesize(
                 params, consts, (lat,), {}, cfg=cfg, input_is_w=input_is_w,
                 inject_index=None, truncation=trunc, retain=(tap,),
-                stop_at=tap, s2d_tail=s2d_tail)
+                stop_at=tap, s2d_tail=s2d_tail, act_dtype=act_dtype)
             return retained[tap].reshape(lat.shape[0], -1)
         return fn
 
@@ -476,7 +484,7 @@ class StyleGAN2(BaseGenerator):
             self.params, self.consts, styles, edits,
             input_is_w=self.w_primary, inject_index=inject_index,
             truncation=float(self.truncation), retain=retain, stop_at=stop_at,
-            s2d_tail=self._s2d)
+            s2d_tail=self._s2d, act_dtype=_act_dtype_name())
         if store is not None:
             store(retained)
         return img

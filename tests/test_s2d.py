@@ -106,9 +106,9 @@ def tiny_models():
     return m
 
 
-def _forward_both(m, z, **kw):
+def _forward_both(m, z):
     m._s2d = True
-    a = np.asarray(m.forward(z, **kw) if not kw else m.forward(z))
+    a = np.asarray(m.forward(z))
     m._s2d = False
     b = np.asarray(m.forward(z))
     m._s2d = True
@@ -120,6 +120,22 @@ def test_model_forward_equivalence(tiny_models):
     z = m.sample_latent(3, seed=11)
     a, b = _forward_both(m, z)
     assert np.abs(a - b).max() < 1e-4
+
+
+def test_synth_dtype_scopes_on_warm_cache(tiny_models):
+    """The activation-storage dtype is a static jit argument read per call:
+    scoping ``synth_dtype`` must take effect even after the f32 signature
+    was already traced, and must fully revert when the scope exits."""
+    from ganspace_tpu.ops.precision import synth_dtype
+    m = tiny_models
+    z = m.sample_latent(2, seed=21)
+    ref = np.asarray(m.forward(z))            # warm f32 trace
+    with synth_dtype("bfloat16"):
+        half = np.asarray(m.forward(z))       # must NOT reuse the f32 trace
+    back = np.asarray(m.forward(z))
+    assert half.dtype == np.float32           # output contract stays f32
+    assert np.abs(half - ref).max() > 1e-5    # bf16 storage actually engaged
+    assert np.abs(back - ref).max() == 0.0    # scope exit restores f32
 
 
 def test_model_tap_and_partial_equivalence(tiny_models):
