@@ -211,16 +211,19 @@ def _cond_bn(params, name, x, cond, truncation, n_stats, eps=1e-4):
     bias = jnp.matmul(cond, params[f"{name}.offset.weight"].T,
                       precision=get_precision())
     inv = lax.rsqrt(var + eps)
-    x_hat = (x - mean[None, :, None, None]) * inv[None, :, None, None]
-    return x_hat * weight[:, :, None, None] + bias[:, :, None, None]
+    x_hat = ((x - mean[None, :, None, None].astype(x.dtype))
+             * inv[None, :, None, None].astype(x.dtype))
+    return (x_hat * weight[:, :, None, None].astype(x.dtype)
+            + bias[:, :, None, None].astype(x.dtype))
 
 
 def _plain_bn(params, name, x, truncation, n_stats, eps=1e-4):
     mean, var = _trunc_stats(params, name, truncation, n_stats)
     inv = lax.rsqrt(var + eps)
     w, b = params[f"{name}.weight"], params[f"{name}.bias"]
-    return ((x - mean[None, :, None, None]) * inv[None, :, None, None]
-            * w[None, :, None, None] + b[None, :, None, None])
+    scale = (inv * w).astype(x.dtype)
+    shift = (b - mean * inv * w).astype(x.dtype)
+    return x * scale[None, :, None, None] + shift[None, :, None, None]
 
 
 def _maxpool2(x):
@@ -238,7 +241,7 @@ def _self_attn(params, base, x, ts: TapState):
     attn_g = jnp.einsum("ncq,npq->ncp", g, attn,
                         precision=get_precision()).reshape(n, ch // 2, h, w)
     attn_g = _conv(params, f"{base}.snconv1x1_o_conv", attn_g, 1, 0)
-    out = x + params[f"{base}.gamma"][0] * attn_g
+    out = x + params[f"{base}.gamma"][0].astype(x.dtype) * attn_g
     return ts.tap(base, out)
 
 
@@ -259,7 +262,8 @@ def _cond_bn_blk(params, name, x_blk, cond, truncation, n_stats, eps=1e-4):
     b, h, w, f = x_blk.shape
     c = f // 4
     y = x_blk.reshape(b, h, w, 4, c)
-    y = (y - mean[None, None, None, None, :]) * inv[None, None, None, None, :]
+    y = ((y - mean[None, None, None, None, :].astype(y.dtype))
+         * inv[None, None, None, None, :].astype(y.dtype))
     y = (y * weight[:, None, None, None, :].astype(y.dtype)
          + bias[:, None, None, None, :].astype(y.dtype))
     return y.reshape(b, h, w, f)
@@ -274,7 +278,8 @@ def _plain_bn_blk(params, name, x_blk, truncation, n_stats, eps=1e-4):
     b, h, w, f = x_blk.shape
     c = f // 4
     y = x_blk.reshape(b, h, w, 4, c)
-    y = y * scale[None, None, None, None, :] + shift[None, None, None, None, :]
+    y = (y * scale[None, None, None, None, :].astype(y.dtype)
+         + shift[None, None, None, None, :].astype(y.dtype))
     return y.reshape(b, h, w, f)
 
 
@@ -393,7 +398,7 @@ def _gen_block(params, base, x, cond, truncation, n_stats, up, ts: TapState):
 def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
                truncation: float, n_layers_to_run: int,
                retain: Tuple[str, ...], stop_at: Optional[str],
-               s2d_tail: bool = True):
+               s2d_tail: bool = True, act_dtype: Optional[str] = None):
     """zs: tuple of n_latents [B, z_dim] arrays; class_onehot [B, 1000]."""
     ts = TapState(retain, edits, stop_at)
     embeds = []
@@ -414,6 +419,8 @@ def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
 
     ch16 = 16 * cfg.channel_width
     x = z.reshape(-1, 4, 4, ch16).transpose(0, 3, 1, 2)
+    if act_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
 
     # Block-layout entry point: the first up-GenBlock whose bottleneck has
     # thinned to <= S2D_MAX_CH channels (static — part of the jit signature).
@@ -457,14 +464,14 @@ def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
         b, h, w, f = x.shape
         x = x.reshape(b, h, w, 4, f // 4)[..., :3].reshape(b, h, w, 12)
         x = s2d_ops.blocks_to_nchw(x)
-        x = jnp.tanh(x)
+        x = jnp.tanh(x).astype(jnp.float32)
         return x, ts.retained
 
     x = ts.tap("generator.bn", _plain_bn(params, "generator.bn", x, truncation, cfg.n_stats))
     x = ts.tap("generator.relu", jax.nn.relu(x))
     x = ts.tap("generator.conv_to_rgb", _conv(params, "generator.conv_to_rgb", x, 3, 1))
     x = x[:, :3]
-    x = jnp.tanh(x)
+    x = jnp.tanh(x).astype(jnp.float32)
     if ts.stopped:
         return None, ts.retained
     return x, ts.retained
@@ -505,7 +512,7 @@ class BigGAN(BaseGenerator):
         self._jit_core = partial(
             jax.jit,
             static_argnames=("truncation", "n_layers_to_run", "retain",
-                             "stop_at", "s2d_tail"))(
+                             "stop_at", "s2d_tail", "act_dtype"))(
             partial(synthesize, cfg=self.cfg))
 
     # -- class conditioning --------------------------------------------------
@@ -606,6 +613,8 @@ class BigGAN(BaseGenerator):
         trunc = float(self.truncation)
         n_run = self._n_layers_for(layer_name)
         s2d_tail = self._s2d
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        act_dtype = _act_dtype_name()
 
         def fn(z):
             zs = tuple([z] * cfg.n_latents)
@@ -613,7 +622,7 @@ class BigGAN(BaseGenerator):
             _, retained = synthesize(params, zs, onehot, {}, cfg=cfg,
                                      truncation=trunc, n_layers_to_run=n_run,
                                      retain=(tap,), stop_at=tap,
-                                     s2d_tail=s2d_tail)
+                                     s2d_tail=s2d_tail, act_dtype=act_dtype)
             return retained[tap].reshape(z.shape[0], -1)
         return fn
 
@@ -624,13 +633,15 @@ class BigGAN(BaseGenerator):
         zs = tuple(jnp.asarray(z) for z in zs)
         class_onehot = jnp.broadcast_to(self.v_class,
                                         (zs[0].shape[0], self.cfg.num_classes))
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
         retain, edits, store = self._instrumentation()
         n_run = self._n_layers_for(layer_name) if stop_at is not None \
             else len(self.cfg.module_plan())
         img, retained = self._jit_core(
             self.params, zs, class_onehot, edits,
             truncation=float(self.truncation), n_layers_to_run=n_run,
-            retain=retain, stop_at=stop_at, s2d_tail=self._s2d)
+            retain=retain, stop_at=stop_at, s2d_tail=self._s2d,
+            act_dtype=_act_dtype_name())
         if store is not None:
             store(retained)
         return img

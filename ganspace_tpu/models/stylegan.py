@@ -194,10 +194,11 @@ def _layer_epilogue_blk(params, name, x_blk, w_lat, noise_blk, ts: TapState):
     if ts.stopped:
         return x_blk
     x = jnp.where(x_blk >= 0, x_blk, 0.2 * x_blk)
-    y = x.reshape(b, h, w, 4, c)
+    # f32 statistics under bf16 storage (see _layer_epilogue).
+    y = x.reshape(b, h, w, 4, c).astype(jnp.float32)
     mu = jnp.mean(y, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(y, axis=(1, 2, 3), keepdims=True)
-    y = (y - mu) * lax.rsqrt(var + 1e-5)
+    y = ((y - mu) * lax.rsqrt(var + 1e-5)).astype(x.dtype)
     style = equal_linear(w_lat, params[f"{name}.style_mod.lin.weight"],
                          params[f"{name}.style_mod.lin.bias"], gain=1.0)
     style = ts.tap(f"{name}.style_mod.lin", style)
@@ -214,10 +215,13 @@ def _layer_epilogue(params, name, x, w_lat, noise, ts: TapState):
     x = x + nw.reshape(1, -1, 1, 1).astype(x.dtype) * noise.astype(x.dtype)
     x = ts.tap(f"{name}.top_epi.noise", x)
     x = jnp.where(x >= 0, x, 0.2 * x)
-    # InstanceNorm2d, affine=False, eps=1e-5 (model.py:241)
-    mu = jnp.mean(x, axis=(2, 3), keepdims=True)
-    var = jnp.var(x, axis=(2, 3), keepdims=True)
-    x = (x - mu) * lax.rsqrt(var + 1e-5)
+    # InstanceNorm2d, affine=False, eps=1e-5 (model.py:241).  Statistics in
+    # f32 even under bf16 activation storage: whole-map mean/var accumulated
+    # in bf16 loses enough precision to visibly corrupt the normalization.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3), keepdims=True)
+    x = (((xf - mu) * lax.rsqrt(var + 1e-5))).astype(x.dtype)
     # StyleMod (model.py:124-136): gain-1 equalized linear -> scale/shift
     style = equal_linear(w_lat, params[f"{name}.style_mod.lin.weight"],
                          params[f"{name}.style_mod.lin.bias"], gain=1.0)
@@ -239,8 +243,9 @@ def mapping_forward(params, z) -> jnp.ndarray:
 
 def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: bool,
                retain: Tuple[str, ...], stop_at: Optional[str],
-               s2d_tail: bool = True):
+               s2d_tail: bool = True, act_dtype: Optional[str] = None):
     ts = TapState(retain, edits, stop_at)
+    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
 
     if input_is_w:
         # Mapping is not executed, so its tap never fires (matches the
@@ -265,6 +270,11 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
     if ts.stopped:
         return None, ts.retained
 
+    # SG1 keeps f32 activations through the low-res stages even under bf16
+    # storage: the epilogue instance-normalizes small fluctuations around a
+    # large mean there, so bf16 INPUT rounding (not the statistics) destroys
+    # the normalized signal.  The dtype engages at the space-to-depth entry,
+    # where the memory win lives and spatial variance is healthy.
     noise = consts["noise"]
     names = cfg.block_names()
     chans = cfg.block_channels()
@@ -277,7 +287,7 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
         if bi == 0:
             const = params[f"{base}.const"]
             x = jnp.broadcast_to(const, (batch,) + const.shape[1:])
-            x = x + params[f"{base}.bias"].reshape(1, -1, 1, 1)
+            x = x + params[f"{base}.bias"].reshape(1, -1, 1, 1).astype(x.dtype)
             x = _layer_epilogue(params, f"{base}.epi1", x, latent[:, 0], noise[bi], ts)
             if ts.stopped:
                 return None, ts.retained
@@ -293,6 +303,9 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
             wm = (w * (math.sqrt(2.0) * ((w.shape[1] * 9) ** -0.5))).astype(x.dtype)
             if enter:
                 x = jnp.transpose(x, (0, 2, 3, 1))  # pixel NHWC at entry
+                if dt is not None:
+                    x = x.astype(dt)
+                    wm = wm.astype(dt)
                 in_blocks = True
             x = s2d_ops.sg1_upconv_blocks(x, wm, pixel_input=enter)
             x = x + jnp.tile(params[f"{wname}.bias"], 4).astype(x.dtype)
@@ -356,6 +369,8 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
         rgb = s2d_ops.blocks_to_nchw(rgb)
     else:
         rgb, _ = _my_conv2d(params, "g_synthesis.torgb", x, gain=1.0)
+    if rgb is not None and rgb.dtype != jnp.float32:
+        rgb = rgb.astype(jnp.float32)
     rgb = ts.tap("g_synthesis.torgb", rgb)
     return rgb, ts.retained
 
@@ -398,7 +413,7 @@ class StyleGAN(BaseGenerator):
         self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "retain", "stop_at",
-                                      "s2d_tail"))(
+                                      "s2d_tail", "act_dtype"))(
             partial(synthesize, cfg=self.cfg))
 
     def latent_space_name(self):
@@ -470,21 +485,26 @@ class StyleGAN(BaseGenerator):
         params, consts, cfg = self.params, self.consts, self.cfg
         input_is_w = self.w_primary
         s2d_tail = self._s2d
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        act_dtype = _act_dtype_name()
 
         def fn(lat):
             _, retained = synthesize(params, consts, (lat,), {}, cfg=cfg,
                                      input_is_w=input_is_w, retain=(tap,),
-                                     stop_at=tap, s2d_tail=s2d_tail)
+                                     stop_at=tap, s2d_tail=s2d_tail,
+                                     act_dtype=act_dtype)
             return retained[tap].reshape(lat.shape[0], -1)
         return fn
 
     def _run(self, x, stop_at):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))
         retain, edits, store = self._instrumentation()
+        from ganspace_tpu.models.stylegan2 import _act_dtype_name
         img, retained = self._jit_core(self.params, self.consts, styles, edits,
                                        input_is_w=self.w_primary,
                                        retain=retain, stop_at=stop_at,
-                                       s2d_tail=self._s2d)
+                                       s2d_tail=self._s2d,
+                                       act_dtype=_act_dtype_name())
         if store is not None:
             store(retained)
         return img

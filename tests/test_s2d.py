@@ -138,6 +138,38 @@ def test_synth_dtype_scopes_on_warm_cache(tiny_models):
     assert np.abs(back - ref).max() == 0.0    # scope exit restores f32
 
 
+def test_synth_dtype_all_families():
+    """bf16 activation storage engages on every family and stays
+    preview-grade close to the f32 path (output contract f32)."""
+    from ganspace_tpu.ops.precision import synth_dtype
+    from ganspace_tpu.models.stylegan import SG1Config, StyleGAN
+    from ganspace_tpu.models.proggan import ProGAN, ProGANConfig
+    from ganspace_tpu.models.biggan import BigGAN, BigGANConfig
+
+    models = [
+        # SG1 engages bf16 only in the s2d tail (see models/stylegan.py), so
+        # the config must reach a <=64-channel block at res >= 128.
+        StyleGAN(class_name="ffhq", cfg=SG1Config(resolution=256, fmap_base=1024),
+                 init_seed=1),
+        ProGAN(lsun_class="bedroom", cfg=ProGANConfig(sizes=(64, 64, 32, 16)),
+               init_seed=1),
+        BigGAN(resolution=128, class_name="husky", init_seed=1,
+               cfg=BigGANConfig(output_dim=16, channel_width=8,
+                                attention_layer_position=99,
+                                layers=((False, 16, 16), (True, 16, 8)))),
+    ]
+    for m in models:
+        z = m.sample_latent(2, seed=7)
+        ref = np.asarray(m.forward(z))
+        with synth_dtype("bfloat16"):
+            half = np.asarray(m.forward(z))
+        assert half.dtype == np.float32, type(m).__name__
+        rel_err = np.abs(half - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert 0 < rel_err < 0.15, f"{type(m).__name__}: rel err {rel_err}"
+        back = np.asarray(m.forward(z))
+        assert np.abs(back - ref).max() == 0.0, type(m).__name__
+
+
 def test_model_tap_and_partial_equivalence(tiny_models):
     from ganspace_tpu.models.base import InstrumentedModel
     m = tiny_models

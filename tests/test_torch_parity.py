@@ -253,11 +253,17 @@ def test_biggan_activation_parity():
     # unconverged sigma estimates at random init let every conv amplify
     # ~10x and the 20-conv stack overflows f32.  The baked importer and the
     # eval-mode torch forward then agree on the SAME normalized weights.
+    # Single-threaded + 100 iterations: torch's multithreaded GEMM reduction
+    # split made the iteration path (and thus sigma) load-dependent, which
+    # occasionally left the stack near overflow -> flaky NaN comparisons.
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
     g.train()
     with torch.no_grad():
-        for _ in range(30):
+        for _ in range(100):
             g(torch.from_numpy(z), torch.from_numpy(onehot), truncation=0.4)
     g.eval()
+    torch.set_num_threads(n_threads)
 
     from ganspace_tpu.models.biggan import BigGAN, BigGANConfig
     from ganspace_tpu.models.torch_import import import_biggan
@@ -291,7 +297,10 @@ def test_biggan_activation_parity():
     # varies under machine load) by ~1e3; real import bugs are orders of
     # magnitude larger.
     for t in taps:
-        err = _rel_err(np.asarray(inst.retained_features()[t]), store[t])
+        ours_t = np.asarray(inst.retained_features()[t])
+        assert np.isfinite(store[t]).all(), f"{t}: torch side non-finite"
+        assert np.isfinite(ours_t).all(), f"{t}: jax side non-finite"
+        err = _rel_err(ours_t, store[t])
         assert err < 1e-3, f"{t}: rel err {err}"
     assert _rel_err(raw, out_t) < 1e-3
 
