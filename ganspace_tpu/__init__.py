@@ -38,11 +38,15 @@ def _enable_compile_cache() -> None:
     try:
         import hashlib
         with open("/proc/cpuinfo") as f:
-            # x86 lists 'flags'; ARM lists 'Features'.  Fall back to the
-            # whole first processor block if neither is present.
+            # x86 lists 'flags'; ARM lists 'Features'.  Arches with neither
+            # fall back to the coarse machine type — the first processor
+            # block contains boot-volatile fields (clock, bogomips) that
+            # would churn the partition every run.
             lines = f.read().split("\n\n", 1)[0]
+        import platform
         flags = next((ln for ln in lines.splitlines()
-                      if ln.startswith(("flags", "Features"))), lines)
+                      if ln.startswith(("flags", "Features"))),
+                     platform.machine())
         cache_dir = _os.path.join(
             cache_dir, hashlib.sha1(flags.encode()).hexdigest()[:10])
     except OSError:

@@ -227,6 +227,9 @@ class ParallelImageFolders:
         self.paths = [[idx[k] for idx in indexes] for k in self.keys]
         if transforms is not None and not isinstance(transforms, (list, tuple)):
             transforms = [transforms] * len(self.roots)
+        if transforms is not None and len(transforms) != len(self.roots):
+            raise ValueError(
+                f"{len(transforms)} transforms for {len(self.roots)} roots")
         self.transforms = transforms
 
     def __len__(self) -> int:

@@ -131,9 +131,16 @@ class UnifiedParsingSegmenter(SegmenterBase):
             maps.append(flat)
         return jnp.stack(maps, axis=1)
 
+    def _check_classnum(self, classnum: int) -> None:
+        if not 1 <= classnum < len(self.labels):
+            raise ValueError(
+                f"classnum {classnum} out of range (flat label 0 is '-'; "
+                f"valid classes are 1..{len(self.labels) - 1})")
+
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
         """Differentiable per-pixel probability of one flat label
         (``SegmenterBase.class_probability`` protocol, used by ACE)."""
+        self._check_classnum(classnum)
         cat = self.categories[classnum]
         local = classnum - self._flat_offset[cat]
         return self.category_probabilities(jnp.asarray(images))[cat][:, local]
@@ -143,6 +150,7 @@ class UnifiedParsingSegmenter(SegmenterBase):
         """(probability, mask) for one flat label — the ACE objective's
         signal (reference ``segmenter.predict_single_class``).  One network
         pass: the label map derives from the same probabilities."""
+        self._check_classnum(classnum)
         cat = self.categories[classnum]
         local = classnum - self._flat_offset[cat]
         probs = self.category_probabilities(jnp.asarray(images))

@@ -419,8 +419,8 @@ def synthesize(params, zs, class_onehot, edits, *, cfg: BigGANConfig,
 
     ch16 = 16 * cfg.channel_width
     x = z.reshape(-1, 4, 4, ch16).transpose(0, 3, 1, 2)
-    if act_dtype == "bfloat16":
-        x = x.astype(jnp.bfloat16)
+    if act_dtype is not None:
+        x = x.astype(jnp.dtype(act_dtype))
 
     # Block-layout entry point: the first up-GenBlock whose bottleneck has
     # thinned to <= S2D_MAX_CH channels (static — part of the jit signature).
@@ -613,8 +613,8 @@ class BigGAN(BaseGenerator):
         trunc = float(self.truncation)
         n_run = self._n_layers_for(layer_name)
         s2d_tail = self._s2d
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
-        act_dtype = _act_dtype_name()
+        from ganspace_tpu.ops.precision import synth_dtype_name
+        act_dtype = synth_dtype_name()
 
         def fn(z):
             zs = tuple([z] * cfg.n_latents)
@@ -633,7 +633,7 @@ class BigGAN(BaseGenerator):
         zs = tuple(jnp.asarray(z) for z in zs)
         class_onehot = jnp.broadcast_to(self.v_class,
                                         (zs[0].shape[0], self.cfg.num_classes))
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        from ganspace_tpu.ops.precision import synth_dtype_name
         retain, edits, store = self._instrumentation()
         n_run = self._n_layers_for(layer_name) if stop_at is not None \
             else len(self.cfg.module_plan())
@@ -641,7 +641,7 @@ class BigGAN(BaseGenerator):
             self.params, zs, class_onehot, edits,
             truncation=float(self.truncation), n_layers_to_run=n_run,
             retain=retain, stop_at=stop_at, s2d_tail=self._s2d,
-            act_dtype=_act_dtype_name())
+            act_dtype=synth_dtype_name())
         if store is not None:
             store(retained)
         return img

@@ -89,7 +89,7 @@ def synthesize(params, z, edits, *, cfg: ProGANConfig,
                retain: Tuple[str, ...], stop_at: Optional[str],
                s2d_tail: bool = True, act_dtype: Optional[str] = None):
     ts = TapState(retain, edits, stop_at)
-    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
+    dt = jnp.dtype(act_dtype) if act_dtype is not None else None
     x = z.reshape(z.shape[0], z.shape[1], 1, 1)
     if dt is not None:
         x = x.astype(dt)
@@ -200,8 +200,8 @@ class ProGAN(BaseGenerator):
         params, cfg = self.params, self.cfg
 
         s2d_tail = self._s2d
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
-        act_dtype = _act_dtype_name()
+        from ganspace_tpu.ops.precision import synth_dtype_name
+        act_dtype = synth_dtype_name()
 
         def fn(z):
             _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
@@ -215,11 +215,11 @@ class ProGAN(BaseGenerator):
             assert len(x) == 1, "ProGAN only supports a single global latent"
             x = x[0]
         retain, edits, store = self._instrumentation()
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        from ganspace_tpu.ops.precision import synth_dtype_name
         img, retained = self._jit_core(self.params, jnp.asarray(x), edits,
                                        retain=retain, stop_at=stop_at,
                                        s2d_tail=self._s2d,
-                                       act_dtype=_act_dtype_name())
+                                       act_dtype=synth_dtype_name())
         if store is not None:
             store(retained)
         return img

@@ -245,7 +245,7 @@ def synthesize(params, consts, styles, edits, *, cfg: SG1Config, input_is_w: boo
                retain: Tuple[str, ...], stop_at: Optional[str],
                s2d_tail: bool = True, act_dtype: Optional[str] = None):
     ts = TapState(retain, edits, stop_at)
-    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
+    dt = jnp.dtype(act_dtype) if act_dtype is not None else None
 
     if input_is_w:
         # Mapping is not executed, so its tap never fires (matches the
@@ -485,8 +485,8 @@ class StyleGAN(BaseGenerator):
         params, consts, cfg = self.params, self.consts, self.cfg
         input_is_w = self.w_primary
         s2d_tail = self._s2d
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
-        act_dtype = _act_dtype_name()
+        from ganspace_tpu.ops.precision import synth_dtype_name
+        act_dtype = synth_dtype_name()
 
         def fn(lat):
             _, retained = synthesize(params, consts, (lat,), {}, cfg=cfg,
@@ -499,12 +499,12 @@ class StyleGAN(BaseGenerator):
     def _run(self, x, stop_at):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))
         retain, edits, store = self._instrumentation()
-        from ganspace_tpu.models.stylegan2 import _act_dtype_name
+        from ganspace_tpu.ops.precision import synth_dtype_name
         img, retained = self._jit_core(self.params, self.consts, styles, edits,
                                        input_is_w=self.w_primary,
                                        retain=retain, stop_at=stop_at,
                                        s2d_tail=self._s2d,
-                                       act_dtype=_act_dtype_name())
+                                       act_dtype=synth_dtype_name())
         if store is not None:
             store(retained)
         return img

@@ -45,12 +45,7 @@ from ganspace_tpu.ops import (
     upsample2x,
 )
 from ganspace_tpu.ops import s2d as s2d_ops
-
-def _act_dtype_name() -> Optional[str]:
-    """Current activation-storage policy as a static jit-key string."""
-    from ganspace_tpu.ops.precision import get_synth_dtype
-    return "bfloat16" if get_synth_dtype() is not None else None
-
+from ganspace_tpu.ops.precision import synth_dtype_name
 
 # Stages whose channel count is at or below this run in space-to-depth block
 # layout (``ops/s2d.py``): measured on v5e, XLA conv throughput collapses
@@ -277,7 +272,7 @@ def synthesize(params, consts, styles, edits, *, cfg: SG2Config, input_is_w: boo
     # through the whole synthesis.  ``act_dtype`` is a STATIC argument (part
     # of the jit cache key) — callers read the ops.precision.synth_dtype
     # policy per call, so scoping the context works on warm caches too.
-    dt = jnp.bfloat16 if act_dtype == "bfloat16" else None
+    dt = jnp.dtype(act_dtype) if act_dtype is not None else None
     if dt is not None:
         latent = latent.astype(dt)
 
@@ -462,7 +457,7 @@ class StyleGAN2(BaseGenerator):
         input_is_w, trunc = self.w_primary, float(self.truncation)
 
         s2d_tail = self._s2d
-        act_dtype = _act_dtype_name()
+        act_dtype = synth_dtype_name()
 
         def fn(lat):
             _, retained = synthesize(
@@ -484,7 +479,7 @@ class StyleGAN2(BaseGenerator):
             self.params, self.consts, styles, edits,
             input_is_w=self.w_primary, inject_index=inject_index,
             truncation=float(self.truncation), retain=retain, stop_at=stop_at,
-            s2d_tail=self._s2d, act_dtype=_act_dtype_name())
+            s2d_tail=self._s2d, act_dtype=synth_dtype_name())
         if store is not None:
             store(retained)
         return img

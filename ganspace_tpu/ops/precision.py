@@ -81,6 +81,16 @@ def set_synth_dtype(dt) -> None:
         _SYNTH_DTYPE = dt
 
 
+def synth_dtype_name():
+    """Active storage policy as a canonical dtype-name string (or None) —
+    the static jit-cache key the generators thread through ``synthesize``.
+    Read per call so scoping ``synth_dtype(...)`` works on warm traces."""
+    if _SYNTH_DTYPE is None:
+        return None
+    import numpy as np
+    return np.dtype(_SYNTH_DTYPE).name
+
+
 @contextlib.contextmanager
 def synth_dtype(dt):
     old = _SYNTH_DTYPE

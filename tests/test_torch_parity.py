@@ -257,12 +257,14 @@ def test_biggan_activation_parity():
     # iteration path (and thus sigma) load-dependent.
     n_threads = torch.get_num_threads()
     torch.set_num_threads(1)
-    g.train()
-    with torch.no_grad():
-        for _ in range(100):
-            g(torch.from_numpy(z), torch.from_numpy(onehot), truncation=0.4)
-    g.eval()
-    torch.set_num_threads(n_threads)
+    try:
+        g.train()
+        with torch.no_grad():
+            for _ in range(100):
+                g(torch.from_numpy(z), torch.from_numpy(onehot), truncation=0.4)
+        g.eval()
+    finally:
+        torch.set_num_threads(n_threads)
 
     # Calibrate BN running stats to the ACTUAL activation scale (a trained
     # net's invariant).  With the default 0/1 stats the conditional affines
