@@ -3,7 +3,7 @@
 relevant to generator dissection).
 
     python -m ganspace_tpu.dissection --model DCGAN --layer deconv1 \
-        --samples 256 --outdir out/dissect [--segmenter color|unified] \
+        --samples 256 --outdir out/dissect [--segmenter color|unified|ade] \
         [--iqr] [--cov] [--ace-class N] [--done-dir JOBDIR]
 
 Writes ``dissect.json``, ``bargraph.svg``, ``dissect.html`` and per-unit
@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--quantile", type=float, default=0.995,
                    help="activation threshold quantile")
-    p.add_argument("--segmenter", choices=("color", "unified"),
+    p.add_argument("--segmenter", choices=("color", "unified", "ade"),
                    default="color")
     p.add_argument("--seg-params", default=None,
                    help="npz of imported unified-parsing params")
@@ -56,11 +56,15 @@ def make_segmenter(args):
     if args.segmenter == "color":
         from ganspace_tpu.dissection import ColorSegmenter
         return ColorSegmenter()
-    from ganspace_tpu.dissection import UnifiedParsingSegmenter
     params = None
     if args.seg_params:
         data = np.load(args.seg_params)
         params = {k: data[k] for k in data.files}
+    if args.segmenter == "ade":
+        # ADE20K scene-parsing family (dilated ResNet + PPM bilinear).
+        from ganspace_tpu.dissection.segmenter import SemanticSegmenter
+        return SemanticSegmenter(params=params, segsizes=tuple(args.segsizes))
+    from ganspace_tpu.dissection import UnifiedParsingSegmenter
     return UnifiedParsingSegmenter(params=params,
                                    segsizes=tuple(args.segsizes))
 
