@@ -308,3 +308,17 @@ def test_model_edit_equivalence(tiny_models):
         inst.remove_edits()
     m._s2d = True
     assert np.abs(imgs[True] - imgs[False]).max() < 1e-4
+
+
+def test_entry_at_final_stage():
+    """'car'-shaped configs enter block layout at their LAST pair (512px,
+    C=64): entry, one in-tail to_rgb with a pixel skip, and exit all happen
+    in a single stage."""
+    from ganspace_tpu.models.stylegan2 import SG2Config, StyleGAN2
+    cfg = SG2Config(resolution=32,
+                    channels=((4, 96), (8, 96), (16, 96), (32, 48)))
+    m = StyleGAN2(class_name="ffhq", cfg=cfg, init_seed=9)
+    z = m.sample_latent(2, seed=17)
+    a, b = _forward_both(m, z)
+    assert a.shape == b.shape == (2, 3, 32, 32)
+    assert np.abs(a - b).max() < 1e-4
