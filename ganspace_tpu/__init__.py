@@ -35,22 +35,24 @@ def _enable_compile_cache() -> None:
     # one machine poisons runs on another (observed: avx512/amx host change
     # -> per-entry load errors and flaky numerics).  Partition by a host
     # fingerprint so a machine change starts a fresh subcache.
+    import hashlib
+    import platform
     try:
-        import hashlib
         with open("/proc/cpuinfo") as f:
             # x86 lists 'flags'; ARM lists 'Features'.  Arches with neither
             # fall back to the coarse machine type — the first processor
             # block contains boot-volatile fields (clock, bogomips) that
             # would churn the partition every run.
             lines = f.read().split("\n\n", 1)[0]
-        import platform
         flags = next((ln for ln in lines.splitlines()
                       if ln.startswith(("flags", "Features"))),
                      platform.machine())
-        cache_dir = _os.path.join(
-            cache_dir, hashlib.sha1(flags.encode()).hexdigest()[:10])
     except OSError:
-        pass
+        # No procfs (macOS, BSD): still partition, by the coarse machine
+        # type — unpartitioned sharing is the failure mode being guarded.
+        flags = platform.machine()
+    cache_dir = _os.path.join(
+        cache_dir, hashlib.sha1(flags.encode()).hexdigest()[:10])
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", cache_dir)

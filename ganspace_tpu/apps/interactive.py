@@ -514,21 +514,35 @@ def apply_preview_precision(args) -> None:
     themselves.  Decomposition runs are unaffected: ``compute()`` scopes
     its own precision."""
     from ganspace_tpu.ops.precision import set_precision, set_synth_dtype
-    mode = {"float32": "highest", "bfloat16": "default",
-            None: "default"}[getattr(args, "dtype", None)]
+    modes = {"float32": "highest", "bfloat16": "default", None: "default"}
+    dtype = getattr(args, "dtype", None)
+    if dtype not in modes:
+        raise SystemExit(
+            f"--dtype {dtype!r}: expected 'float32' or 'bfloat16'")
+    mode = modes[dtype]
     set_precision(mode)
     set_synth_dtype("bfloat16" if mode == "default" else None)
 
 
 def main(argv=None):
+    import argparse
     import os
-    args = Config().from_args(argv)
+    import sys as _sys
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    # Viewer-only flags, peeled off before the shared Config parser.
+    vp = argparse.ArgumentParser(add_help=False)
+    vp.add_argument("--port", type=int, default=8080)
+    vp.add_argument("--host", type=str, default="127.0.0.1")
+    # Accepted for CLI-compat: the stdlib viewer never auto-opens a browser.
+    vp.add_argument("--no-browser", action="store_true")
+    vargs, rest = vp.parse_known_args(argv)
+    args = Config().from_args(rest)
     preview = os.environ.get("GANSPACE_PREVIEW")
     apply_preview_precision(args)
     session = Session(args, preview_size=int(preview) if preview else None)
     print("Precompiling frame signatures...")
     session.warmup()
-    serve(session)
+    serve(session, host=vargs.host, port=vargs.port)
 
 
 if __name__ == "__main__":

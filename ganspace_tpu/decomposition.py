@@ -65,16 +65,52 @@ get_random_dirs = random_directions  # reference-compatible alias
 _ACT_BUDGET_BYTES = int(os.environ.get("GANSPACE_ACT_BUDGET", 256 * 1024 * 1024))
 
 
-def _fused_scan_cached() -> bool:
-    """True when the fused activation stream's scan program has been
-    compiled before on this machine (persistent-cache probe): re-tracing it
-    is then a disk hit, so the per-block dispatch saving is pure profit."""
-    import glob
+def _fused_acts_registry() -> Optional[str]:
+    """Path of the fused-stream sentinel registry, colocated with (and
+    partitioned like) the persistent compile cache; None when uncached."""
     import jax
     cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
     if not cache_dir:
+        return None
+    return os.path.join(cache_dir, "ganspace_fused_acts.json")
+
+
+def _fused_acts_cached(key: str) -> bool:
+    """True when THIS workload's fused scan program has compiled to
+    completion on this machine before: re-tracing it is then a disk hit in
+    the persistent compile cache, so the per-block dispatch saving is pure
+    profit.  Keyed by model/layer/shape/estimator — a cached scan for a
+    different workload says nothing about this one's compile cost."""
+    import json
+    path = _fused_acts_registry()
+    if path is None or not os.path.isfile(path):
         return False
-    return bool(glob.glob(os.path.join(cache_dir, "*scan_chunk*")))
+    try:
+        with open(path) as f:
+            return key in json.load(f)
+    except (OSError, ValueError):
+        return False
+
+
+def _record_fused_acts(key: str) -> None:
+    """Mark a fused-stream workload as compiled (see _fused_acts_cached)."""
+    import json
+    path = _fused_acts_registry()
+    if path is None:
+        return
+    try:
+        entries = {}
+        if os.path.isfile(path):
+            with open(path) as f:
+                entries = json.load(f)
+        entries[key] = True
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, path)
+    except (OSError, ValueError):
+        pass  # best-effort: losing the sentinel only costs the heuristic
 
 
 def get_max_batch_size(inst: InstrumentedModel, device=None, layer_name=None) -> int:
@@ -162,8 +198,10 @@ def regression(comp, mean, stdev, inst, config):
 def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
     """Run the decomposition under the config's precision policy (--dtype);
     an unset dtype means float32 (component parity with the reference)."""
-    prec = _DTYPE_PRECISION.get(getattr(config, "dtype", None) or "float32",
-                                "highest")
+    dtype = getattr(config, "dtype", None) or "float32"
+    if dtype not in _DTYPE_PRECISION:
+        raise ValueError(f"--dtype {dtype!r}: expected 'float32' or 'bfloat16'")
+    prec = _DTYPE_PRECISION[dtype]
     # Also pin f32 activation storage: a viewer process sets the bf16
     # preview policy globally, and components fit on preview-grade
     # activations must never reach the persisted npz cache.
@@ -317,7 +355,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # 109s grouped vs 174s fused cold on a 50k conv-tap run, identical
     # results) — so it pays exactly when that compile is a disk hit.
     fused_env = os.environ.get("GANSPACE_FUSED_ACTS", "auto")
-    fused_on = _fused_scan_cached() if fused_env == "auto" else fused_env == "1"
+    fused_key = "|".join([config.model, str(config.output_class), layer_key,
+                          f"b{batch}", f"D{sample_dims}",
+                          transformer.get_param_str()])
+    fused_on = (_fused_acts_cached(fused_key) if fused_env == "auto"
+                else fused_env == "1")
     fused_acts = (fused_on
                   and acts_fn is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")
@@ -426,7 +468,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             # jitted (not eager): eager op-by-op synthesis on a mesh risks
             # XLA's 40 s collective-rendezvous timeout under compile load.
             x_block = _jax.jit(block_fn)(_jax.random.fold_in(key0, 0))
+            # The scan program is now in the persistent compile cache:
+            # future runs of this exact workload may auto-enable the
+            # fused path (GANSPACE_FUSED_ACTS=auto).
+            _record_fused_acts(fused_key)
         except KeyboardInterrupt:
+            # fit_stream refines internally: if the interrupt landed in its
+            # second pass, fall back to the completed first-pass sketch.
+            getattr(transformer, "abort_refine", lambda: None)()
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
             dump_name = dump_name.parent / dump_name.name.replace(
                 f"n{n_total}", f"n{n_fitted}")
@@ -448,41 +497,61 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                     return False
         return True
 
-    try:
-        action = "Fitting" if transformer.batch_support else "Collecting"
-        n_blocks = max(1, -(-n_total // nb))
-        for bi, gi in enumerate([] if (fused or fused_acts) else range(0, n_total, nb)):
-            if samples_are_latents:
-                x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
-            else:
-                chunks = []
-                for mb in range(0, nb, batch):
-                    z = latent_slice(gi + mb, gi + mb + batch)
-                    model.partial_forward(z, layer_key)
-                    chunks.append(
-                        inst.retained_features()[layer_key].reshape(batch, -1))
-                x_block = jnp.concatenate(chunks, axis=0)[:nb]
+    n_blocks = max(1, -(-n_total // nb))
 
-            if can_group:
-                if bi == 0:
-                    # First block initializes the state through the plain
-                    # fit_partial signature (first=True compile).
-                    if not transformer.fit_partial(x_block):
-                        break
-                else:
-                    pending.append(x_block)
-                    if len(pending) >= group_size and not flush_pending():
-                        break
-            elif transformer.batch_support:
-                if not transformer.fit_partial(x_block):
-                    break
-            else:
-                samples[gi:gi + nb, :] = np.asarray(x_block)
+    def make_block(gi):
+        """Assemble one NB-sample activation block (shared by the main fit
+        sweep and the sketch-refine sweep)."""
+        if samples_are_latents:
+            return latent_slice(gi, gi + nb).reshape(nb, -1)
+        chunks = []
+        for mb in range(0, nb, batch):
+            z = latent_slice(gi + mb, gi + mb + batch)
+            model.partial_forward(z, layer_key)
+            chunks.append(
+                inst.retained_features()[layer_key].reshape(batch, -1))
+        return jnp.concatenate(chunks, axis=0)[:nb]
+
+    def run_sweep(action, feed):
+        """Stream every NB block through ``feed(bi, gi, x_block)``; returns
+        the last assembled block (kept for the stdev baselines)."""
+        xb = None
+        for bi, gi in enumerate(range(0, n_total, nb)):
+            xb = make_block(gi)
+            if not feed(bi, gi, xb):
+                break
             print(f"\r{action} batches (NB={nb}): {bi + 1}/{n_blocks}",
                   end="", flush=True)
         if can_group:
             flush_pending(final=True)
         print()
+        return xb
+
+    def feed_grouped(xb):
+        pending.append(xb)
+        if len(pending) >= group_size:
+            return flush_pending()
+        return True
+
+    if not (fused or fused_acts):
+        x_block = None   # the zeros fallback covers interrupted sweeps
+    try:
+        if not (fused or fused_acts):
+            action = "Fitting" if transformer.batch_support else "Collecting"
+
+            def feed_main(bi, gi, xb):
+                if can_group:
+                    if bi == 0:
+                        # First block initializes the state through the
+                        # plain fit_partial signature (first=True compile).
+                        return transformer.fit_partial(xb)
+                    return feed_grouped(xb)
+                if transformer.batch_support:
+                    return transformer.fit_partial(xb)
+                samples[gi:gi + nb, :] = np.asarray(xb)
+                return True
+
+            x_block = run_sweep(action, feed_main)
     except KeyboardInterrupt:
         if not transformer.batch_support:
             sys.exit(1)  # no progress yet
@@ -505,34 +574,17 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             and hasattr(transformer, "begin_refine")
             and transformer.begin_refine()):
         try:
-            for bi, gi in enumerate(range(0, n_total, nb)):
-                if samples_are_latents:
-                    x_block = latent_slice(gi, gi + nb).reshape(nb, -1)
-                else:
-                    chunks = []
-                    for mb in range(0, nb, batch):
-                        z = latent_slice(gi + mb, gi + mb + batch)
-                        model.partial_forward(z, layer_key)
-                        chunks.append(inst.retained_features()[layer_key]
-                                      .reshape(batch, -1))
-                    x_block = jnp.concatenate(chunks, axis=0)[:nb]
-                if can_group:
-                    pending.append(x_block)
-                    if len(pending) >= group_size and not flush_pending():
-                        break
-                elif not transformer.fit_partial(x_block):
-                    break
-                print(f"\rRefine pass (NB={nb}): {bi + 1}/{n_blocks}",
-                      end="", flush=True)
-            if can_group:
-                flush_pending(final=True)
-            print()
+            run_sweep("Refine pass",
+                      lambda bi, gi, xb: (feed_grouped(xb) if can_group
+                                          else transformer.fit_partial(xb)))
         except KeyboardInterrupt:
-            n_fitted = getattr(transformer, "n_samples_seen_", 0)
-            dump_name = dump_name.parent / dump_name.name.replace(
-                f"n{n_total}", f"n{n_fitted}")
-            print(f'Saving partial refine state to "{dump_name.name}" '
-                  "before exiting")
+            # A partially-accumulated second pass is strictly worse than the
+            # completed first-pass sketch: fall back to it and save under
+            # the original full-n name.
+            pending.clear()
+            transformer.abort_refine()
+            print("\nRefine pass interrupted — saving the completed "
+                  "single-pass estimate before exiting")
             canceled = True
 
     if not transformer.batch_support:
@@ -600,7 +652,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     import json as _json
     meta = _json.dumps({
         "device_rng": device_rng,
-        "dtype": getattr(config, "dtype", "float32"),
+        "dtype": getattr(config, "dtype", None) or "float32",
         "mesh": getattr(config, "mesh_shape", None),
     })
     np.savez_compressed(dump_name, **{
@@ -627,9 +679,12 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 # ---------------------------------------------------------------------------
 
 def component_cache_name(config) -> str:
-    """Exact reference filename scheme (``decomposition.py:384-392``)."""
+    """Exact reference filename scheme (``decomposition.py:384-392``) for
+    default-precision runs; ``--dtype bfloat16`` (a TPU-only extension the
+    reference has no analog of) appends a ``_bf16`` tag so preview-precision
+    components can never be picked up by an f32 cache hit."""
     transformer = get_estimator(config.estimator, config.components, config.sparsity)
-    return "{}-{}_{}_{}_n{}{}{}.npz".format(
+    return "{}-{}_{}_{}_n{}{}{}{}.npz".format(
         config.model.lower(),
         (config.output_class or "None").replace(" ", "_"),
         config.layer.lower(),
@@ -637,6 +692,7 @@ def component_cache_name(config) -> str:
         config.n,
         "_w" if config.use_w else "",
         f"_seed{config.seed}" if config.seed else "",
+        "_bf16" if getattr(config, "dtype", None) == "bfloat16" else "",
     )
 
 

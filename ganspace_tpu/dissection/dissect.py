@@ -65,6 +65,13 @@ class SegmenterBase:
         raise NotImplementedError(
             f"{type(self).__name__} does not expose class probabilities")
 
+    def _check_classnum(self, classnum: int) -> None:
+        """Validate a flat label index against ``self.labels``."""
+        if not 1 <= classnum < len(self.labels):
+            raise ValueError(
+                f"classnum {classnum} out of range (flat label 0 is '-'; "
+                f"valid classes are 1..{len(self.labels) - 1})")
+
 
 class ColorSegmenter(SegmenterBase):
     """Checkpoint-free segmenter: nearest-anchor color quantization.

@@ -131,12 +131,6 @@ class UnifiedParsingSegmenter(SegmenterBase):
             maps.append(flat)
         return jnp.stack(maps, axis=1)
 
-    def _check_classnum(self, classnum: int) -> None:
-        if not 1 <= classnum < len(self.labels):
-            raise ValueError(
-                f"classnum {classnum} out of range (flat label 0 is '-'; "
-                f"valid classes are 1..{len(self.labels) - 1})")
-
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
         """Differentiable per-pixel probability of one flat label
         (``SegmenterBase.class_probability`` protocol, used by ACE)."""
@@ -293,12 +287,6 @@ class SemanticSegmenter(SegmenterBase):
         """images [B,3,H,W] in [0,1] -> flat labels [B, 1, H', W']."""
         p = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
         return (jnp.argmax(p, axis=1) + 1)[:, None]
-
-    def _check_classnum(self, classnum: int) -> None:
-        if not 1 <= classnum < len(self.labels):
-            raise ValueError(
-                f"classnum {classnum} out of range (flat label 0 is '-'; "
-                f"valid classes are 1..{len(self.labels) - 1})")
 
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
         self._check_classnum(classnum)

@@ -240,6 +240,7 @@ class IPCAEstimator:
         self._nystrom: Optional[_NystromState] = None
         self._omega: Optional[jnp.ndarray] = None
         self._refined = False
+        self._pre_refine = None  # first-pass snapshot while a refine runs
         self._sharding = feature_sharding
         assert mode in ("auto", "sklearn", "moments", "nystrom")
         self.mode = mode
@@ -311,6 +312,10 @@ class IPCAEstimator:
                 or os.environ.get("GANSPACE_IPCA_REFINE", "1") != "1"):
             return False
         d, l = self._nystrom.y.shape
+        # Snapshot the completed first-pass sketch so an interrupted refine
+        # sweep can fall back to it (abort_refine) instead of saving a
+        # strictly-worse partial second pass.
+        self._pre_refine = (self._nystrom, self._omega, self.n_samples_seen_)
         self._omega = _nystrom_range(self._nystrom, self._omega)
         self._nystrom = _NystromState(
             jnp.asarray(0.0),
@@ -320,6 +325,18 @@ class IPCAEstimator:
         self.n_samples_seen_ = 0
         self._refined = True
         return True
+
+    def abort_refine(self) -> None:
+        """Undo an in-progress refine pass (Ctrl-C mid-sweep): restore the
+        full first-pass sketch, which any partial second pass is strictly
+        worse than.  No-op unless ``begin_refine`` armed a pass that hasn't
+        been completed/cleared."""
+        snap = getattr(self, "_pre_refine", None)
+        if snap is None:
+            return
+        self._nystrom, self._omega, self.n_samples_seen_ = snap
+        self._pre_refine = None
+        self._refined = False
 
     def _maybe_init_tier(self, d: int) -> None:
         """Allocate the moments/sketch state on first contact with the
@@ -490,6 +507,10 @@ class IPCAEstimator:
         return self.get_components()[0]
 
     def get_components(self):
+        # Consuming the estimate finalizes any completed refine pass: the
+        # fallback snapshot must not outlive it (abort_refine would
+        # otherwise revert a GOOD refined state later).
+        self._pre_refine = None
         if self._moments is not None:
             comp, stdev, var_ratio = _moments_finish(
                 self._moments, n_components=self.n_components)

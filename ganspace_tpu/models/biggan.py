@@ -249,7 +249,7 @@ def _self_attn(params, base, x, ts: TapState):
 # mid = cin/4 falls to or below this run in (H/2, W/2, 4C) block layout from
 # their up-conv onward (BigGAN-256/512 tails reach mid=32 at 256-512 px,
 # where plain NCHW convs run far off roofline on TPU).
-S2D_MAX_CH = 64
+S2D_MAX_CH = s2d_ops.S2D_MAX_CH
 
 
 def _cond_bn_blk(params, name, x_blk, cond, truncation, n_stats, eps=1e-4):
@@ -508,7 +508,7 @@ class BigGAN(BaseGenerator):
         self.set_output_class(class_name if class_name is not None else "husky")
         self.name = f"BigGAN-{resolution}-{self.outclass}-t{self.truncation}"
         self.has_latent_residual = True
-        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
+        self._s2d = s2d_ops.enabled()
         self._jit_core = partial(
             jax.jit,
             static_argnames=("truncation", "n_layers_to_run", "retain",

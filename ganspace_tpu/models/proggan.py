@@ -82,7 +82,7 @@ def _pixel_norm_nchw(x):
 # The block-layout (space-to-depth) tail enters at the first up-conv whose
 # output channels drop to or below this — see ``ops/s2d.py``; ProGAN tails
 # thin out to C=16-64 where the plain NCHW conv runs ~10-30x off roofline.
-S2D_MAX_CH = 64
+S2D_MAX_CH = s2d_ops.S2D_MAX_CH
 
 
 def synthesize(params, z, edits, *, cfg: ProGANConfig,
@@ -176,7 +176,7 @@ class ProGAN(BaseGenerator):
         self.has_latent_residual = False
         self.params = jax.tree.map(
             jnp.asarray, params if params is not None else init_params(self.cfg, init_seed))
-        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
+        self._s2d = s2d_ops.enabled()
         self._jit_core = partial(
             jax.jit, static_argnames=("retain", "stop_at", "s2d_tail",
                                       "act_dtype"))(

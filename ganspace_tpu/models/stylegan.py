@@ -179,7 +179,7 @@ def _my_conv2d(params, name, x, *, gain=math.sqrt(2.0), upscale=False,
 # in ``models/stylegan2.py``): blocks with <=64 channels (256px+ on the 1024
 # models) run in (H/2, W/2, 4C) layout.  Entry requires the fused transpose
 # path (res >= 128), which holds whenever channels have thinned this far.
-S2D_MAX_CH = 64
+S2D_MAX_CH = s2d_ops.S2D_MAX_CH
 
 
 def _layer_epilogue_blk(params, name, x_blk, w_lat, noise_blk, ts: TapState):
@@ -410,7 +410,7 @@ class StyleGAN(BaseGenerator):
                 params = init_params(cfg, init_seed)
         self.params = jax.tree.map(jnp.asarray, params)
         self.set_noise_seed(0)
-        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
+        self._s2d = s2d_ops.enabled()
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "retain", "stop_at",
                                       "s2d_tail", "act_dtype"))(

@@ -51,7 +51,7 @@ from ganspace_tpu.ops.precision import synth_dtype_name
 # layout (``ops/s2d.py``): measured on v5e, XLA conv throughput collapses
 # below ~128 channels, so the 512px (C=64) and 1024px (C=32) stages are held
 # as (H/2, W/2, 4C) blocks with MXU-friendly channel counts.
-S2D_MAX_CH = 64
+S2D_MAX_CH = s2d_ops.S2D_MAX_CH
 
 # Reference wrapper class->resolution table (wrappers.py:106-117).
 CONFIGS = {
@@ -390,7 +390,7 @@ class StyleGAN2(BaseGenerator):
 
         # Space-to-depth tail (ops/s2d.py): on by default, opt out with
         # GANSPACE_S2D=0 (e.g. when diffing against the plain formulation).
-        self._s2d = os.environ.get("GANSPACE_S2D", "1") != "0"
+        self._s2d = s2d_ops.enabled()
         self._jit_core = partial(
             jax.jit, static_argnames=("input_is_w", "inject_index", "truncation",
                                       "retain", "stop_at", "s2d_tail",

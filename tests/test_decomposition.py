@@ -162,16 +162,36 @@ def test_cache_records_rng_provenance(model, tmp_path, monkeypatch):
 
 
 def test_fused_acts_cache_probe(tmp_path):
-    """GANSPACE_FUSED_ACTS=auto turns the fused stream on exactly when the
-    scan program is already in the persistent compile cache."""
+    """GANSPACE_FUSED_ACTS=auto turns the fused stream on exactly when THIS
+    workload's scan program has compiled to completion before — the sentinel
+    registry is keyed by model/layer/shape/estimator, so entries for other
+    workloads (whose scan would still be a minutes-scale cold compile) do
+    not enable it."""
     import jax
-    from ganspace_tpu.decomposition import _fused_scan_cached
+    from ganspace_tpu.decomposition import _fused_acts_cached, _record_fused_acts
 
     old = getattr(jax.config, "jax_compilation_cache_dir", None)
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
     try:
-        assert not _fused_scan_cached()
-        (tmp_path / "jit_scan_chunk-abc123-cache").write_bytes(b"x")
-        assert _fused_scan_cached()
+        key = "StyleGAN2|ffhq|convs.0|b64|D4096|ipca_c8"
+        assert not _fused_acts_cached(key)
+        _record_fused_acts(key)
+        assert _fused_acts_cached(key)
+        assert not _fused_acts_cached("Other|x|convs.0|b64|D4096|ipca_c8")
+        _record_fused_acts("second|key")         # registry accumulates
+        assert _fused_acts_cached(key)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_cache_filename_bf16_tag():
+    """--dtype bfloat16 components are cached under a tagged filename so an
+    f32 run can never silently reuse preview-precision components."""
+    kw = dict(model="StyleGAN2", output_class="ffhq", layer="style",
+              estimator="ipca", components=80, n=300000, use_w=True)
+    assert component_cache_name(Config(**kw, dtype="bfloat16")) == \
+        "stylegan2-ffhq_style_ipca_c80_n300000_w_bf16.npz"
+    # default / explicit f32 stay on the exact reference scheme
+    assert component_cache_name(Config(**kw, dtype="float32")) == \
+        component_cache_name(Config(**kw)) == \
+        "stylegan2-ffhq_style_ipca_c80_n300000_w.npz"

@@ -209,3 +209,39 @@ def test_ipca_nystrom_mode():
     assert est2.fit_partial_blocks(data.reshape(12, 500, D2))
     comp2, _, _ = est2.get_components()
     assert cos_rows(comp, comp2).min() > 0.9999
+
+
+def test_nystrom_abort_refine_restores_first_pass():
+    """An interrupted refine sweep must fall back to the completed
+    single-pass sketch (a partial second pass is strictly worse), and a
+    completed refine must NOT be revertible afterwards."""
+    from ganspace_tpu.estimators.ipca import IPCAEstimator
+
+    rs = np.random.RandomState(5)
+    D, N, C = 512, 4000, 6
+    scales = np.concatenate([np.linspace(10, 3, 12), 0.1 * np.ones(D - 12)])
+    data = (rs.randn(N, D) * scales).astype(np.float32)
+
+    est = IPCAEstimator(C, mode="nystrom")
+    for i in range(0, N, 500):
+        assert est.fit_partial(data[i:i + 500])
+    first = est.get_components()
+
+    assert est.begin_refine()
+    est.fit_partial(data[:500])          # 12.5% of a second pass
+    est.abort_refine()
+    assert est.n_samples_seen_ == N      # first-pass count restored
+    restored = est.get_components()
+    for a, b in zip(first, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # abort must be armed again-able: run the refine to completion now
+    assert est.begin_refine()
+    for i in range(0, N, 500):
+        assert est.fit_partial(data[i:i + 500])
+    refined = est.get_components()       # consuming finalizes the refine
+    est.abort_refine()                   # must be a no-op from here on
+    again = est.get_components()
+    np.testing.assert_array_equal(np.asarray(refined[0]), np.asarray(again[0]))
+    # and the refined estimate genuinely moved off the single-pass sketch
+    assert not np.array_equal(np.asarray(refined[0]), np.asarray(first[0]))

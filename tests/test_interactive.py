@@ -116,3 +116,16 @@ def test_warmup_preserves_state(session):
     assert session.sliders[1] == 2.5
     after = session.render(force=True)
     assert np.array_equal(before, after)
+
+
+def test_apply_preview_precision_rejects_unknown_dtype():
+    """--dtype only accepts float32/bfloat16; anything else must exit with a
+    usage message, not a raw KeyError from the handler."""
+    import pytest
+    from ganspace_tpu.apps.interactive import apply_preview_precision
+
+    class Args:
+        dtype = "bf16"
+
+    with pytest.raises(SystemExit, match="float32"):
+        apply_preview_precision(Args())
