@@ -350,3 +350,70 @@ def test_biggan_activation_parity():
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_stylegan1_decomposition_parity_cross_stack():
+    """End-to-end on the StyleGAN1 family: the same latents stream through
+    BOTH stacks (reference torch synthesis vs ours) into the SAME estimator
+    arithmetic (the sklearn-mirror IPCA tier, validated arithmetic-identical
+    to sklearn's IncrementalPCA in test_estimators), and the resulting
+    components must coincide.
+
+    Why hold the estimator fixed: at this tap the AdaIN epilogue
+    instance-normalizes the features, leaving a near-flat eigenvalue
+    spectrum (top stdevs within ~25% of each other) — different PCA
+    *algorithms* then legitimately rotate within eigenvalue clusters, so an
+    exact-vs-truncated comparison measures estimator convergence, not
+    cross-implementation parity.  Complements the ProGAN e2e test (decaying
+    spectrum, exact-vs-sklearn across algorithms)."""
+    ref_sg = _load_ref_module("ref_stylegan",
+                              f"{REF}/models/stylegan/model.py")
+    torch.manual_seed(7)
+    g = ref_sg.StyleGAN_G(resolution=32)
+    g.eval()
+
+    from ganspace_tpu.models.stylegan import SG1Config, StyleGAN
+    from ganspace_tpu.models.torch_import import import_stylegan
+    params = import_stylegan({k: v.clone() for k, v in g.state_dict().items()})
+    ours = StyleGAN("ffhq", cfg=SG1Config(resolution=32), params=params)
+
+    noise = [np.asarray(nb) for nb in ours.consts["noise"]]
+    for name, mod in g.named_modules():
+        if name.endswith("top_epi.noise"):
+            bi = {"4x4": 0, "8x8": 1, "16x16": 2, "32x32": 3}[name.split(".")[2]]
+            mod.noise = torch.from_numpy(noise[bi].copy())
+
+    tap = "g_synthesis.blocks.4x4.epi2"    # D = 512*4*4 = 8192
+    n, batch, c = 1024, 256, 6
+    store, handles = _hook_outputs(g, [tap])
+    # Anisotropic z (see the ProGAN e2e test) — partially surviving the
+    # mapping net's pixel norm, it still shapes the leading directions.
+    zs = (np.random.RandomState(9).randn(n, 512)
+          * np.linspace(2.0, 0.2, 512)).astype(np.float32)
+
+    from ganspace_tpu.estimators import IPCAEstimator
+    est_t = IPCAEstimator(c, mode="sklearn")   # reference-stack activations
+    est_o = IPCAEstimator(c, mode="sklearn")   # our stack
+    from ganspace_tpu.models.base import InstrumentedModel
+    inst = InstrumentedModel(ours)
+    inst.retain_layer(tap)
+
+    for i in range(0, n, batch):
+        zb = zs[i:i + batch]
+        with torch.no_grad():
+            g(torch.from_numpy(zb))
+        est_t.fit_partial(store[tap].reshape(batch, -1))
+        ours.partial_forward(zb, tap)
+        est_o.fit_partial(
+            np.asarray(inst.retained_features()[tap]).reshape(batch, -1))
+    for h in handles:
+        h.remove()
+
+    comp_t, stdev_t, vr_t = est_t.get_components()
+    comp_o, stdev_o, vr_o = est_o.get_components()
+    cos = np.abs(np.sum(comp_t * comp_o, -1))
+    # North star (BASELINE.md): component cosine > 0.99 vs the reference
+    # stack; measured headroom here is ~0.9999997.
+    assert cos.min() > 0.999, f"per-comp |cos| {cos}"
+    assert np.allclose(stdev_t, stdev_o, rtol=1e-4)
+    assert np.allclose(vr_t, vr_o, rtol=1e-4)
