@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optimize an ablation for this flat label number")
     p.add_argument("--ace-steps", type=int, default=50)
     p.add_argument("--no-images", action="store_true")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="after dissecting, serve the (last) layer's report "
+                        "+ live-edit viewer on this port")
     p.add_argument("--done-dir", default=None,
                    help="job directory for at-most-once sweep claiming")
     return p
@@ -86,13 +89,21 @@ def main(argv=None) -> int:
     segmenter = make_segmenter(args)
     outroot = Path(args.outdir)
 
+    last_session = None
     for layer in args.layer:
         inst = get_instrumented_model(args.model, args.output_class, layer)
         outdir = outroot / layer.replace("/", "_")
         print(f"dissecting {args.model}/{layer} -> {outdir}")
+        from ganspace_tpu.dissection.dissect import tally_stats
+        layer_stats = tally_stats(inst, layer, n_samples=args.samples,
+                                  batch=args.batch, seed=args.seed)
         report = dissect(inst, layer, segmenter, n_samples=args.samples,
                          batch=args.batch, seed=args.seed,
-                         level_quantile=args.quantile)
+                         level_quantile=args.quantile, stats=layer_stats)
+        if args.serve is not None:
+            from ganspace_tpu.dissection.server import DissectionSession
+            last_session = DissectionSession(inst, layer, report,
+                                            outdir=outdir, stats=layer_stats)
 
         if args.iqr:
             stats = collect_cond_quantiles(
@@ -148,6 +159,9 @@ def main(argv=None) -> int:
     if args.done_dir:
         from ganspace_tpu.utils import mark_job_done
         mark_job_done(args.done_dir)
+    if last_session is not None:
+        from ganspace_tpu.dissection.server import serve
+        serve(last_session, port=args.serve)
     return 0
 
 

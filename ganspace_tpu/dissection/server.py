@@ -12,6 +12,15 @@ dependency.  Endpoints:
                                  units ablated (strength 1 = remove) or
                                  boosted (negative strength adds activation)
     GET  /api/overlay?unit=&seed=  unit-activation overlay JPEG
+    GET  /api/layers             tap name/channels/shape (ref GET /layers)
+    GET  /api/rankings           named per-unit score vectors (GET /rankings)
+    GET  /api/levels?quantiles=0.9,0.99   per-unit activation quantile
+                                 levels from the stats sketch (GET /levels;
+                                 needs the session's ``stats=``)
+    POST /api/features           {"ids": [...], "units": [...]} -> per-unit
+                                 max/mean over report samples (POST /features)
+    POST /api/featuremaps        same body -> level-normalized 0-255 maps
+                                 (POST /featuremaps)
     GET  /image/unit_N.png       saved report images (if generated)
 
 The live-edit path reuses the same ``InstrumentedModel`` edit semantics as
@@ -33,15 +42,19 @@ from ganspace_tpu.models.base import InstrumentedModel
 
 
 class DissectionSession:
-    """Server-side state: one dissected (model, layer) + its report."""
+    """Server-side state: one dissected (model, layer) + its report.
+
+    ``stats`` (optional) is the ``tally_stats`` dict; with it the session
+    can answer quantile-level queries (reference ``GET /levels``)."""
 
     def __init__(self, inst: InstrumentedModel, layer: str, report: Dict,
-                 outdir: Optional[Path] = None):
+                 outdir: Optional[Path] = None, stats: Optional[Dict] = None):
         self.inst = inst
         self.layer = layer
         self.report = report
         self.outdir = Path(outdir) if outdir else None
         self.units = len(report["units"])
+        self.stats = stats
 
     # -- live generation ----------------------------------------------------
     def generate(self, seed: int = 0, n: int = 4, units=(),
@@ -59,6 +72,88 @@ class DissectionSession:
         self.inst.remove_edits()
         imgs = np.clip(np.transpose(imgs, (0, 2, 3, 1)), 0, 1)
         return (np.hstack(list(imgs)) * 255).astype(np.uint8)
+
+    # -- report-derived queries (reference serverstate.py API) --------------
+    def layers(self) -> list:
+        """Layer name + channel count + spatial shape
+        (reference ``get_layers``, ``serverstate.py:52-61``)."""
+        shape = getattr(self.inst, "feature_shape", {}).get(self.layer)
+        spatial = (list(shape[2:]) if shape is not None and len(shape) == 4
+                   else [1, 1])
+        return [{"layer": self.layer, "channels": self.units,
+                 "shape": spatial}]
+
+    def rankings(self) -> list:
+        """Named per-unit score vectors, unit-indexed
+        (reference ``get_rankings``, ``serverstate.py:78-88``)."""
+        by_unit = sorted(self.report["units"], key=lambda r: r["unit"])
+        out = [{"name": "iou", "metric": "iou",
+                "scores": [r["iou"] for r in by_unit]},
+               {"name": "activation level", "metric": "level",
+                "scores": [r["activation_level"] for r in by_unit]}]
+        if "iqr_score" in by_unit[0]:
+            out.append({"name": "iqr", "metric": "iqr",
+                        "scores": [r["iqr_score"] for r in by_unit]})
+        return out
+
+    def levels(self, quantiles) -> list:
+        """[U, Q] activation values at the requested quantiles from the
+        stats pass's sketch (reference ``get_levels``,
+        ``serverstate.py:90-93``); needs ``stats=``."""
+        if not self.stats:
+            raise ValueError(
+                "session built without stats; pass stats=tally_stats(...)")
+        qs = np.clip(np.asarray(quantiles, np.float64), 0.0, 1.0)
+        return np.asarray(self.stats["quantiles"].quantiles(qs)).tolist()
+
+    def _regenerate(self, ids) -> np.ndarray:
+        """Latents for report sample indices, reproducing the stats pass's
+        seed-per-batch draw geometry (dissect.regenerate_sample)."""
+        from ganspace_tpu.dissection.dissect import regenerate_sample
+        model = self.inst.model
+        seed = int(self.report.get("seed", 1))
+        batch = int(self.report.get("batch", 16))
+        n_samples = int(self.report["n_samples"])
+        return np.concatenate(
+            [np.asarray(regenerate_sample(model, int(s), seed=seed,
+                                          batch=batch, n_samples=n_samples))
+             for s in ids], axis=0)
+
+    def features(self, ids, units=None) -> Dict:
+        """Per-unit activation stats (max/mean over the map) for report
+        sample indices (reference ``get_features``,
+        ``serverstate.py:151-163``; mask-restricted stats are not carried
+        over — the overlay endpoint covers localized inspection)."""
+        self.inst.retain_layer(self.layer)
+        z = self._regenerate(ids)
+        self.inst.model.partial_forward(z, self.layer)
+        act = np.asarray(self.inst.retained_features()[self.layer])
+        if act.ndim == 2:
+            act = act[:, :, None, None]
+        if units is not None:
+            act = act[:, np.asarray(units, np.int64)]
+        return {self.layer: {"max": act.max(axis=(2, 3)).tolist(),
+                             "mean": act.mean(axis=(2, 3)).tolist()}}
+
+    def featuremaps(self, ids, units=None) -> Dict:
+        """Level-normalized activation maps scaled 0-255
+        (reference ``get_featuremaps``, ``serverstate.py:165-177``):
+        each unit's map is divided by its dissection activation level, so
+        255 = 'at or above the threshold that defines this unit on'."""
+        self.inst.retain_layer(self.layer)
+        z = self._regenerate(ids)
+        self.inst.model.partial_forward(z, self.layer)
+        act = np.asarray(self.inst.retained_features()[self.layer])
+        if act.ndim == 2:
+            act = act[:, :, None, None]
+        levels = np.ones((act.shape[1],), np.float32)
+        for r in self.report["units"]:
+            levels[r["unit"]] = max(r["activation_level"], 1e-9)
+        if units is not None:
+            sel = np.asarray(units, np.int64)
+            act, levels = act[:, sel], levels[sel]
+        maps = np.clip(act / levels[None, :, None, None], 0.0, 1.0)
+        return {self.layer: (maps * 255).astype(np.uint8).tolist()}
 
     def overlay(self, unit: int, seed: int = 0) -> np.ndarray:
         """Activation overlay of one unit on one sample -> uint8 image."""
@@ -174,6 +269,24 @@ def serve(session: DissectionSession, host: str = "127.0.0.1",
                 body = json.dumps(
                     {"units": session.report["units"][:n]}).encode()
                 self._send(200, body, "application/json")
+            elif url.path == "/api/layers":
+                self._send(200, json.dumps({"layers": session.layers()})
+                           .encode(), "application/json")
+            elif url.path == "/api/rankings":
+                self._send(200, json.dumps({"rankings": session.rankings()})
+                           .encode(), "application/json")
+            elif url.path == "/api/levels":
+                try:
+                    quantiles = [float(v) for v in
+                                 q.get("quantiles", [""])[0].split(",")
+                                 if v.strip()]
+                    if not quantiles:
+                        raise ValueError("pass ?quantiles=0.9,0.99,...")
+                    body = json.dumps({"levels": session.levels(quantiles)})
+                except ValueError as e:
+                    self._send(400, str(e).encode(), "text/plain")
+                    return
+                self._send(200, body.encode(), "application/json")
             elif url.path == "/api/generate":
                 units = [int(u) for u in
                          q.get("units", [""])[0].split(",") if u.strip()]
@@ -194,6 +307,31 @@ def serve(session: DissectionSession, host: str = "127.0.0.1",
                     self._send(404, b"not found", "text/plain")
             else:
                 self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path not in ("/api/features", "/api/featuremaps"):
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                if not isinstance(body, dict):
+                    raise ValueError("request must be a JSON object")
+                ids = [int(i) for i in body["ids"]]
+                units = body.get("units")
+                if units is not None:
+                    units = [int(u) for u in units]
+            except (ValueError, TypeError, KeyError) as e:
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            with lock:
+                if url.path == "/api/features":
+                    res = session.features(ids, units)
+                else:
+                    res = session.featuremaps(ids, units)
+            self._send(200, json.dumps({"res": res}).encode(),
+                       "application/json")
 
     server = ThreadingHTTPServer((host, port), Handler)
     print(f"dissection server at http://{host}:{port}/")

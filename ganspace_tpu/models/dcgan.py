@@ -50,6 +50,10 @@ def init_params(cfg: DCGANConfig, seed: int = 0) -> Dict[str, np.ndarray]:
         if i != n_up:
             p[f"bn{i}.weight"] = np.ones((cout,), np.float32)
             p[f"bn{i}.bias"] = np.zeros((cout,), np.float32)
+            # torch BatchNorm2d running stats (identity at fresh init);
+            # imported checkpoints overwrite these with trained values.
+            p[f"bn{i}.running_mean"] = np.zeros((cout,), np.float32)
+            p[f"bn{i}.running_var"] = np.ones((cout,), np.float32)
         cin = cout
     return p
 
@@ -74,8 +78,16 @@ def synthesize(params, z, edits, *, cfg: DCGANConfig,
                 dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=get_precision())
         y = y + params[f"deconv{i}.bias"].reshape(1, -1, 1, 1)
         if i != n_up:
-            mu = jnp.mean(y, axis=(0, 2, 3), keepdims=True)
-            var = jnp.var(y, axis=(0, 2, 3), keepdims=True)
+            # Eval-mode BatchNorm, as the reference runs it (model.eval(),
+            # wrappers.py:696): RUNNING statistics, never batch statistics —
+            # a sample's activations must not depend on its batch-mates
+            # (fresh init: identity stats, matching torch's defaults).
+            mu = params.get(f"bn{i}.running_mean",
+                            np.zeros((y.shape[1],), np.float32))
+            var = params.get(f"bn{i}.running_var",
+                             np.ones((y.shape[1],), np.float32))
+            mu = jnp.asarray(mu, y.dtype).reshape(1, -1, 1, 1)
+            var = jnp.asarray(var, y.dtype).reshape(1, -1, 1, 1)
             y = (y - mu) * lax.rsqrt(var + 1e-5)
             y = y * params[f"bn{i}.weight"].reshape(1, -1, 1, 1) \
                 + params[f"bn{i}.bias"].reshape(1, -1, 1, 1)

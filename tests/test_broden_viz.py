@@ -90,11 +90,14 @@ def test_dissection_cli(tmp_path):
 
 
 def test_dissection_server(tmp_path):
+    from ganspace_tpu.dissection.dissect import tally_stats
     from ganspace_tpu.dissection.server import DissectionSession, serve
     model = tiny_dcgan()
     inst = InstrumentedModel(model)
-    report = dissect(inst, "deconv1", ColorSegmenter(), n_samples=8, batch=4)
-    session = DissectionSession(inst, "deconv1", report)
+    stats = tally_stats(inst, "deconv1", n_samples=8, batch=4)
+    report = dissect(inst, "deconv1", ColorSegmenter(), n_samples=8, batch=4,
+                     stats=stats)
+    session = DissectionSession(inst, "deconv1", report, stats=stats)
     server = serve(session, port=0, block=False)
     port = server.server_address[1]
     try:
@@ -109,9 +112,53 @@ def test_dissection_server(tmp_path):
         assert img[:2] == b"\xff\xd8"                # JPEG magic
         ov = urllib.request.urlopen(f"{base}/api/overlay?unit=0&seed=0").read()
         assert ov[:2] == b"\xff\xd8"
-        # probe: bad path 404s instead of crashing the thread
+        # reference serverstate API surface: layers/rankings/levels
+        layers = json.loads(urllib.request.urlopen(
+            f"{base}/api/layers").read())["layers"]
+        assert layers[0]["layer"] == "deconv1"
+        assert layers[0]["channels"] == session.units
+        rankings = json.loads(urllib.request.urlopen(
+            f"{base}/api/rankings").read())["rankings"]
+        names = {r["name"]: r for r in rankings}
+        assert len(names["iou"]["scores"]) == session.units
+        levels = np.asarray(json.loads(urllib.request.urlopen(
+            f"{base}/api/levels?quantiles=0.5,0.99").read())["levels"])
+        assert levels.shape == (session.units, 2)
+        assert (levels[:, 1] >= levels[:, 0]).all()   # monotone in quantile
+        # POST features / featuremaps on report sample ids
+        req = urllib.request.Request(
+            f"{base}/api/features", method="POST",
+            data=json.dumps({"ids": [0, 3], "units": [0, 1]}).encode(),
+            headers={"Content-Type": "application/json"})
+        feats = json.loads(urllib.request.urlopen(req).read())["res"]
+        assert np.asarray(feats["deconv1"]["max"]).shape == (2, 2)
+        req = urllib.request.Request(
+            f"{base}/api/featuremaps", method="POST",
+            data=json.dumps({"ids": [1]}).encode(),
+            headers={"Content-Type": "application/json"})
+        fmaps = np.asarray(json.loads(
+            urllib.request.urlopen(req).read())["res"]["deconv1"])
+        assert fmaps.shape[:2] == (1, session.units)
+        assert fmaps.min() >= 0 and fmaps.max() <= 255
+        # top-sample consistency: regenerating a unit's top sample and
+        # measuring its per-unit max must reproduce the report's top value
+        top_u = report["units"][0]
+        req = urllib.request.Request(
+            f"{base}/api/features", method="POST",
+            data=json.dumps({"ids": [top_u["top_samples"][0]],
+                             "units": [top_u["unit"]]}).encode(),
+            headers={"Content-Type": "application/json"})
+        got = json.loads(urllib.request.urlopen(req).read())["res"]
+        assert abs(got["deconv1"]["max"][0][0] - top_u["top_values"][0]) < 1e-3
+        # probe: bad path 404s, bad body 400s instead of crashing the thread
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(f"{base}/api/nope")
+        req = urllib.request.Request(
+            f"{base}/api/features", method="POST", data=b'{"ids": ["x"]}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
     finally:
         server.shutdown()
 

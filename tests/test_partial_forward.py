@@ -69,3 +69,21 @@ def test_partial_forward(model_name, layers):
             z = latents[i:i + B]
             diff = _compare(inst, model, layer, z, z)
             assert diff < 1e-5, f"{layer}: partial and full forward differ by {diff}"
+
+
+def test_batch_composition_invariance():
+    """Eval-mode normalization discipline: a sample's activations and image
+    must not depend on its batch-mates (the reference runs every generator
+    under model.eval(), wrappers.py:696 — BatchNorm uses running stats, so
+    row i of a batch-N forward equals a batch-1 forward of that row).
+    Regression test for DCGAN, whose BatchNorm once used batch statistics."""
+    for name, factory in TINY_FACTORIES.items():
+        model = factory()
+        z = model.sample_latent(4, seed=9)
+        full = np.asarray(model.forward(z))
+        one = np.asarray(model.forward(np.asarray(z)[2:3]))
+        # Loose bound: XLA may pick batch-size-dependent conv algorithms
+        # (float reassociation, ~1e-5 through deep instance-norm chains);
+        # structural batch-stat leakage shows up orders of magnitude larger.
+        err = np.abs(full[2:3] - one).max()
+        assert err < 1e-3, f"{name}: batch-composition dependence {err}"
