@@ -32,7 +32,12 @@ def main(argv=None) -> int:
     p.add_argument("--n", type=int, default=512)
     p.add_argument("-c", "--components", type=int, default=6)
     p.add_argument("--outdir", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="smallest settings (quick smoke run / CPU)")
     args = p.parse_args(argv)
+    if args.tiny:
+        args.n = min(args.n, 128)
+        args.components = min(args.components, 4)
 
     outdir = Path(args.outdir or tempfile.mkdtemp(prefix="ganspace_quickstart_"))
     os.environ.setdefault("GANSPACE_OUTPUT_DIR", str(outdir))
