@@ -191,6 +191,19 @@ def regression(comp, mean, stdev, inst, config):
     return linreg_lstsq(comp, mean, stdev, inst, config)
 
 
+def _partial_dump_name(dump_name: Path, config_n: int, n_fitted: int) -> Path:
+    """Interrupt-time filename: swap the ``_n{N}`` token for the fitted count
+    (reference ``decomposition.py:268-274``).
+
+    The cache filename encodes ``config.n`` (see ``component_cache_name``),
+    NOT the batch-rounded ``n_total`` — matching on the wrong token would be
+    a silent no-op whenever ``n % batch != 0``, saving a partial
+    decomposition under the full-run cache name.
+    """
+    return dump_name.parent / dump_name.name.replace(
+        f"_n{config_n}", f"_n{n_fitted}", 1)
+
+
 # ---------------------------------------------------------------------------
 # Main computation (reference decomposition.py:150-358)
 # ---------------------------------------------------------------------------
@@ -437,8 +450,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             print()
         except KeyboardInterrupt:
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
-            dump_name = dump_name.parent / dump_name.name.replace(
-                f"n{n_total}", f"n{n_fitted}")
+            dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
             print(f'Saving current state to "{dump_name.name}" before exiting')
             canceled = True
     elif fused_acts:
@@ -477,8 +489,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             # second pass, fall back to the completed first-pass sketch.
             getattr(transformer, "abort_refine", lambda: None)()
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
-            dump_name = dump_name.parent / dump_name.name.replace(
-                f"n{n_total}", f"n{n_fitted}")
+            dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
             print(f'Saving current state to "{dump_name.name}" before exiting')
             canceled = True
             x_block = None
@@ -559,8 +570,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         # (reference decomposition.py:268-274).  With grouping, count only
         # the samples actually absorbed by the estimator.
         n_fitted = getattr(transformer, "n_samples_seen_", gi)
-        dump_name = dump_name.parent / dump_name.name.replace(
-            f"n{n_total}", f"n{n_fitted}")
+        dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
         print(f'Saving current state to "{dump_name.name}" before exiting')
         canceled = True
 

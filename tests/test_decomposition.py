@@ -184,6 +184,84 @@ def test_fused_acts_cache_probe(tmp_path):
         jax.config.update("jax_compilation_cache_dir", old)
 
 
+def _interrupt_on_nth_fit(monkeypatch, n_calls):
+    """Wrap decomposition.get_estimator so the produced estimator raises
+    KeyboardInterrupt on its ``n_calls``-th fit_partial call (after the
+    preceding ones succeeded) — simulating Ctrl-C mid-stream."""
+    from ganspace_tpu import decomposition as deco
+
+    real_get = deco.get_estimator
+    state = {"calls": 0}
+
+    def wrapped_get(*a, **kw):
+        est = real_get(*a, **kw)
+        real_fit = est.fit_partial
+
+        def fit_partial(x):
+            state["calls"] += 1
+            if state["calls"] >= n_calls:
+                raise KeyboardInterrupt
+            return real_fit(x)
+
+        est.fit_partial = fit_partial
+        return est
+
+    monkeypatch.setattr(deco, "get_estimator", wrapped_get)
+    return state
+
+
+def test_interrupt_partial_save_activation_path(model, tmp_path, monkeypatch):
+    """Ctrl-C mid-sweep must save the absorbed samples under a corrected
+    ``_n{fitted}`` name — NOT the full-run cache name (reference
+    decomposition.py:268-274).  n=2100 with batch 512 makes n_total (2048)
+    differ from config.n, the case where a wrong-token rename would silently
+    poison the cache."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    _interrupt_on_nth_fit(monkeypatch, 2)
+    inst = InstrumentedModel(model)
+    model.use_z()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                 estimator="ipca", components=3, n=2100, batch_size=512)
+    with pytest.raises(SystemExit):
+        get_or_compute(cfg, inst)
+    cache = tmp_path / "cache" / "components"
+    full = cache / component_cache_name(cfg)
+    partial = cache / full.name.replace("_n2100", "_n2000")
+    assert not full.exists(), "partial run must not claim the full-n cache"
+    assert partial.is_file()
+    data = np.load(partial)
+    assert set(data.files) == NPZ_KEYS | {"_meta"}
+    comp = data["act_comp"].reshape(3, -1)
+    assert np.all(np.isfinite(comp))
+    assert np.allclose(comp @ comp.T, np.eye(3), atol=1e-3)
+
+
+def test_interrupt_partial_save_fused_w_path(model, tmp_path, monkeypatch):
+    """Same contract on the fused W-space stream (device-RNG latents
+    regenerated inside the fit loop)."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.delenv("GANSPACE_DEVICE_RNG", raising=False)
+    _interrupt_on_nth_fit(monkeypatch, 2)
+    inst = InstrumentedModel(model)
+    model.use_w()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                 estimator="ipca", components=4, n=2100, use_w=True,
+                 batch_size=512)
+    try:
+        with pytest.raises(SystemExit):
+            get_or_compute(cfg, inst)
+    finally:
+        model.use_z()
+    cache = tmp_path / "cache" / "components"
+    full = cache / component_cache_name(cfg)
+    partial = cache / full.name.replace("_n2100", "_n2000")
+    assert not full.exists()
+    assert partial.is_file()
+    data = np.load(partial)
+    assert data["act_comp"].shape == (4, 1, 512)
+    assert np.all(np.isfinite(data["lat_comp"]))
+
+
 def test_cache_filename_bf16_tag():
     """--dtype bfloat16 components are cached under a tagged filename so an
     f32 run can never silently reuse preview-precision components."""
