@@ -381,12 +381,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     latent_chunks = []
     host_latents = None if (on_device or fused or fused_acts) else np.zeros(
         (n_lat, *input_shape[1:]), dtype=np.float32)
+    # Which stream ACTUALLY produced the samples (for the provenance
+    # sidecar): the env flag is only a request — the pre-sampling path falls
+    # back to host numpy when latents exceed the HBM budget or the model has
+    # no device sampler.
+    device_rng_used = fused or fused_acts
     if not (fused or fused_acts):
         prefetched = None
         if on_device and device_rng:
             prefetched = model.sample_latents_device(
                 n_lat // batch, batch, seed=config.seed or SEED_SAMPLING,
                 sharding=batch_sh)
+        device_rng_used = prefetched is not None
         if prefetched is None:
             prefetched = model.sample_latents_prefetched(n_lat // batch, batch)
         for i, z in enumerate(prefetched):
@@ -661,9 +667,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # (see get_or_compute's mismatch warning).
     import json as _json
     meta = _json.dumps({
-        "device_rng": device_rng,
+        "device_rng": device_rng_used,
         "dtype": getattr(config, "dtype", None) or "float32",
-        "mesh": getattr(config, "mesh_shape", None),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
     })
     np.savez_compressed(dump_name, **{
         "act_comp": x_comp.astype(np.float32),
@@ -728,28 +734,46 @@ def get_or_compute(config, model: Optional[InstrumentedModel] = None,
         compute(config, dump_path, model)
         print("Total time:", datetime.datetime.now() - t_start)
     else:
-        _warn_on_rng_mismatch(dump_path)
+        _warn_on_provenance_mismatch(dump_path, config)
     return dump_path
 
 
-def _warn_on_rng_mismatch(dump_path: Path) -> None:
-    """Device-RNG and host-RNG sample streams are statistically equivalent
-    but not bit-identical; flag a cache hit produced under the other mode so
-    cross-run comparisons aren't silently mixed (files with no provenance
-    key — reference-pipeline exports — are accepted as-is)."""
-    current = os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
+def _prospective_mesh_desc(config) -> Optional[dict]:
+    """The mesh axis->size map a ``compute()`` of this config would use
+    (mirrors the tiny-run collapse guard at the top of ``_compute``)."""
+    mesh = pipeline_mesh(getattr(config, "mesh_shape", None))
+    if mesh is not None and config.n < mesh.devices.size:
+        mesh = None
+    return dict(mesh.shape) if mesh is not None else None
+
+
+def _warn_on_provenance_mismatch(dump_path: Path, config) -> None:
+    """Device-RNG vs host-RNG streams, and meshed vs single-device
+    reductions, are statistically equivalent but not bit-identical; flag a
+    cache hit produced under a different mode so cross-run comparisons
+    aren't silently mixed (files with no provenance key —
+    reference-pipeline exports — are accepted as-is)."""
     try:
         with np.load(dump_path, allow_pickle=False) as d:
             if "_meta" not in d.files:
                 return
             import json as _json
-            cached = _json.loads(d["_meta"].item().decode()).get("device_rng")
+            meta = _json.loads(d["_meta"].item().decode())
     except Exception:
         return
-    if cached is not None and cached != current:
+    current_rng = os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
+    cached_rng = meta.get("device_rng")
+    if cached_rng is not None and cached_rng != current_rng:
         print(f"WARNING: {dump_path.name} was computed with "
-              f"{'device' if cached else 'host'}-side RNG but this run uses "
-              f"{'device' if current else 'host'}-side RNG "
+              f"{'device' if cached_rng else 'host'}-side RNG but this run "
+              f"uses {'device' if current_rng else 'host'}-side RNG "
               f"(GANSPACE_DEVICE_RNG); components are statistically "
               f"equivalent, not bit-identical. Use --force or a fresh "
               f"output dir for a like-for-like cache.")
+    if "mesh" in meta and meta["mesh"] != _prospective_mesh_desc(config):
+        print(f"WARNING: {dump_path.name} was computed on mesh "
+              f"{meta['mesh'] or 'single-device'} but this run would use "
+              f"{_prospective_mesh_desc(config) or 'single-device'}; "
+              f"sharded reductions reassociate floating point, so the "
+              f"cached components differ from a fresh run at the ~1e-4 "
+              f"level. Use --force for a like-for-like cache.")

@@ -54,7 +54,31 @@ class DissectionSession:
         self.report = report
         self.outdir = Path(outdir) if outdir else None
         self.units = len(report["units"])
+        # Unit indices are report-relative: the tally covers channels
+        # [0, n_channels) even when the report lists fewer rows.
+        self.n_channels = max(r["unit"] for r in report["units"]) + 1
         self.stats = stats
+
+    # -- request validation (raise ValueError -> HTTP 400, never a dropped
+    #    connection: out-of-range ids/units would otherwise surface deep in
+    #    the regeneration path as negative-dimension or index errors) -------
+    def check_ids(self, ids) -> list:
+        n = int(self.report["n_samples"])
+        ids = [int(i) for i in ids]
+        for i in ids:
+            if not 0 <= i < n:
+                raise ValueError(f"sample id {i} out of range [0, {n})")
+        return ids
+
+    def check_units(self, units) -> Optional[list]:
+        if units is None:
+            return None
+        units = [int(u) for u in units]
+        for u in units:
+            if not 0 <= u < self.n_channels:
+                raise ValueError(
+                    f"unit {u} out of range [0, {self.n_channels})")
+        return units
 
     # -- live generation ----------------------------------------------------
     def generate(self, seed: int = 0, n: int = 4, units=(),
@@ -63,8 +87,8 @@ class DissectionSession:
         model = self.inst.model
         self.inst.remove_edits()
         if len(units):
-            feat_units = max(r["unit"] for r in self.report["units"]) + 1
-            alpha = np.zeros((feat_units,), np.float32)
+            units = self.check_units(units)
+            alpha = np.zeros((self.n_channels,), np.float32)
             alpha[np.asarray(units, np.int64)] = strength
             self.inst.edit_layer(self.layer, ablation=alpha)
         z = model.sample_latent(n, seed=seed)
@@ -158,6 +182,7 @@ class DissectionSession:
     def overlay(self, unit: int, seed: int = 0) -> np.ndarray:
         """Activation overlay of one unit on one sample -> uint8 image."""
         from ganspace_tpu.dissection.viz import activation_overlay
+        (unit,) = self.check_units([unit])
         model = self.inst.model
         self.inst.retain_layer(self.layer)
         z = model.sample_latent(1, seed=seed)
@@ -288,16 +313,29 @@ def serve(session: DissectionSession, host: str = "127.0.0.1",
                     return
                 self._send(200, body.encode(), "application/json")
             elif url.path == "/api/generate":
-                units = [int(u) for u in
-                         q.get("units", [""])[0].split(",") if u.strip()]
-                with lock:
-                    grid = session.generate(seed=qi("seed", 0), n=qi("n", 4),
-                                            units=units,
-                                            strength=qf("strength", 1.0))
+                try:
+                    units = session.check_units(
+                        [u for u in q.get("units", [""])[0].split(",")
+                         if u.strip()])
+                    n = qi("n", 4)
+                    if not 1 <= n <= 64:
+                        raise ValueError("n must be in [1, 64]")
+                    with lock:
+                        grid = session.generate(
+                            seed=qi("seed", 0), n=n, units=units,
+                            strength=qf("strength", 1.0))
+                except ValueError as e:
+                    self._send(400, f"bad request: {e}".encode(), "text/plain")
+                    return
                 self._send(200, jpeg(grid), "image/jpeg")
             elif url.path == "/api/overlay":
-                with lock:
-                    img = session.overlay(qi("unit", 0), seed=qi("seed", 0))
+                try:
+                    with lock:
+                        img = session.overlay(qi("unit", 0),
+                                              seed=qi("seed", 0))
+                except ValueError as e:
+                    self._send(400, f"bad request: {e}".encode(), "text/plain")
+                    return
                 self._send(200, jpeg(img), "image/jpeg")
             elif url.path.startswith("/image/") and session.outdir:
                 f = session.outdir / "image" / Path(url.path).name
@@ -318,10 +356,8 @@ def serve(session: DissectionSession, host: str = "127.0.0.1",
                 body = json.loads(self.rfile.read(length))
                 if not isinstance(body, dict):
                     raise ValueError("request must be a JSON object")
-                ids = [int(i) for i in body["ids"]]
-                units = body.get("units")
-                if units is not None:
-                    units = [int(u) for u in units]
+                ids = session.check_ids(body["ids"])
+                units = session.check_units(body.get("units"))
             except (ValueError, TypeError, KeyError) as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return

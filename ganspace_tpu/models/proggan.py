@@ -10,7 +10,6 @@ checkpoints' layer naming: ``layer1 .. layerN`` plus ``output_KxK``
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Tuple

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-import os
 
 from ganspace_tpu import sampling
 from ganspace_tpu.models.base import BaseGenerator, TapState

@@ -25,7 +25,6 @@ renaming-free copy (see ``models/torch_import.py``).
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, Optional, Tuple

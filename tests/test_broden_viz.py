@@ -159,6 +159,26 @@ def test_dissection_server(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 400
+        # out-of-range ids/units must 400, not crash the handler thread
+        # (ids beyond n_samples reach negative-size sampling otherwise)
+        for bad in (b'{"ids": [300]}', b'{"ids": [-1]}',
+                    b'{"ids": [0], "units": [9999]}',
+                    b'{"ids": [0], "units": [-1]}'):
+            req = urllib.request.Request(
+                f"{base}/api/features", method="POST", data=bad,
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 400, bad
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/api/generate?units=9999")
+        assert exc.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/api/overlay?unit=-3")
+        assert exc.value.code == 400
+        # in-range requests still work after the rejected ones
+        ok = urllib.request.urlopen(f"{base}/api/generate?units=0&n=1").read()
+        assert ok[:2] == b"\xff\xd8"
     finally:
         server.shutdown()
 

@@ -140,7 +140,7 @@ def test_fit_stream_matches_fit_partial():
 def test_cache_records_rng_provenance(model, tmp_path, monkeypatch):
     """ADVICE r1: the npz must record which RNG stream produced it, and a
     cache hit under the other mode must warn instead of silently mixing."""
-    from ganspace_tpu.decomposition import _warn_on_rng_mismatch
+    from ganspace_tpu.decomposition import _warn_on_provenance_mismatch
 
     monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
     monkeypatch.setenv("GANSPACE_DEVICE_RNG", "1")
@@ -157,8 +157,58 @@ def test_cache_records_rng_provenance(model, tmp_path, monkeypatch):
     monkeypatch.setenv("GANSPACE_DEVICE_RNG", "0")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        _warn_on_rng_mismatch(path)
+        _warn_on_provenance_mismatch(path, cfg)
     assert "WARNING" in buf.getvalue()
+
+
+def test_meta_records_actual_rng_stream(model, tmp_path, monkeypatch):
+    """The provenance sidecar must record the stream that ACTUALLY ran, not
+    the env request: with device RNG requested but the latents over the HBM
+    budget, pre-sampling falls back to host numpy and _meta says so."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_DEVICE_RNG", "1")
+    monkeypatch.setenv("GANSPACE_LATENT_HBM_BUDGET", "0")
+    # full PCA has no fused stream, so the pre-sampling path (where the
+    # fallback lives) is what runs
+    cfg = Config(model="StyleGAN2", layer="style", estimator="pca",
+                 components=4, n=512, use_w=True)
+    inst = InstrumentedModel(model)
+    path = get_or_compute(cfg, inst)
+    with np.load(path, allow_pickle=False) as d:
+        meta = json.loads(d["_meta"].item().decode())
+    assert meta["device_rng"] is False
+
+
+def test_mesh_provenance_mismatch_warns(model, tmp_path, monkeypatch):
+    """A cache hit computed on a different mesh must warn: sharded
+    reductions reassociate floating point, so components differ at ~1e-4."""
+    from ganspace_tpu.decomposition import (
+        _prospective_mesh_desc, _warn_on_provenance_mismatch)
+
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_DEVICE_RNG", "1")
+    cfg = Config(model="StyleGAN2", layer="style", estimator="ipca",
+                 components=4, n=512, use_w=True)
+    inst = InstrumentedModel(model)
+    path = get_or_compute(cfg, inst)
+    with np.load(path, allow_pickle=False) as d:
+        data = {k: d[k] for k in d.files}
+        meta = json.loads(d["_meta"].item().decode())
+    # the recorded mesh is the one this environment would use -> no warning
+    assert meta["mesh"] == _prospective_mesh_desc(cfg)
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _warn_on_provenance_mismatch(path, cfg)
+    assert "mesh" not in buf.getvalue()
+    # rewrite the sidecar as if computed single-device -> mismatch warns
+    meta["mesh"] = None
+    data["_meta"] = np.bytes_(json.dumps(meta).encode())
+    np.savez_compressed(path, **data)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _warn_on_provenance_mismatch(path, cfg)
+    assert "mesh" in buf.getvalue() and "WARNING" in buf.getvalue()
 
 
 def test_fused_acts_cache_probe(tmp_path):
