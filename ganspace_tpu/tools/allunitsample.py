@@ -52,6 +52,8 @@ def main(argv=None) -> int:
             pool.save_png(outdir / f"unit_{u:04d}.png",
                           to_uint8(np.hstack(imgs)))
         pool.wait()
+    from ganspace_tpu.tools.lightbox import write_lightbox
+    write_lightbox(outdir, title=f"{args.model}/{args.layer} top samples")
     print(f"wrote {stats['units']} unit grids to {outdir}")
     return 0
 

@@ -54,6 +54,8 @@ def main(argv=None) -> int:
                               to_uint8(side))
             done += b
         pool.wait()
+    from ganspace_tpu.tools.lightbox import write_lightbox
+    write_lightbox(outdir, title=f"{args.model} segmentations")
     print(f"wrote {args.size} image|segmentation pairs to {outdir}")
     return 0
 

@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                               to_uint8(imgs[i]))
             done += b
         pool.wait()
+    from ganspace_tpu.tools.lightbox import write_lightbox
+    write_lightbox(outdir, title=f"{args.model} samples")
     print(f"wrote {args.size} samples to {outdir}")
     return 0
 

@@ -51,6 +51,22 @@ def test_makesample_cli(tmp_path):
                "--outdir", str(tmp_path)])
     assert rc == 0
     assert len(list(tmp_path.glob("image_*.png"))) == 5
+    # gallery page alongside (reference tool/makesample.py:97 lightbox copy)
+    page = (tmp_path / "+lightbox.html").read_text()
+    assert "image_00004.png" in page and "<script" in page
+    assert "http" not in page.split("</title>")[1]   # self-contained, no CDN
+
+
+def test_lightbox_writer(tmp_path):
+    from ganspace_tpu.tools.lightbox import write_lightbox
+    for name in ("b.png", "a.jpg", "skip.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    out = write_lightbox(tmp_path, title="t<i>tle")
+    page = out.read_text()
+    assert '["a.jpg", "b.png"]' in page        # sorted, non-images skipped
+    assert "t&lt;i&gt;tle" in page             # title html-escaped
+    explicit = write_lightbox(tmp_path, images=["b.png"]).read_text()
+    assert '["b.png"]' in explicit
 
 
 def test_ganseg_cli(tmp_path):
