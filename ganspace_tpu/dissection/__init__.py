@@ -9,7 +9,12 @@ from ganspace_tpu.dissection.dissect import (
     upsample_grid,
 )
 from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
-from ganspace_tpu.dissection.broden import BrodenDataset, write_synthetic_broden
+from ganspace_tpu.dissection.broden import (
+    BrodenDataset,
+    MultiSegmentDataset,
+    ParallelImageFolders,
+    write_synthetic_broden,
+)
 from ganspace_tpu.dissection.report import generate_report, make_svg_bargraph
 from ganspace_tpu.dissection.segmenter import (
     UnifiedParsingSegmenter,
@@ -50,6 +55,8 @@ __all__ = [
     "ablation_effect",
     "BrodenDataset",
     "write_synthetic_broden",
+    "MultiSegmentDataset",
+    "ParallelImageFolders",
     "generate_report",
     "make_svg_bargraph",
     "activation_overlay",

@@ -248,3 +248,92 @@ class ParallelImageFolders:
                                                        len(self)))]
             yield tuple(np.stack([it[j] for it in items])
                         for j in range(len(items[0])))
+
+
+class FieldDef:
+    """One bitfield of a packed segmentation PNG (reference ``segdata.py:6``):
+    channel ``index`` of the RGB png, shifted/masked, indexes ``labels``."""
+
+    def __init__(self, field: str, index: int, bitshift: int, bitmask: int,
+                 labels: Sequence[str]):
+        self.field = field
+        self.index = index
+        self.bitshift = bitshift
+        self.bitmask = bitmask
+        self.labels = list(labels)
+        self.firstchannel = 0    # assigned by MultiSegmentDataset
+        self.channels = len(self.labels) - 1
+
+
+class MultiSegmentDataset:
+    """Images + bitfield-packed multi-category segmentations
+    (reference ``segdata.py:14-68``, the CLEVR-seg style layout):
+
+        directory/
+          labelnames.json    # [{"field","index","bitshift","bitmask","label"}]
+          img/... seg/...    # filename-paired RGB images and packed seg PNGs
+
+    Each field decodes one bit-range of one PNG channel into a per-category
+    label plane; planes use a GLOBAL label numbering where 0 = '-' (no
+    label) and each field's labels[1:] get consecutive indices.  A field's
+    raw value 0 decodes to global 0 (the reference's ``firstchannel + v - 1``
+    arithmetic aliases field N's zero onto field N-1's last label; here zero
+    uniformly means unlabeled).  The last 25% of the pairs are the
+    validation split (``val=True``), like the reference.
+
+    ``__getitem__`` -> (image [H,W,3] float32 in [0,1],
+                        seg [n_categories,H,W] int64,
+                        bincount [n_labels] int64).
+    """
+
+    def __init__(self, directory, imgdir: str = "img", segdir: str = "seg",
+                 val: bool = False, size: Optional[int] = None):
+        import json
+
+        d = Path(directory)
+        self.segdataset = ParallelImageFolders(
+            [d / imgdir, d / segdir])
+        self.fields: List[FieldDef] = []
+        with open(d / "labelnames.json") as f:
+            for defn in json.load(f):
+                self.fields.append(FieldDef(
+                    defn["field"], defn["index"], defn["bitshift"],
+                    defn["bitmask"], defn["label"]))
+        self.labels = ["-"]              # global label 0 = "no label"
+        self.categories: List[str] = []
+        self.label_category = [0]
+        for fieldnum, fd in enumerate(self.fields):
+            self.categories.append(fd.field)
+            fd.firstchannel = len(self.labels)
+            for lab in fd.labels[1:]:
+                self.labels.append(lab)
+                self.label_category.append(fieldnum)
+        first_val = int(len(self.segdataset) * 0.75)
+        self.first = first_val if val else 0
+        self.length = (len(self.segdataset) - first_val) if val else first_val
+        if size:
+            self.length = min(size, self.length)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int):
+        img, segimg = self.segdataset[index + self.first]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        segin = np.asarray(segimg, np.uint8)
+        if segin.ndim == 2:
+            segin = segin[:, :, None]
+        segout = np.zeros((len(self.categories), *segin.shape[:2]), np.int64)
+        for i, fd in enumerate(self.fields):
+            v = (segin[:, :, fd.index].astype(np.int64)
+                 >> fd.bitshift) & fd.bitmask
+            segout[i] = np.where(v > 0, fd.firstchannel + v - 1, 0)
+        bincount = np.bincount(segout.ravel(), minlength=len(self.labels))
+        return img, segout, bincount
+
+    def batches(self, batch_size: int):
+        for start in range(0, len(self), batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size,
+                                                       len(self)))]
+            yield tuple(np.stack([it[j] for it in items]) for j in range(3))

@@ -183,6 +183,52 @@ def test_dissection_server(tmp_path):
         server.shutdown()
 
 
+def test_multi_segment_dataset(tmp_path):
+    """Reference ``segdata.py`` semantics: bitfield-packed seg PNGs decode to
+    global-numbered per-category label planes, 75/25 train/val split,
+    (img, seg, bincount) triples."""
+    from PIL import Image
+    from ganspace_tpu.dissection import MultiSegmentDataset
+    root = tmp_path / "clevrseg"
+    (root / "img").mkdir(parents=True)
+    (root / "seg").mkdir()
+    # two fields packed into channel 0: shape in bits 0-1, color in bits 2-3
+    (root / "labelnames.json").write_text(json.dumps([
+        {"field": "shape", "index": 0, "bitshift": 0, "bitmask": 3,
+         "label": ["-", "cube", "sphere"]},
+        {"field": "color", "index": 0, "bitshift": 2, "bitmask": 3,
+         "label": ["-", "red", "blue"]},
+    ]))
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            root / "img" / f"{i}.png")
+        shape_v = np.full((8, 8), (i % 2) + 1, np.uint8)   # cube or sphere
+        color_v = np.zeros((8, 8), np.uint8)
+        color_v[:4] = 2                                    # top half blue
+        packed = np.stack([shape_v | (color_v << 2),
+                           np.zeros((8, 8), np.uint8),
+                           np.zeros((8, 8), np.uint8)], -1)
+        Image.fromarray(packed).save(root / "seg" / f"{i}.png")
+    ds = MultiSegmentDataset(root)
+    assert len(ds) == 3                                    # 75% train split
+    assert ds.labels == ["-", "cube", "sphere", "red", "blue"]
+    assert ds.categories == ["shape", "color"]
+    assert ds.label_category == [0, 0, 0, 1, 1]
+    img, seg, binc = ds[0]
+    assert img.shape == (8, 8, 3) and img.dtype == np.float32
+    assert seg.shape == (2, 8, 8)
+    assert np.all(seg[0] == 1)                             # cube everywhere
+    assert np.all(seg[1][:4] == 4) and np.all(seg[1][4:] == 0)  # blue / none
+    assert binc[1] == 64 and binc[4] == 32 and binc[0] == 32
+    val = MultiSegmentDataset(root, val=True)
+    assert len(val) == 1
+    assert np.all(val[0][1][0] == 2)                       # sample 3: sphere
+    imgs, segs, bincs = next(ds.batches(2))
+    assert imgs.shape == (2, 8, 8, 3) and segs.shape == (2, 2, 8, 8)
+    assert bincs.shape == (2, 5)
+
+
 def test_parallel_image_folders(tmp_path):
     """Reference ``parallelfolder.py`` semantics: filename-keyed pairing,
     mismatch detection, intersection mode, stacked batches."""
