@@ -31,6 +31,8 @@ from ganspace_tpu.dissection.segmodel import (
 from ganspace_tpu.dissection.viz import (
     activation_overlay,
     activation_surface,
+    plot_max_heatmap,
+    plot_tensor_images,
     segment_visualization,
 )
 
@@ -60,6 +62,8 @@ __all__ = [
     "generate_report",
     "make_svg_bargraph",
     "activation_overlay",
+    "plot_max_heatmap",
+    "plot_tensor_images",
     "activation_surface",
     "segment_visualization",
 ]

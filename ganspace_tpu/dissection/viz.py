@@ -99,3 +99,71 @@ def segment_visualization(seg: np.ndarray, size: Optional[Tuple[int, int]] = Non
         out = np.asarray(jax.image.resize(
             jnp.asarray(out), tuple(size) + (3,), method="nearest"))
     return out
+
+
+def plot_tensor_images(data, **kwargs):
+    """Square-grid matplotlib plot of an image batch (reference
+    ``plotutil.py:4-30``).  ``data`` is [N, C, H, W] (or [N, H, W, C]) in
+    [0, 1] floats or uint8; sized one display pixel per data pixel unless
+    ``figsize`` is given.  Returns the figure (``plt.show()`` is called, a
+    no-op on headless Agg backends)."""
+    import matplotlib.pyplot as plt
+
+    data = np.asarray(data)
+    if data.ndim == 4 and data.shape[1] in (1, 3) and data.shape[-1] not in (1, 3):
+        data = np.transpose(data, (0, 2, 3, 1))
+    if data.dtype != np.uint8:
+        data = (np.clip(data, 0, 1) * 255).astype(np.uint8)
+    width = int(np.ceil(np.sqrt(data.shape[0])))
+    height = int(np.ceil(data.shape[0] / float(width)))
+    margin = 0.01
+    kwargs = dict(kwargs)
+    if "figsize" not in kwargs:
+        dpi = plt.rcParams["figure.dpi"]
+        kwargs["figsize"] = ((1 + margin) * (width * data.shape[2] / dpi),
+                             (1 + margin) * (height * data.shape[1] / dpi))
+    f, axarr = plt.subplots(height, width, squeeze=False, **kwargs)
+    for i in range(width * height):
+        ax = axarr[i // width, i % width]
+        if i < len(data):
+            ax.imshow(data[i].squeeze())
+        ax.axis("off")
+    plt.subplots_adjust(wspace=margin, hspace=margin,
+                        left=0, right=1, bottom=0, top=1)
+    plt.show()
+    return f
+
+
+def plot_max_heatmap(data, shape: Optional[Tuple[int, int]] = None, **kwargs):
+    """Channel-max activation heatmaps on a shared color scale (reference
+    ``plotutil.py:32-61``).  ``data`` is [N, U, H, W]; each sample plots
+    ``max`` over units, bilinearly resized to ``shape`` (default: native).
+    Returns the figure."""
+    import matplotlib.pyplot as plt
+
+    data = np.asarray(data, np.float32)
+    if shape is None:
+        shape = data.shape[2:]
+    maxed = data.max(axis=1)
+    if tuple(shape) != maxed.shape[1:]:
+        maxed = np.asarray(jax.image.resize(
+            jnp.asarray(maxed), (maxed.shape[0],) + tuple(shape), "linear"))
+    vmin, vmax = float(maxed.min()), float(maxed.max())
+    width = int(np.ceil(np.sqrt(maxed.shape[0])))
+    height = int(np.ceil(maxed.shape[0] / float(width)))
+    margin = 0.01
+    kwargs = dict(kwargs)
+    if "figsize" not in kwargs:
+        dpi = plt.rcParams["figure.dpi"]
+        kwargs["figsize"] = ((1 + margin) * (width * shape[1] / dpi),
+                             (1 + margin) * (height * shape[0] / dpi))
+    f, axarr = plt.subplots(height, width, squeeze=False, **kwargs)
+    for i in range(width * height):
+        ax = axarr[i // width, i % width]
+        if i < len(maxed):
+            ax.imshow(maxed[i], vmin=vmin, vmax=vmax, cmap="hot")
+        ax.axis("off")
+    plt.subplots_adjust(wspace=margin, hspace=margin,
+                        left=0, right=1, bottom=0, top=1)
+    plt.show()
+    return f

@@ -252,3 +252,25 @@ def test_parallel_image_folders(tmp_path):
         ParallelImageFolders([tmp_path / "photo", tmp_path / "seg"])
     assert len(ParallelImageFolders([tmp_path / "photo", tmp_path / "seg"],
                                     intersection=True)) == 3
+
+
+def test_plotutil_helpers():
+    """Reference ``plotutil.py`` notebook helpers: square-grid image plot
+    and shared-scale channel-max heatmaps (headless Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from ganspace_tpu.dissection import plot_max_heatmap, plot_tensor_images
+    rs = np.random.RandomState(0)
+    f = plot_tensor_images(rs.rand(5, 3, 8, 8).astype(np.float32))
+    assert len(f.axes) == 6                               # 2x3 grid for N=5
+    assert len(f.axes[0].images) == 1                     # populated cell
+    assert len(f.axes[5].images) == 0                     # padded cell blank
+    f2 = plot_max_heatmap(rs.randn(3, 4, 6, 6).astype(np.float32),
+                          shape=(12, 12))
+    assert len(f2.axes) == 4                              # 2x2 grid for N=3
+    im = f2.axes[0].images[0]
+    assert im.get_array().shape == (12, 12)               # resized
+    lo, hi = im.get_clim()
+    assert lo == f2.axes[1].images[0].get_clim()[0]       # shared scale
+    import matplotlib.pyplot as plt
+    plt.close("all")
