@@ -128,3 +128,20 @@ def test_package_entry_point(tmp_path, capsys):
     assert main(["makesample", "--model", "DCGAN", "--size", "2",
                  "--batch", "2", "--outdir", str(tmp_path)]) == 0
     assert len(list(tmp_path.glob("image_*.png"))) == 2
+
+
+def test_custom_model_example(tmp_path, monkeypatch):
+    """examples/custom_model.py: a from-scratch pure-function generator
+    registered and driven through decomposition + the edit engine
+    (reference Ganspace_colab.ipynb custom-model import)."""
+    import importlib.util, sys
+    from pathlib import Path
+    path = Path(__file__).parent.parent / "examples" / "custom_model.py"
+    spec = importlib.util.spec_from_file_location("custom_model_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["custom_model_example"] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    assert mod.main(["--n", "256", "-c", "3", "--outdir", str(tmp_path)]) == 0
+    assert list((tmp_path / "cache" / "components").glob("toygan*_c3_*.npz"))
+    assert (tmp_path / "toygan_component0_strip.png").exists()
