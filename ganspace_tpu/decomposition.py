@@ -327,6 +327,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
     samples = None
     if not transformer.batch_support:
+        # Deliberately n_total + nb rows with the tail left zero, and the fit
+        # below runs over ALL rows — byte-for-byte the reference's behaviour
+        # (``decomposition.py:224,267,278-285``: it allocates N+NB, fills
+        # ceil(N/NB)*NB rows, then fits on "all samples"), kept so non-batch
+        # estimator outputs match reference caches exactly.
         samples = np.zeros((n_total + nb, sample_dims), dtype=np.float32)
 
     np.random.seed(config.seed or SEED_SAMPLING)
