@@ -395,8 +395,11 @@ class IPCAEstimator:
         return True
 
     def fit_partial_blocks(self, blocks) -> bool:
-        """Fused streaming update over ``blocks`` [k, n, D] — bit-identical
-        to k ``fit_partial`` calls in order, one device dispatch."""
+        """Fused streaming update over ``blocks`` [k, n, D] in one device
+        dispatch.  On the sklearn-mirror tier the scan is bit-identical to
+        k ``fit_partial`` calls in order; the moments/sketch tiers reduce
+        the concatenation instead (associative update — mathematically
+        equivalent, fp-reassociated)."""
         blocks = jnp.asarray(blocks, dtype=jnp.float32)
         k, n, d = blocks.shape
         if n < self.n_components:
