@@ -242,10 +242,11 @@ class ParallelImageFolders:
                     for a, t in zip(arrs, self.transforms)]
         return tuple(arrs)
 
-    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, ...]]:
-        for start in range(0, len(self), batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size,
-                                                       len(self)))]
+    def batches(self, batch_size: int,
+                limit: Optional[int] = None) -> Iterator[Tuple[np.ndarray, ...]]:
+        n = len(self) if limit is None else min(limit, len(self))
+        for start in range(0, n, batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size, n))]
             yield tuple(np.stack([it[j] for it in items])
                         for j in range(len(items[0])))
 
@@ -281,7 +282,7 @@ class MultiSegmentDataset:
     uniformly means unlabeled).  The last 25% of the pairs are the
     validation split (``val=True``), like the reference.
 
-    ``__getitem__`` -> (image [H,W,3] float32 in [0,1],
+    ``__getitem__`` -> (image [3,H,W] float32 in [0,1],
                         seg [n_categories,H,W] int64,
                         bincount [n_labels] int64).
     """
@@ -321,6 +322,10 @@ class MultiSegmentDataset:
         img, segimg = self.segdataset[index + self.first]
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
+        if img.ndim == 3:
+            # CHW, like BrodenDataset (and the reference's tensor transforms)
+            # — one image layout across every dataset the runners consume.
+            img = np.transpose(img, (2, 0, 1))
         segin = np.asarray(segimg, np.uint8)
         if segin.ndim == 2:
             segin = segin[:, :, None]
@@ -332,8 +337,8 @@ class MultiSegmentDataset:
         bincount = np.bincount(segout.ravel(), minlength=len(self.labels))
         return img, segout, bincount
 
-    def batches(self, batch_size: int):
-        for start in range(0, len(self), batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size,
-                                                       len(self)))]
+    def batches(self, batch_size: int, limit: Optional[int] = None):
+        n = len(self) if limit is None else min(limit, len(self))
+        for start in range(0, n, batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size, n))]
             yield tuple(np.stack([it[j] for it in items]) for j in range(3))

@@ -41,10 +41,12 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
     categories = list(categories) if categories is not None \
         else ["-"] * n_labels
 
-    # Pass 1: per-unit quantiles
+    # Pass 1: per-unit quantiles.  Datasets yield (img, seg) or
+    # (img, seg, bincount) tuples (BrodenDataset vs MultiSegmentDataset —
+    # reference segdata.py returns the bincount as a third element).
     rq: Optional[RunningQuantile] = None
     n_images = 0
-    for images, _ in dataset.batches(batch, limit=limit):
+    for images, *_ in dataset.batches(batch, limit=limit):
         act = jnp.asarray(features_fn(jnp.asarray(images)))
         if act.ndim == 2:
             act = act[:, :, None, None]
@@ -75,7 +77,7 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
         seg_count = seg_count + jnp.sum(onehot, axis=(0, 1, 2))
         return inter, act_count, seg_count
 
-    for images, seg in dataset.batches(batch, limit=limit):
+    for images, seg, *_ in dataset.batches(batch, limit=limit):
         act = jnp.asarray(features_fn(jnp.asarray(images)))
         if act.ndim == 2:
             act = act[:, :, None, None]
@@ -117,7 +119,7 @@ def segment_dataset(segmenter, dataset, *, batch: int = 16,
                     limit: Optional[int] = None) -> List[np.ndarray]:
     """Image-only mode: segment every dataset image; returns label maps."""
     out: List[np.ndarray] = []
-    for images, _ in dataset.batches(batch, limit=limit):
+    for images, *_ in dataset.batches(batch, limit=limit):
         seg = np.asarray(segmenter.segment_batch(jnp.asarray(images)))
         out.extend(list(seg))
     return out

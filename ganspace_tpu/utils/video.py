@@ -30,12 +30,15 @@ def make_mp4(imgs, duration_secs: float, outname):
         return make_gif(imgs, duration_secs, outname)
 
     assert len(imgs[0].shape) == 3, "Invalid shape of frame data"
-    resolution = imgs[0].shape[0:2]
-    fps = int(len(imgs) / duration_secs)
+    h, w = imgs[0].shape[0:2]
+    fps = max(1, int(len(imgs) / duration_secs))
 
+    # ffmpeg -s takes WIDTHxHEIGHT. (The reference passes shape[0]x[1] =
+    # HxW, visualize.py:61 — harmless for its square frames but garbled for
+    # padded strips; fixed here rather than replicated.)
     command = [
         ffmpeg, "-y", "-f", "rawvideo", "-vcodec", "rawvideo",
-        "-s", f"{resolution[0]}x{resolution[1]}", "-pix_fmt", "rgb24",
+        "-s", f"{w}x{h}", "-pix_fmt", "rgb24",
         "-r", f"{fps}", "-i", "-", "-an", "-c:v", "libx264",
         "-preset", "slow", "-crf", "17",
         str(Path(outname).with_suffix(".mp4")),

@@ -15,6 +15,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-shape runs (minutes); deselect with "
+        "-m 'not slow'")
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:

@@ -216,7 +216,7 @@ def test_multi_segment_dataset(tmp_path):
     assert ds.categories == ["shape", "color"]
     assert ds.label_category == [0, 0, 0, 1, 1]
     img, seg, binc = ds[0]
-    assert img.shape == (8, 8, 3) and img.dtype == np.float32
+    assert img.shape == (3, 8, 8) and img.dtype == np.float32
     assert seg.shape == (2, 8, 8)
     assert np.all(seg[0] == 1)                             # cube everywhere
     assert np.all(seg[1][:4] == 4) and np.all(seg[1][4:] == 0)  # blue / none
@@ -225,8 +225,9 @@ def test_multi_segment_dataset(tmp_path):
     assert len(val) == 1
     assert np.all(val[0][1][0] == 2)                       # sample 3: sphere
     imgs, segs, bincs = next(ds.batches(2))
-    assert imgs.shape == (2, 8, 8, 3) and segs.shape == (2, 2, 8, 8)
+    assert imgs.shape == (2, 3, 8, 8) and segs.shape == (2, 2, 8, 8)
     assert bincs.shape == (2, 5)
+    assert sum(1 for _ in ds.batches(2, limit=2)) == 1
 
 
 def test_parallel_image_folders(tmp_path):

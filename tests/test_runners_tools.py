@@ -45,6 +45,42 @@ def test_segment_dataset(broden):
     assert maps[0].shape == (16, 16)
 
 
+def test_dissect_classifier_multiseg(tmp_path):
+    """Runners must consume every dataset family: MultiSegmentDataset yields
+    (img, seg, bincount) 3-tuples and its batches take a limit kwarg."""
+    import json
+
+    from PIL import Image
+
+    from ganspace_tpu.dissection import MultiSegmentDataset
+
+    root = tmp_path / "seg"
+    (root / "img").mkdir(parents=True)
+    (root / "seg").mkdir()
+    (root / "labelnames.json").write_text(json.dumps([
+        {"field": "shape", "index": 0, "bitshift": 0, "bitmask": 3,
+         "label": ["-", "cube", "sphere"]},
+    ]))
+    rs = np.random.RandomState(1)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            root / "img" / f"{i}.png")
+        Image.fromarray(np.full((8, 8), (i % 2) + 1, np.uint8)).save(
+            root / "seg" / f"{i}.png")
+    ds = MultiSegmentDataset(root)
+
+    def features(images):          # [B,3,H,W] -> [B,2,h,w]
+        return jnp.stack([images.mean(axis=1), images.max(axis=1)],
+                         axis=1)[:, :, ::2, ::2]
+
+    report = dissect_classifier(features, ds, ds.labels,
+                                categories=[""] + ["shape"] * 2,
+                                batch=2, limit=4)
+    assert report["n_samples"] == 4
+    assert len(report["units"]) == 2
+    assert all(r["label"] in ds.labels for r in report["units"])
+
+
 def test_makesample_cli(tmp_path):
     from ganspace_tpu.tools.makesample import main
     rc = main(["--model", "DCGAN", "--size", "5", "--batch", "3",
