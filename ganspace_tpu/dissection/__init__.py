@@ -5,6 +5,7 @@ from ganspace_tpu.dissection.dissect import (
     collect_covariance,
     dissect,
     iqr_scores,
+    maxiou_scores,
     tally_stats,
     upsample_grid,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "collect_cond_quantiles",
     "collect_covariance",
     "iqr_scores",
+    "maxiou_scores",
     "SegmenterBase",
     "ColorSegmenter",
     "UnifiedParsingSegmenter",

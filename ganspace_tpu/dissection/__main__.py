@@ -4,7 +4,7 @@ relevant to generator dissection).
 
     python -m ganspace_tpu.dissection --model DCGAN --layer deconv1 \
         --samples 256 --outdir out/dissect [--segmenter color|unified|ade] \
-        [--iqr] [--cov] [--ace-class N] [--done-dir JOBDIR]
+        [--iqr] [--maxiou] [--cov] [--ace-class N] [--done-dir JOBDIR]
 
 Writes ``dissect.json``, ``bargraph.svg``, ``dissect.html`` and per-unit
 top-image grids under ``--outdir`` (see ``report.py``).
@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seg-params", default=None,
                    help="npz of imported unified-parsing params")
     p.add_argument("--segsizes", type=int, nargs="+", default=[256])
+    p.add_argument("--maxiou", action="store_true",
+                   help="per-unit IoU-maximizing thresholds "
+                        "(reference --maxiou); writes max_iou.npz")
     p.add_argument("--iqr", action="store_true",
                    help="also run the conditional-quantile/IQR pass")
     p.add_argument("--cov", action="store_true",
@@ -81,7 +84,7 @@ def main(argv=None) -> int:
     from ganspace_tpu.dissection import dissect
     from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
     from ganspace_tpu.dissection.dissect import (
-        collect_cond_quantiles, collect_covariance, iqr_scores,
+        collect_cond_quantiles, collect_covariance, iqr_scores, maxiou_scores,
     )
     from ganspace_tpu.dissection.report import generate_report
     from ganspace_tpu.models import get_instrumented_model
@@ -105,16 +108,30 @@ def main(argv=None) -> int:
             last_session = DissectionSession(inst, layer, report,
                                             outdir=outdir, stats=layer_stats)
 
-        if args.iqr:
+        if args.iqr or args.maxiou:
+            # One conditional-quantile pass feeds both scorers.
             stats = collect_cond_quantiles(
                 inst, layer, segmenter, n_samples=args.samples,
                 batch=args.batch, seed=args.seed)
+        if args.iqr:
             scores = iqr_scores(stats)
             best = np.argmax(scores, axis=1)
             for rec in report["units"]:
                 u = rec["unit"]
                 rec["iqr_label"] = report["labels"][int(best[u])]
                 rec["iqr_score"] = float(scores[u, best[u]])
+        if args.maxiou:
+            mi = maxiou_scores(stats)
+            outdir.mkdir(parents=True, exist_ok=True)
+            np.savez(outdir / "max_iou.npz", **mi)   # reference field names
+            best = np.argmax(mi["max_iou"], axis=1)
+            for rec in report["units"]:
+                u = rec["unit"]
+                rec["maxiou_label"] = report["labels"][int(best[u])]
+                rec["maxiou"] = float(mi["max_iou"][u, best[u]])
+                rec["maxiou_level"] = float(mi["max_iou_level"][u, best[u]])
+                rec["maxiou_quantile"] = float(
+                    mi["max_iou_quantile"][u, best[u]])
         if args.cov:
             cov = collect_covariance(inst, layer, segmenter,
                                      n_samples=args.samples,

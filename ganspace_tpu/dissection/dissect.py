@@ -212,6 +212,8 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
 
     key = jax.random.PRNGKey(seed)
     np.random.seed(seed)
+    label_px = np.zeros((n_labels,), np.float64)
+    total_px = 0.0
     for start in range(0, n_samples, batch):
         b = min(batch, n_samples - start)
         z = model.sample_latent(b, seed=seed + start)
@@ -223,6 +225,8 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
         key, sub = jax.random.split(key)
         samples, counts = _label_samples(act_up, seg, sub)
         counts = np.asarray(counts)
+        label_px += counts
+        total_px += act_up.shape[0] * act_up.shape[2] * act_up.shape[3]
         flat = np.asarray(act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1]))
         uncond.add(flat)
         samples = np.asarray(samples)
@@ -232,7 +236,8 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
                 continue
             take = min(pixels_per_label, n_px)
             cq.add(l, samples[l, :take])
-    return {"conditional": cq, "unconditional": uncond, "labels": labels}
+    return {"conditional": cq, "unconditional": uncond, "labels": labels,
+            "label_fracs": (label_px / max(total_px, 1.0)).astype(np.float32)}
 
 
 def iqr_scores(cond_stats: Dict, quantile: float = 0.5) -> np.ndarray:
@@ -251,6 +256,53 @@ def iqr_scores(cond_stats: Dict, quantile: float = 0.5) -> np.ndarray:
         med_l = cq.conditional(l).quantiles(quantile)[:, 0]
         out[:, l] = (med_l - qs[:, 1]) / iqr
     return out
+
+
+def maxiou_scores(cond_stats: Dict, n_levels: int = 100) -> Dict:
+    """Per-unit IoU-maximizing thresholds (reference ``collect_maxiou``,
+    ``dissection.py:1008``): instead of one fixed activation quantile, search
+    ``n_levels`` log-spaced exceedance fractions (1e-3..1) and keep, per
+    (unit, label), the threshold with the best IoU.  Pure post-processing on
+    the conditional-quantile sketches — no extra data pass:
+
+        isect(u, l, k) = P(act_u > level_k | label l) * P(label l)
+        union(u, l, k) = P(label l) + P(act_u > level_k) - isect
+        max_iou(u, l)  = max_k isect / union
+
+    (The reference normalizes the union term per annotation *category*;
+    this pipeline tallies labels flat, so the unconditional distribution
+    plays that role — equivalent whenever there is a single category.)
+
+    Returns {"max_iou" [U, L], "max_iou_level" [U, L],
+             "max_iou_quantile" [U, L]} (the npz fields of the reference's
+    ``max_iou.npz``).
+    """
+    uncond = cond_stats["unconditional"]
+    cq = cond_stats["conditional"]
+    label_fracs = np.asarray(cond_stats["label_fracs"], np.float64)
+    n_labels = len(cond_stats["labels"])
+
+    fracs = np.logspace(-3, 0, n_levels)             # exceedance fractions
+    levels = uncond.quantiles(1.0 - fracs)           # [U, K]
+    units = levels.shape[0]
+    denom = 1.0 - uncond.normalize(levels)           # [U, K] = P(act > level)
+
+    max_iou = np.zeros((units, n_labels), np.float32)
+    max_level = np.zeros((units, n_labels), np.float32)
+    max_quantile = np.zeros((units, n_labels), np.float32)
+    for l in range(n_labels):
+        if not cq.has_conditional(l) or label_fracs[l] <= 0:
+            continue
+        isect = (1.0 - cq.conditional(l).normalize(levels)) * label_fracs[l]
+        union = label_fracs[l] + denom - isect
+        iou = isect / np.maximum(union, 1e-30)       # [U, K]
+        best = np.argmax(iou, axis=1)                # [U]
+        rows = np.arange(units)
+        max_iou[:, l] = iou[rows, best]
+        max_level[:, l] = levels[rows, best]
+        max_quantile[:, l] = fracs[best]
+    return {"max_iou": max_iou, "max_iou_level": max_level,
+            "max_iou_quantile": max_quantile}
 
 
 def collect_covariance(inst: InstrumentedModel, layer: str,

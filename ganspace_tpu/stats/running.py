@@ -200,9 +200,9 @@ class RunningQuantile:
         self._pending = []
         self._pending_cols = 0
 
-    def quantiles(self, qs) -> np.ndarray:
-        """qs: scalar or [Q] in [0,1] -> [U, Q] estimated quantiles."""
-        qs = np.atleast_1d(np.asarray(qs, np.float64))
+    def _weighted_sorted(self):
+        """(v_sorted [U, M], cum-weights [U, M], totals [U, 1]) over every
+        retained sample (sketch levels at weight 2^l plus raw pending)."""
         vals, weights = [], []
         if self._levels is not None:
             fills = np.asarray(self._fills)
@@ -221,14 +221,36 @@ class RunningQuantile:
         w = np.concatenate(weights)                 # [M]
         order = np.argsort(v, axis=1)
         v_sorted = np.take_along_axis(v, order, axis=1)
-        w_sorted = w[order]
-        cum = np.cumsum(w_sorted, axis=1)
-        total = cum[:, -1:]
+        cum = np.cumsum(w[order], axis=1)
+        return v_sorted, cum, cum[:, -1:]
+
+    def quantiles(self, qs) -> np.ndarray:
+        """qs: scalar or [Q] in [0,1] -> [U, Q] estimated quantiles."""
+        qs = np.atleast_1d(np.asarray(qs, np.float64))
+        v_sorted, cum, total = self._weighted_sorted()
         # weighted quantile: first index with cum >= q * total
-        out = np.empty((v.shape[0], qs.size), np.float32)
+        out = np.empty((v_sorted.shape[0], qs.size), np.float32)
         for qi, q in enumerate(qs):
             idx = np.argmax(cum >= q * total, axis=1)
             out[:, qi] = np.take_along_axis(v_sorted, idx[:, None], axis=1)[:, 0]
+        return out
+
+    def normalize(self, levels) -> np.ndarray:
+        """Inverse of :meth:`quantiles`: estimated CDF position of given
+        values, per unit (reference ``runningstats.py`` ``normalize``).
+
+        ``levels``: [U] or [U, K] -> [U, K] fractions in [0, 1]; fraction of
+        the stream <= the level (so ``1 - normalize(x)`` is the exceedance
+        probability used by the max-IoU search)."""
+        levels = np.asarray(levels, np.float32)
+        if levels.ndim == 1:
+            levels = levels[:, None]
+        v_sorted, cum, total = self._weighted_sorted()
+        out = np.empty(levels.shape, np.float32)
+        for u in range(levels.shape[0]):
+            pos = np.searchsorted(v_sorted[u], levels[u], side="right")
+            cdf = np.concatenate([[0.0], cum[u]])[pos]
+            out[u] = cdf / max(float(total[u, 0]), 1e-30)
         return out
 
     def readout(self, n: int = 1001) -> np.ndarray:

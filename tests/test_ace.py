@@ -54,6 +54,58 @@ def test_cond_quantiles_and_iqr(setup):
         assert np.all(scores[:, l] == 0)
 
 
+def test_maxiou_exact_on_synthetic_sketches():
+    """Hand-built sketches where unit 0 fires exactly on label 1: the
+    threshold search must find IoU ~= 1 there (reference collect_maxiou,
+    dissection.py:1008)."""
+    from ganspace_tpu.dissection.dissect import maxiou_scores
+    from ganspace_tpu.stats import RunningConditionalQuantile, RunningQuantile
+
+    rs = np.random.RandomState(3)
+    n = 4000
+    fires = rs.rand(n) < 0.5                   # label-1 pixels
+    # unit 0: +1 on label, -1 off it; unit 1: pure noise
+    acts = np.stack([np.where(fires, 1.0, -1.0),
+                     rs.randn(n)], axis=1).astype(np.float32)
+    uncond = RunningQuantile()
+    uncond.add(acts)
+    cq = RunningConditionalQuantile()
+    cq.add(1, acts[fires])
+    stats = {"unconditional": uncond, "conditional": cq,
+             "labels": ["-", "on"],
+             "label_fracs": np.array([1.0 - fires.mean(), fires.mean()],
+                                     np.float32)}
+    mi = maxiou_scores(stats)
+    assert mi["max_iou"].shape == (2, 2)
+    assert mi["max_iou"][0, 1] > 0.95          # perfect detector found
+    assert mi["max_iou"][1, 1] < 0.8           # noise unit is not
+    assert np.all(mi["max_iou"][:, 0] == 0)    # label never added -> 0
+    assert -1.0 <= mi["max_iou_level"][0, 1] <= 1.0
+    assert 0.0 < mi["max_iou_quantile"][0, 1] <= 1.0
+
+
+def test_maxiou_pipeline(setup):
+    """maxiou on real cond-quantile output: max over thresholds dominates
+    the fixed-quantile IoU computed from the same sketches."""
+    from ganspace_tpu.dissection.dissect import maxiou_scores
+    model, inst, seg = setup
+    stats = collect_cond_quantiles(inst, "deconv0", seg, n_samples=16,
+                                   batch=8, pixels_per_label=64)
+    mi = maxiou_scores(stats)
+    units = stats["unconditional"].quantiles(0.5).shape[0]
+    assert mi["max_iou"].shape == (units, len(stats["labels"]))
+    assert np.all(mi["max_iou"] >= 0) and np.all(mi["max_iou"] <= 1 + 1e-6)
+    # dominance vs one fixed exceedance fraction from the same formula
+    frac = 0.005
+    levels = stats["unconditional"].quantiles(1 - frac)
+    denom = 1 - stats["unconditional"].normalize(levels)
+    for l in stats["conditional"].keys():
+        lf = stats["label_fracs"][l]
+        isect = (1 - stats["conditional"].conditional(l).normalize(levels)) * lf
+        iou = (isect / np.maximum(lf + denom - isect, 1e-30))[:, 0]
+        assert np.all(mi["max_iou"][:, l] >= iou - 1e-5)
+
+
 def test_covariance_pass(setup):
     model, inst, seg = setup
     out = collect_covariance(inst, "deconv0", seg, n_samples=16, batch=8)

@@ -45,6 +45,25 @@ def test_quantile_accuracy():
     assert np.allclose(rq2.quantiles(qs), got)
 
 
+def test_quantile_normalize_inverts_quantiles():
+    """normalize (value -> CDF) is the inverse of quantiles (CDF -> value)
+    up to sketch error; exact on a small in-pending stream."""
+    rs = np.random.RandomState(2)
+    data = rs.randn(50_000, 4).astype(np.float32) + np.arange(4)
+    rq = RunningQuantile(samplesize=1024)
+    for i in range(0, data.shape[0], 5000):
+        rq.add(data[i:i + 5000])
+    qs = np.array([0.05, 0.3, 0.5, 0.9, 0.99])
+    levels = rq.quantiles(qs)                     # [4, 5]
+    back = rq.normalize(levels)                   # [4, 5]
+    assert np.abs(back - qs[None, :]).max() < 0.05
+    # exact CDF on a tiny unfused stream
+    small = RunningQuantile()
+    small.add(np.arange(10, dtype=np.float32).reshape(10, 1))
+    cdf = small.normalize(np.array([[-1.0], [4.0], [9.0], [100.0]]).T.reshape(1, 4))
+    assert np.allclose(cdf, [[0.0, 0.5, 1.0, 1.0]])
+
+
 def test_conditional_quantile():
     rs = np.random.RandomState(2)
     cq = RunningConditionalQuantile(samplesize=512)
