@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ace-class", type=int, default=None,
                    help="optimize an ablation for this flat label number")
     p.add_argument("--ace-steps", type=int, default=50)
+    p.add_argument("--examples", type=int, default=20,
+                   help="units shown in the report with top-image examples "
+                        "(reference --examples)")
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="after dissecting, serve the (last) layer's report "
@@ -140,7 +143,8 @@ def main(argv=None) -> int:
             np.save(outdir / "correlation.npy", cov["correlation"])
 
         html = generate_report(report, outdir,
-                               inst=None if args.no_images else inst)
+                               inst=None if args.no_images else inst,
+                               n_units=args.examples)
         print(f"report: {html}")
 
         if args.ace_class is not None:

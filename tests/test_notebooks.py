@@ -45,3 +45,33 @@ def test_biggan_style_resampling():
 
 def test_edit_zoo_roundtrip():
     _run("figure_edit_zoo")
+
+
+def test_demo_notebook_committed_and_valid():
+    """Ganspace_tpu.ipynb (the Ganspace_colab.ipynb equivalent) is committed
+    pre-executed: parses, every code cell ran in order with no error
+    outputs, and the edit-strip figures are embedded."""
+    import nbformat
+
+    path = Path(__file__).parent.parent / "notebooks" / "Ganspace_tpu.ipynb"
+    nb = nbformat.read(path, as_version=4)
+    nbformat.validate(nb)
+    code = [c for c in nb.cells if c.cell_type == "code"]
+    assert len(code) >= 5
+    assert [c.execution_count for c in code] == list(range(1, len(code) + 1))
+    for c in code:
+        assert not [o for o in c.outputs if o.output_type == "error"]
+    assert sum("image/png" in o.get("data", {})
+               for c in code for o in c.outputs) >= 2
+
+    # builder stays importable and produces the same cell structure
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_demo_notebook",
+        Path(__file__).parent.parent / "notebooks" / "make_demo_notebook.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    built = mod.build()
+    assert [c.cell_type for c in built.cells] == [c.cell_type for c in nb.cells]
+    assert [c.source for c in built.cells if c.cell_type == "code"] == \
+        [c.source for c in code]
