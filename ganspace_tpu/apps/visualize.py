@@ -216,6 +216,14 @@ def main(args=None):
                                  f"{get_edit_name(edit_mode)}_sigma{sigma}_"
                                  f"img{img_idx}_comp{c}.mp4")
 
+    # Browsable gallery per output dir (the reference ships its lightbox
+    # only with the netdissect tools; the grids benefit just as much).
+    from ganspace_tpu.tools.lightbox import write_lightbox
+    for d in (outdir_comp, outdir_inst, outdir_summ):
+        if any(p.suffix.lower() in (".jpg", ".png", ".gif") for p in d.iterdir()):
+            write_lightbox(d, title=f"{model.name}/{layer_key}/{est_id} "
+                                    f"{d.name}")
+
     print("Done in", datetime.datetime.now() - t_start)
 
 

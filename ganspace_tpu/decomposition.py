@@ -153,7 +153,10 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     mean = jnp.asarray(mean_np, jnp.float32)
     stdev = jnp.asarray(stdev_np, jnp.float32)
 
-    batch = get_max_batch_size(inst, layer_name=config.layer)
+    # Same minibatch size as the fit sweep when the user pinned one
+    # (the reference's linreg reuses compute()'s global B).
+    batch = config.batch_size or get_max_batch_size(inst,
+                                                    layer_name=config.layer)
     n_samp = max(10_000, config.n) // batch * batch
     n_comp = comp.shape[0]
     latent_dims = model.get_latent_dims()
@@ -165,15 +168,31 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     comp_flat = comp.reshape(n_comp, -1)
     layer = config.layer
     mesh = pipeline_mesh(getattr(config, "mesh_shape", None))
+
+    import jax as _jax
+
+    @_jax.jit
+    def accumulate(g, r, z_sum, act, z):
+        # One program per batch (project + three reductions): on a mesh the
+        # whole step is a single collective program instead of six eager
+        # ops, each its own cross-device rendezvous.
+        coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
+        zf = z.reshape(z.shape[0], -1)
+        return (g + mm(coords.T, coords), r + mm(coords.T, zf),
+                z_sum + jnp.sum(zf, axis=0))
+
     for _ in range(n_samp // batch):
         z = shard_batch(model.sample_latent(batch), mesh)
         model.partial_forward(z, layer)
         act = inst.retained_features()[layer].reshape(batch, -1)
-        coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
-        zf = jnp.asarray(z).reshape(batch, -1)
-        g = g + mm(coords.T, coords)
-        r = r + mm(coords.T, zf)
-        z_sum = z_sum + jnp.sum(zf, axis=0)
+        g, r, z_sum = accumulate(g, r, z_sum, act, jnp.asarray(z))
+        if mesh is not None:
+            # Serialize collective programs: async dispatch otherwise stacks
+            # many in-flight all-reduces, and on emulated meshes (N virtual
+            # devices sharing few cores) queued device programs starve the
+            # rendezvous of live threads — XLA:CPU aborts after its 40 s
+            # timeout.  One sync per batch is noise next to the synthesis.
+            _jax.block_until_ready(g)
 
     # M^T = (A^T A)^-1 A^T Z ; rows of M^T are the latent-space directions.
     m_t = np.asarray(jnp.linalg.solve(g, r))
