@@ -420,8 +420,9 @@ function zero() {{
 """
 
 
-def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
-    """Serve the session as a single-page web UI (stdlib only)."""
+def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
+    """Build the viewer's HTTP server (stdlib only); ``port=0`` binds an
+    ephemeral port (tests).  Call ``.serve_forever()`` / ``.shutdown()``."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -481,8 +482,15 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
                         raise ValueError("state must be a JSON object")
                     sl = np.asarray(body.get("sliders", []), np.float32)
                     mode = body.get("mode", session.mode)
-                    lstart = int(body.get("lstart", 0))
-                    lend = int(body.get("lend", session.edit_layer_end))
+                    if mode not in ("latent", "activation", "both"):
+                        raise ValueError(f"unknown mode {mode!r}")
+                    # Clamp the W+ window: out-of-range indices would raise
+                    # inside render() (dropped connection, not a 400) and
+                    # negative ones silently edit the wrong layers.
+                    max_lat = session.model.get_max_latents()
+                    lstart = max(0, min(int(body.get("lstart", 0)), max_lat))
+                    lend = max(lstart, min(int(body.get(
+                        "lend", session.edit_layer_end)), max_lat))
                     new_trunc = float(body.get("trunc", session.truncation))
                 except (ValueError, TypeError, UnicodeDecodeError) as e:
                     self._send(400, f"bad state: {e}".encode(), "text/plain")
@@ -499,8 +507,14 @@ def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
             else:
                 self._send(404, b"not found", "text/plain")
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    print(f"ganspace-tpu interactive viewer at http://{host}:{port}/")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
+    """Serve the session as a single-page web UI (blocks)."""
+    server = make_server(session, host, port)
+    print(f"ganspace-tpu interactive viewer at "
+          f"http://{host}:{server.server_address[1]}/")
     server.serve_forever()
 
 

@@ -129,3 +129,60 @@ def test_apply_preview_precision_rejects_unknown_dtype():
 
     with pytest.raises(SystemExit, match="float32"):
         apply_preview_precision(Args())
+
+
+def test_viewer_http_endpoints(session):
+    """Live server round trip: page, frame, resample, state validation
+    (reference interactive UI surface; verify-skill endpoint list)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from ganspace_tpu.apps.interactive import make_server
+
+    server = make_server(session, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "ganspace-tpu" in page and "Component 0" in page
+        frame = urllib.request.urlopen(f"{base}/frame.jpg").read()
+        assert frame[:2] == b"\xff\xd8"                 # JPEG magic
+        assert urllib.request.urlopen(f"{base}/resample?seed=7").read() == b"ok"
+        assert session.state.seed == 7
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"{base}/state", method="POST",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req)
+
+        max_lat = session.model.get_max_latents()
+        assert post({"sliders": [1.0], "mode": "latent",
+                     "lstart": -5, "lend": 10_000}).status == 200
+        assert session.edit_layer_start == 0            # clamped
+        assert session.edit_layer_end == max_lat
+        assert abs(session.sliders[0] - 1.0) < 1e-6
+        # rendering after the clamped window must not raise
+        session.render(force=True)
+
+        for bad in ({"sliders": ["a"]}, {"mode": "nope"}, ["not", "a", "dict"]):
+            req = urllib.request.Request(
+                f"{base}/state", method="POST",
+                data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 400, bad
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/nope")
+        assert exc.value.code == 404
+        # server still healthy after the rejects
+        assert urllib.request.urlopen(f"{base}/frame.jpg").read()[:2] == b"\xff\xd8"
+    finally:
+        server.shutdown()
+        session.sliders[:] = 0.0
