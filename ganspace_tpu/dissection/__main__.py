@@ -20,6 +20,14 @@ from pathlib import Path
 import numpy as np
 
 
+def _strfloat(v: str):
+    """Reference ``strfloat`` (``netdissect/__main__.py``): a float, or a
+    named per-unit threshold mode."""
+    if v in ("iqr", "maxiou"):
+        return v
+    return float(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m ganspace_tpu.dissection",
@@ -32,8 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=1)
-    p.add_argument("--quantile", type=float, default=0.995,
-                   help="activation threshold quantile")
+    p.add_argument("--quantile", type=_strfloat, default=0.995,
+                   help="activation threshold: a quantile in (0,1), or "
+                        "'iqr'/'maxiou' for per-unit agreement-maximizing "
+                        "thresholds (the reference GAN mode's default "
+                        "behavior; costs one extra stats pass)")
     p.add_argument("--segmenter", choices=("color", "unified", "ade"),
                    default="color")
     p.add_argument("--seg-params", default=None,
@@ -103,19 +114,31 @@ def main(argv=None) -> int:
         from ganspace_tpu.dissection.dissect import tally_stats
         layer_stats = tally_stats(inst, layer, n_samples=args.samples,
                                   batch=args.batch, seed=args.seed)
+
+        # One conditional-quantile pass feeds every consumer: string
+        # --quantile modes (per-unit thresholds), --iqr, and --maxiou.
+        per_unit_levels = None
+        stats = None
+        if isinstance(args.quantile, str) or args.iqr or args.maxiou:
+            stats = collect_cond_quantiles(
+                inst, layer, segmenter, n_samples=args.samples,
+                batch=args.batch, seed=args.seed)
+        if isinstance(args.quantile, str):
+            mi_lv = maxiou_scores(stats)
+            best = np.argmax(mi_lv["max_iou"], axis=1)
+            rows = np.arange(len(best))
+            per_unit_levels = mi_lv["max_iou_level"][rows, best]
+
         report = dissect(inst, layer, segmenter, n_samples=args.samples,
                          batch=args.batch, seed=args.seed,
-                         level_quantile=args.quantile, stats=layer_stats)
+                         level_quantile=(0.995 if per_unit_levels is not None
+                                         else args.quantile),
+                         stats=layer_stats, levels=per_unit_levels)
         if args.serve is not None:
             from ganspace_tpu.dissection.server import DissectionSession
             last_session = DissectionSession(inst, layer, report,
                                             outdir=outdir, stats=layer_stats)
 
-        if args.iqr or args.maxiou:
-            # One conditional-quantile pass feeds both scorers.
-            stats = collect_cond_quantiles(
-                inst, layer, segmenter, n_samples=args.samples,
-                batch=args.batch, seed=args.seed)
         if args.iqr:
             scores = iqr_scores(stats)
             best = np.argmax(scores, axis=1)

@@ -342,14 +342,28 @@ def collect_covariance(inst: InstrumentedModel, layer: str,
 def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
             n_samples: int = 1000, batch: int = 16, seed: int = 1,
             level_quantile: float = 0.995, k_top: int = 8,
-            stats: Optional[dict] = None) -> Dict:
+            stats: Optional[dict] = None,
+            levels: Optional[np.ndarray] = None) -> Dict:
     """Full dissection of one layer; returns the report dict
-    (units ranked by best-concept IoU)."""
+    (units ranked by best-concept IoU).
+
+    ``levels`` overrides the fixed-quantile unit thresholds with a per-unit
+    [U] array — e.g. the IoU-maximizing levels from :func:`maxiou_scores`
+    (the reference's GAN mode picks per-unit agreement-maximizing thresholds
+    by default, ``__main__.py:153-157`` + ``dissection.py:102-115``).
+    """
     model = inst.model
     stats = stats or tally_stats(inst, layer, n_samples=n_samples, batch=batch,
                                  seed=seed, k_top=k_top)
     units = stats["units"]
-    levels = jnp.asarray(stats["quantiles"].quantiles(level_quantile)[:, 0])
+    if levels is None:
+        levels = jnp.asarray(stats["quantiles"].quantiles(level_quantile)[:, 0])
+        level_desc = level_quantile
+    else:
+        levels = jnp.asarray(np.asarray(levels, np.float32).reshape(-1))
+        assert levels.shape[0] == units, \
+            f"per-unit levels [{levels.shape[0]}] != units [{units}]"
+        level_desc = "per-unit"
 
     labels, categories = segmenter.get_label_and_category_names()
     n_labels = len(labels)
@@ -412,7 +426,7 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
         "n_samples": n_samples,
         "batch": stats.get("batch", batch),
         "seed": stats.get("seed", seed),
-        "level_quantile": level_quantile,
+        "level_quantile": level_desc,
         "labels": labels,
         "units": report_units,
         "iou_matrix": iou,

@@ -96,3 +96,22 @@ def test_regenerate_sample_matches_top_activator():
         assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (u, s, got, want)
         checked += 1
     assert checked > 0, "no off-boundary top samples in this draw"
+
+
+def test_dissect_per_unit_levels(inst):
+    """Per-unit threshold override (the reference GAN mode's default picks
+    per-unit agreement-maximizing levels, __main__.py:153-157)."""
+    seg = ColorSegmenter()
+    stats = tally_stats(inst, "convs.0", n_samples=8, batch=4, seed=1)
+    units = stats["units"]
+    rs = np.random.RandomState(0)
+    levels = rs.rand(units).astype(np.float32)
+    report = dissect(inst, "convs.0", seg, n_samples=8, batch=4, seed=1,
+                     stats=stats, levels=levels)
+    assert report["level_quantile"] == "per-unit"
+    by_unit = {r["unit"]: r for r in report["units"]}
+    for u in range(units):
+        assert abs(by_unit[u]["activation_level"] - levels[u]) < 1e-6
+    with pytest.raises(AssertionError):
+        dissect(inst, "convs.0", seg, n_samples=8, batch=4, seed=1,
+                stats=stats, levels=levels[:3])
