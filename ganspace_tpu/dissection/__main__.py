@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ace-class", type=int, default=None,
                    help="optimize an ablation for this flat label number")
     p.add_argument("--ace-steps", type=int, default=50)
+    p.add_argument("--rank-all-labels", action="store_true",
+                   help="report top units per LABEL (reference "
+                        "--rank_all_labels), not just per-unit best labels")
     p.add_argument("--examples", type=int, default=20,
                    help="units shown in the report with top-image examples "
                         "(reference --examples)")
@@ -158,6 +161,19 @@ def main(argv=None) -> int:
                 rec["maxiou_level"] = float(mi["max_iou_level"][u, best[u]])
                 rec["maxiou_quantile"] = float(
                     mi["max_iou_quantile"][u, best[u]])
+        if args.rank_all_labels:
+            iou = report["iou_matrix"]          # [U, L]
+            k = min(args.examples, iou.shape[0])
+            rankings = []
+            for l, label in enumerate(report["labels"]):
+                if not np.any(iou[:, l] > 0):
+                    continue
+                top = np.argsort(-iou[:, l])[:k]
+                rankings.append({"label": label,
+                                 "units": [int(u) for u in top],
+                                 "ious": [round(float(iou[u, l]), 5)
+                                          for u in top]})
+            report["label_rankings"] = rankings
         if args.cov:
             cov = collect_covariance(inst, layer, segmenter,
                                      n_samples=args.samples,
