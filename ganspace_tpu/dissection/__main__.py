@@ -34,8 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="Dissect generator units against a segmentation")
     p.add_argument("--model", default="DCGAN")
     p.add_argument("--class", dest="output_class", default=None)
-    p.add_argument("--layer", action="append", required=True,
-                   help="layer(s) to dissect; repeatable")
+    p.add_argument("--layer", action="append",
+                   help="layer(s) to dissect; repeatable (required unless "
+                        "--imagedir is given)")
+    p.add_argument("--imagedir", default=None,
+                   help="image-only mode (reference --imagedir / "
+                        "ImageOnlySegRunner): segment every image in DIR "
+                        "with --segmenter, write colorized overlays + a "
+                        "gallery + a label histogram; no GAN involved. "
+                        "Images in one batch must share a resolution.")
     p.add_argument("--outdir", default="out/dissect")
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
@@ -92,6 +99,40 @@ def make_segmenter(args):
                                    segsizes=tuple(args.segsizes))
 
 
+def _segment_imagedir(args, segmenter, outroot: Path) -> int:
+    """Image-only runner (reference ``ImageOnlySegRunner``,
+    ``dissection.py:1505``): per-image colorized segmentations + label
+    pixel histogram for a directory of images."""
+    from PIL import Image
+
+    from ganspace_tpu.dissection.broden import ParallelImageFolders
+    from ganspace_tpu.dissection.runners import segment_dataset
+    from ganspace_tpu.dissection.viz import segment_visualization
+    from ganspace_tpu.tools.lightbox import write_lightbox
+
+    to_chw = lambda a: np.transpose(  # noqa: E731
+        np.asarray(a, np.float32) / 255.0, (2, 0, 1))
+    ds = ParallelImageFolders([args.imagedir], transforms=[to_chw])
+    maps = segment_dataset(segmenter, ds, batch=args.batch,
+                           limit=args.samples)
+    outroot.mkdir(parents=True, exist_ok=True)
+    labels, _ = segmenter.get_label_and_category_names()
+    counts = np.zeros(len(labels), np.int64)
+    for m, key in zip(maps, ds.keys):
+        m = np.asarray(m)
+        counts += np.bincount(m.ravel(),
+                              minlength=len(labels))[:len(labels)]
+        rgb = (segment_visualization(m) * 255).astype(np.uint8)
+        name = Path(str(key).replace("/", "_")).stem
+        Image.fromarray(rgb).save(outroot / f"seg_{name}.png")
+    (outroot / "labels.json").write_text(json.dumps(
+        [{"label": str(l), "pixels": int(c)}
+         for l, c in zip(labels, counts) if c], indent=2))
+    write_lightbox(outroot, title=f"segmentations: {args.imagedir}")
+    print(f"segmented {len(maps)} images -> {outroot}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.done_dir:
@@ -108,6 +149,15 @@ def main(argv=None) -> int:
 
     segmenter = make_segmenter(args)
     outroot = Path(args.outdir)
+
+    if args.imagedir:
+        rc = _segment_imagedir(args, segmenter, outroot)
+        if args.done_dir:
+            from ganspace_tpu.utils import mark_job_done
+            mark_job_done(args.done_dir)
+        return rc
+    if not args.layer:
+        build_parser().error("--layer is required unless --imagedir is given")
 
     last_session = None
     for layer in args.layer:

@@ -39,3 +39,25 @@ def test_dissection_cli_flags(tmp_path):
     # --examples caps the report images
     assert len(list((d / "image").glob("unit_*.png"))) <= 4
     assert (d / "dissect.html").exists() and (d / "bargraph.svg").exists()
+
+
+def test_imagedir_mode(tmp_path):
+    """Image-only runner (reference --imagedir): overlays + histogram +
+    gallery, no GAN."""
+    from PIL import Image
+
+    from ganspace_tpu.dissection.__main__ import main
+
+    img, out = tmp_path / "img", tmp_path / "out"
+    img.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rs.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            img / f"im{i}.png")
+    assert main(["--imagedir", str(img), "--samples", "4", "--batch", "2",
+                 "--outdir", str(out)]) == 0
+    assert len(list(out.glob("seg_*.png"))) == 4     # --samples limit
+    hist = json.loads((out / "labels.json").read_text())
+    assert hist and all(h["pixels"] > 0 for h in hist)
+    assert sum(h["pixels"] for h in hist) == 4 * 16 * 16
+    assert "seg_im0.png" in (out / "+lightbox.html").read_text()
