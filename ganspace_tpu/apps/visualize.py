@@ -52,7 +52,8 @@ def make_grid(inst, layer_key, latent, lat_mean, lat_comp, lat_stdev, act_mean,
         out_batch = create_strip_centered(
             inst, edit_type, layer_key, [latent],
             act_comp[r:r + 1], lat_comp[r:r + 1], act_stdev[r], lat_stdev[r],
-            act_mean, lat_mean, scale, 0, -1, n_cols)[0]
+            act_mean, lat_mean, scale, 0, -1, n_cols,
+            as_uint8=True)[0]   # quantize on device: 4x less readback
         rows.append(out_batch[:n_cols])
     inst.remove_edits()
     return rows

@@ -33,25 +33,30 @@ def _normalize(v):
 
 
 def create_strip(inst, mode, layer, latents, x_comp, z_comp, act_stdev, lat_stdev,
-                 sigma, layer_start, layer_end, num_frames=5):
-    """Apply edit to given latents, return a strip of images per latent."""
+                 sigma, layer_start, layer_end, num_frames=5, as_uint8=False):
+    """Apply edit to given latents, return a strip of images per latent.
+
+    ``as_uint8=True`` quantizes frames on device before readback (HWC uint8
+    instead of float [0,1]) — for callers that write 8-bit outputs anyway."""
     return _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp,
                               act_stdev, lat_stdev, None, None, sigma,
-                              layer_start, layer_end, num_frames, center=False)
+                              layer_start, layer_end, num_frames, center=False,
+                              as_uint8=as_uint8)
 
 
 def create_strip_centered(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                           lat_stdev, act_mean, lat_mean, sigma, layer_start,
-                          layer_end, num_frames=5):
+                          layer_end, num_frames=5, as_uint8=False):
     """Strip where the sample is centered along the component first."""
     return _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp,
                               act_stdev, lat_stdev, act_mean, lat_mean, sigma,
-                              layer_start, layer_end, num_frames, center=True)
+                              layer_start, layer_end, num_frames, center=True,
+                              as_uint8=as_uint8)
 
 
 def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                        lat_stdev, act_mean, lat_mean, sigma, layer_start,
-                       layer_end, num_frames, center):
+                       layer_end, num_frames, center, as_uint8=False):
     if not isinstance(latents, list):
         latents = list(latents)
     latents = [jnp.asarray(l) if np.asarray(l).ndim > 1 else jnp.asarray(l)[None]
@@ -87,10 +92,13 @@ def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
         if center:
             if mode == "activation":
                 # Center along the activation before applying the offset
-                # (reference notebook_utils.py:71-77).
+                # (reference notebook_utils.py:71-77).  partial_forward
+                # suffices — the retained value is identical to a full
+                # forward's (the tested partial==full invariant) and the
+                # image the reference computes here is discarded anyway.
                 inst.close()
                 inst.retain_layer(layer)
-                inst.model.sample_np(z_single)
+                inst.model.partial_forward(z_single, layer)
                 value = inst.retained_features()[layer]
                 dotp = jnp.sum((value - act_mean) * _normalize(x_comp),
                                axis=-1, keepdims=True)
@@ -129,7 +137,7 @@ def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                     if center and mode == "activation" else 0)
             inst.edit_layer(layer, offset=np.asarray(delta * act_stdev - aoff))
 
-        img_batch = inst.model.sample_np(z)
+        img_batch = inst.model.sample_np(z, uint8=as_uint8)
         if img_batch.ndim == 3:
             img_batch = img_batch[None]
         for j in range(num_frames):

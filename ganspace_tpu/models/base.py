@@ -183,8 +183,13 @@ class BaseGenerator(ABC):
     def set_output_class(self, new_class):
         self.outclass = new_class
 
-    def sample_np(self, z=None, n_samples: int = 1, seed=None) -> np.ndarray:
+    def sample_np(self, z=None, n_samples: int = 1, seed=None,
+                  uint8: bool = False) -> np.ndarray:
         """Generate images, return clipped HWC numpy in [0,1] (squeezed).
+
+        ``uint8=True`` quantizes ON DEVICE and reads back uint8 — 4x less
+        transfer for consumers that write 8-bit images/videos anyway (the
+        visualize CLI); the default float path is unchanged.
 
         After ``place_on_mesh`` the latent batch shards over the ``data``
         axis here, so batch rendering (visualize grids, edit strips, MP4
@@ -197,6 +202,9 @@ class BaseGenerator(ABC):
         else:
             z = self._shard_latents(z, mesh)
         img = self.forward(z)
+        if uint8:
+            from ganspace_tpu.utils.imaging import device_uint8_nhwc
+            return np.asarray(device_uint8_nhwc(img)).squeeze()
         img_np = np.asarray(jnp.transpose(img, (0, 2, 3, 1)))
         return np.clip(img_np, 0.0, 1.0).squeeze()
 

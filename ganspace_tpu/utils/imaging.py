@@ -37,5 +37,24 @@ def pad_frames(strip, pad_fract_horiz: int = 64, pad_fract_vert: int = 0, pad_va
 
 
 def to_uint8(img01: np.ndarray) -> np.ndarray:
-    """[0,1] float image -> uint8."""
-    return (255.0 * np.clip(np.asarray(img01), 0.0, 1.0) + 0.5).astype(np.uint8)
+    """[0,1] float image -> uint8 (uint8 input passes through unchanged)."""
+    img01 = np.asarray(img01)
+    if img01.dtype == np.uint8:
+        return img01
+    return (255.0 * np.clip(img01, 0.0, 1.0) + 0.5).astype(np.uint8)
+
+
+def device_uint8_nhwc(img):
+    """Device-side [B,3,H,W] float [0,1] -> [B,H,W,3] uint8: quantize BEFORE
+    readback, so rendered frames cross to the host at 1/4 the bytes (on
+    tunneled/remote device links the frame copy, not synthesis, dominates
+    grid/video rendering)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _q(x):
+        x = jnp.clip(jnp.transpose(x, (0, 2, 3, 1)), 0.0, 1.0)
+        return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+    return _q(img)

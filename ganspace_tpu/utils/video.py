@@ -15,8 +15,13 @@ import numpy as np
 from PIL import Image
 
 
+def _u8(x):
+    x = np.asarray(x)
+    return x if x.dtype == np.uint8 else (x * 255).astype(np.uint8)
+
+
 def make_gif(imgs, duration_secs: float, outname):
-    frames = [Image.fromarray((np.asarray(x) * 255).astype(np.uint8)) for x in imgs]
+    frames = [Image.fromarray(_u8(x)) for x in imgs]
     head, *tail = frames
     ms_per_frame = 1000 * duration_secs / len(imgs)
     head.save(str(Path(outname).with_suffix(".gif")), format="GIF",
@@ -43,8 +48,7 @@ def make_mp4(imgs, duration_secs: float, outname):
         "-preset", "slow", "-crf", "17",
         str(Path(outname).with_suffix(".mp4")),
     ]
-    frame_data = np.concatenate(
-        [(np.asarray(x) * 255).astype(np.uint8).reshape(-1) for x in imgs])
+    frame_data = np.concatenate([_u8(x).reshape(-1) for x in imgs])
     with sp.Popen(command, stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.PIPE) as p:
         ret = p.communicate(frame_data.tobytes())
         if p.returncode != 0:

@@ -122,3 +122,34 @@ def test_cached_component_placeholder_dims(setup):
         assert len(frames[0]) == 3
         for img in frames[0]:
             assert img.ndim == 3 and img.shape[-1] == 3, img.shape
+
+
+def test_strip_uint8_matches_quantized_float(setup):
+    """as_uint8=True quantizes on device; must equal the quantized float
+    frames exactly (same clip+scale+round), for both edit modes."""
+    from ganspace_tpu.utils.imaging import to_uint8
+
+    model, inst = setup
+    model.use_z()
+    z = model.sample_latent(1, seed=5)
+    rs = np.random.RandomState(1)
+    z_comp = rs.randn(1, 512).astype(np.float32)
+    inst.retain_layer("convs.0")
+    model.partial_forward(z, "convs.0")
+    feat_shape = np.asarray(inst.retained_features()["convs.0"]).shape[1:]
+    for mode, x_comp in (("latent", z_comp),
+                         ("activation",
+                          rs.randn(1, *feat_shape).astype(np.float32))):
+        common = dict(sigma=2.0, layer_start=0, layer_end=-1, num_frames=3)
+        f32 = create_strip_centered(
+            inst, mode, "convs.0", [z], x_comp, z_comp,
+            np.ones(1, np.float32), np.ones(1, np.float32),
+            np.zeros_like(x_comp[0]), np.zeros_like(z_comp[0]), **common)[0]
+        u8 = create_strip_centered(
+            inst, mode, "convs.0", [z], x_comp, z_comp,
+            np.ones(1, np.float32), np.ones(1, np.float32),
+            np.zeros_like(x_comp[0]), np.zeros_like(z_comp[0]),
+            as_uint8=True, **common)[0]
+        for a, b in zip(f32, u8):
+            assert b.dtype == np.uint8
+            assert np.array_equal(to_uint8(a), b), mode

@@ -96,3 +96,29 @@ def test_to_uint8_rounds():
     out = to_uint8(img)
     assert out.dtype == np.uint8
     assert out.tolist() == [[0, 0, 128, 255, 255]]
+
+
+def test_video_writers_accept_uint8(tmp_path, monkeypatch):
+    """uint8 frames (the device-quantized strip path) pass through the
+    writers byte-identical to their float twins."""
+    frames_f = _frames(n=3)
+    frames_u = [(f * 255).astype(np.uint8) for f in frames_f]
+    make_gif(frames_u, 1.0, tmp_path / "u8.gif")
+    with Image.open(tmp_path / "u8.gif") as im:
+        assert im.n_frames == 3
+
+    stub = tmp_path / "ffmpeg"
+    binfile = tmp_path / "stdin.bin"
+    stub.write_text(f'#!/bin/sh\ncat > "{binfile}"\n')
+    stub.chmod(stub.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setattr("ganspace_tpu.utils.video.shutil.which",
+                        lambda name: str(stub))
+    make_mp4(frames_u, 1.0, tmp_path / "u8.mp4")
+    raw_u8 = binfile.read_bytes()
+    make_mp4(frames_f, 1.0, tmp_path / "f32.mp4")
+    assert binfile.read_bytes() == raw_u8
+
+
+def test_to_uint8_passthrough():
+    u8 = np.array([[0, 128, 255]], np.uint8)
+    assert to_uint8(u8) is u8
