@@ -43,6 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --segmenter, write colorized overlays + a "
                         "gallery + a label histogram; no GAN involved. "
                         "Images in one batch must share a resolution.")
+    p.add_argument("--features", default=None, metavar="MODULE:ATTR",
+                   help="classifier mode (reference ClassifierSegRunner / "
+                        "--model without --gan): import ATTR from MODULE and "
+                        "call it as factory(layer) -> features_fn, where "
+                        "features_fn(images [B,3,H,W]) -> [B,U,h,w] unit "
+                        "activations; dissect those units against --broden "
+                        "ground-truth labels. See examples/custom_classifier"
+                        ".py. Requires --broden.")
+    p.add_argument("--broden", default=None, metavar="DIR",
+                   help="broden-format dataset directory providing the "
+                        "images and segmentation ground truth for "
+                        "--features mode (reference --segments)")
     p.add_argument("--outdir", default="out/dissect")
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
@@ -99,6 +111,71 @@ def make_segmenter(args):
                                    segsizes=tuple(args.segsizes))
 
 
+def _rank_all_labels(report, k: int) -> None:
+    """Top-k units per LABEL (reference --rank_all_labels) from the report's
+    IoU matrix; attaches ``report["label_rankings"]``."""
+    iou = report["iou_matrix"]          # [U, L]
+    k = min(k, iou.shape[0])
+    rankings = []
+    for l, label in enumerate(report["labels"]):
+        if not np.any(iou[:, l] > 0):
+            continue
+        top = np.argsort(-iou[:, l])[:k]
+        rankings.append({"label": label,
+                         "units": [int(u) for u in top],
+                         "ious": [round(float(iou[u, l]), 5) for u in top]})
+    report["label_rankings"] = rankings
+
+
+def _import_spec(spec: str):
+    """``pkg.mod:attr`` -> the attribute.  The reference resolves ``--model``
+    by *evaluating* a Python expression (``autoimport_eval``,
+    ``netdissect/autoeval.py``); an explicit import path keeps the same
+    bring-your-own-model power without ``eval``."""
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    if not attr:
+        raise SystemExit(f"--features must be MODULE:ATTR, got {spec!r}")
+    obj = importlib.import_module(mod)
+    for part in attr.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _dissect_classifier_cli(args, outroot: Path) -> int:
+    """Classifier mode (reference ``ClassifierSegRunner``,
+    ``netdissect/dissection.py:1529``): per-unit quantile thresholds over the
+    dataset, then IoU of thresholded upsampled unit masks vs the broden
+    ground-truth label maps."""
+    from ganspace_tpu.dissection.broden import BrodenDataset
+    from ganspace_tpu.dissection.report import generate_report
+    from ganspace_tpu.dissection.runners import dissect_classifier
+
+    factory = _import_spec(args.features)
+    ds = BrodenDataset(args.broden)
+    categories = [ds.label_category.get(n, "-")
+                  for n in range(len(ds.labels))]
+    lq = args.quantile if isinstance(args.quantile, float) else 0.995
+    for layer in (args.layer or [None]):
+        features_fn = factory(layer)
+        outdir = outroot if layer is None \
+            else outroot / layer.replace("/", "_")
+        print(f"dissecting {args.features}[{layer or 'features'}] "
+              f"vs {args.broden} -> {outdir}")
+        report = dissect_classifier(
+            features_fn, ds, ds.labels, categories=categories,
+            batch=args.batch, level_quantile=lq, limit=args.samples)
+        if layer:
+            report["layer"] = layer
+        if args.rank_all_labels:
+            _rank_all_labels(report, args.examples)
+        html = generate_report(report, outdir, inst=None,
+                               n_units=args.examples)
+        print(f"report: {html}")
+    return 0
+
+
 def _segment_imagedir(args, segmenter, outroot: Path) -> int:
     """Image-only runner (reference ``ImageOnlySegRunner``,
     ``dissection.py:1505``): per-image colorized segmentations + label
@@ -147,9 +224,18 @@ def main(argv=None) -> int:
     from ganspace_tpu.dissection.report import generate_report
     from ganspace_tpu.models import get_instrumented_model
 
-    segmenter = make_segmenter(args)
     outroot = Path(args.outdir)
 
+    if args.features or args.broden:
+        if not (args.features and args.broden):
+            build_parser().error("--features and --broden go together")
+        rc = _dissect_classifier_cli(args, outroot)
+        if args.done_dir:
+            from ganspace_tpu.utils import mark_job_done
+            mark_job_done(args.done_dir)
+        return rc
+
+    segmenter = make_segmenter(args)
     if args.imagedir:
         rc = _segment_imagedir(args, segmenter, outroot)
         if args.done_dir:
@@ -157,7 +243,8 @@ def main(argv=None) -> int:
             mark_job_done(args.done_dir)
         return rc
     if not args.layer:
-        build_parser().error("--layer is required unless --imagedir is given")
+        build_parser().error("--layer is required unless --imagedir or "
+                             "--features is given")
 
     last_session = None
     for layer in args.layer:
@@ -212,18 +299,7 @@ def main(argv=None) -> int:
                 rec["maxiou_quantile"] = float(
                     mi["max_iou_quantile"][u, best[u]])
         if args.rank_all_labels:
-            iou = report["iou_matrix"]          # [U, L]
-            k = min(args.examples, iou.shape[0])
-            rankings = []
-            for l, label in enumerate(report["labels"]):
-                if not np.any(iou[:, l] > 0):
-                    continue
-                top = np.argsort(-iou[:, l])[:k]
-                rankings.append({"label": label,
-                                 "units": [int(u) for u in top],
-                                 "ious": [round(float(iou[u, l]), 5)
-                                          for u in top]})
-            report["label_rankings"] = rankings
+            _rank_all_labels(report, args.examples)
         if args.cov:
             cov = collect_covariance(inst, layer, segmenter,
                                      n_samples=args.samples,

@@ -41,6 +41,42 @@ def test_dissection_cli_flags(tmp_path):
     assert (d / "dissect.html").exists() and (d / "bargraph.svg").exists()
 
 
+def test_classifier_mode(tmp_path):
+    """Classifier runner (reference ClassifierSegRunner via --model without
+    --gan): --features factory + --broden ground truth -> unit/label report."""
+    from ganspace_tpu.dissection.__main__ import main
+    from ganspace_tpu.dissection.broden import write_synthetic_broden
+
+    broden = write_synthetic_broden(tmp_path / "broden", n_images=8, size=32)
+    out = tmp_path / "out"
+    rc = main(["--features", "examples.custom_classifier:features",
+               "--broden", str(broden), "--layer", "conv2",
+               "--samples", "8", "--batch", "4", "--rank-all-labels",
+               "--examples", "4", "--outdir", str(out)])
+    assert rc == 0
+    d = out / "conv2"
+    rep = json.loads((d / "dissect.json").read_text())
+    assert rep["model"] == "classifier" and rep["layer"] == "conv2"
+    assert rep["n_samples"] == 8
+    assert len({u["unit"] for u in rep["units"]}) == 32   # conv2 width
+    # labels/categories come from the broden metadata, not a segmenter
+    assert all(u["label"] in rep["labels"] for u in rep["units"])
+    assert all(u["category"] in ("object", "part", "-")
+               for u in rep["units"])
+    rk = rep["label_rankings"]
+    assert rk and all(len(r["units"]) <= 4 for r in rk)
+    assert (d / "dissect.html").exists() and (d / "bargraph.svg").exists()
+
+
+def test_classifier_mode_flag_validation(tmp_path, capsys):
+    from ganspace_tpu.dissection.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--features", "examples.custom_classifier:features",
+              "--outdir", str(tmp_path)])
+    assert "--broden" in capsys.readouterr().err
+
+
 def test_imagedir_mode(tmp_path):
     """Image-only runner (reference --imagedir): overlays + histogram +
     gallery, no GAN."""
