@@ -15,20 +15,58 @@ A cell in index.csv may hold several ';'-separated label files (multiple
 annotation passes) and numeric cells encode a full-image label.
 
 The reference wraps this in a torch ``Dataset`` with prefetching worker
-processes; here batches are assembled host-side into pinned numpy arrays and
-shipped to device whole — generator-side compute dominates, so the loader
-stays simple and the async capacity lives in the device pipeline.  The
-reference's downloader (``ensure_broden_downloaded``) needs network; this
-loader only reads a local tree (tests synthesize one).
+*processes* (``--num_workers 24``, fork + pickle per item); here every
+``batches()`` prefetches with an in-process thread pool instead — PIL/zlib
+decode releases the GIL, so threads scale on multi-core hosts without fork
+or serialization overhead, and batches are assembled into pinned numpy
+arrays shipped to device whole.  The reference's downloader
+(``ensure_broden_downloaded``) needs network; this loader only reads a
+local tree (tests synthesize one).
 """
 
 from __future__ import annotations
 
 import csv
+import os
+from collections import deque
+from itertools import islice
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _loader_workers() -> int:
+    """Decode-thread count (the reference DataLoader's ``num_workers``);
+    override with ``GANSPACE_LOADER_WORKERS`` (1 = serial)."""
+    env = os.environ.get("GANSPACE_LOADER_WORKERS")
+    if env is not None:
+        return max(1, int(env))
+    return min(8, os.cpu_count() or 1)
+
+
+def _iter_items(dataset, n: int, workers: Optional[int] = None):
+    """Yield ``dataset[0..n)`` in order, decoding up to 2x``workers`` items
+    ahead on a thread pool (bounded, so huge datasets never pile up in RAM).
+    Worker exceptions surface at the yield point for the failing index."""
+    w = _loader_workers() if workers is None else max(1, int(workers))
+    if w <= 1 or n <= 1:
+        for i in range(n):
+            yield dataset[i]
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(w) as pool:
+        depth = min(2 * w, n)
+        futures = deque(pool.submit(dataset.__getitem__, i)
+                        for i in range(depth))
+        next_i = depth
+        while futures:
+            item = futures.popleft().result()
+            if next_i < n:
+                futures.append(pool.submit(dataset.__getitem__, next_i))
+                next_i += 1
+            yield item
 
 
 def decode_label_png(arr: np.ndarray) -> np.ndarray:
@@ -107,15 +145,17 @@ class BrodenDataset:
                         for c in self.categories])
         return img, seg, rec
 
-    def batches(self, batch_size: int,
-                limit: Optional[int] = None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def batches(self, batch_size: int, limit: Optional[int] = None,
+                workers: Optional[int] = None
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield stacked (images [B,3,H,W], segs [B,C,H,W]) batches; images
-        in a batch must share a resolution (broden is fixed-size per split)."""
+        in a batch must share a resolution (broden is fixed-size per split).
+        Items decode on a prefetching thread pool (see :func:`_iter_items`)."""
         n = len(self) if limit is None else min(limit, len(self))
-        for start in range(0, n, batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size, n))]
-            yield (np.stack([it[0] for it in items]),
-                   np.stack([it[1] for it in items]))
+        it = _iter_items(self, n, workers)
+        while items := list(islice(it, batch_size)):
+            yield (np.stack([it_[0] for it_ in items]),
+                   np.stack([it_[1] for it_ in items]))
 
     def primary_categories_per_index(self) -> List[int]:
         """Category index per label number (reference
@@ -242,12 +282,13 @@ class ParallelImageFolders:
                     for a, t in zip(arrs, self.transforms)]
         return tuple(arrs)
 
-    def batches(self, batch_size: int,
-                limit: Optional[int] = None) -> Iterator[Tuple[np.ndarray, ...]]:
+    def batches(self, batch_size: int, limit: Optional[int] = None,
+                workers: Optional[int] = None
+                ) -> Iterator[Tuple[np.ndarray, ...]]:
         n = len(self) if limit is None else min(limit, len(self))
-        for start in range(0, n, batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size, n))]
-            yield tuple(np.stack([it[j] for it in items])
+        it = _iter_items(self, n, workers)
+        while items := list(islice(it, batch_size)):
+            yield tuple(np.stack([it_[j] for it_ in items])
                         for j in range(len(items[0])))
 
 
@@ -337,8 +378,9 @@ class MultiSegmentDataset:
         bincount = np.bincount(segout.ravel(), minlength=len(self.labels))
         return img, segout, bincount
 
-    def batches(self, batch_size: int, limit: Optional[int] = None):
+    def batches(self, batch_size: int, limit: Optional[int] = None,
+                workers: Optional[int] = None):
         n = len(self) if limit is None else min(limit, len(self))
-        for start in range(0, n, batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size, n))]
-            yield tuple(np.stack([it[j] for it in items]) for j in range(3))
+        it = _iter_items(self, n, workers)
+        while items := list(islice(it, batch_size)):
+            yield tuple(np.stack([it_[j] for it_ in items]) for j in range(3))

@@ -230,6 +230,55 @@ def test_multi_segment_dataset(tmp_path):
     assert sum(1 for _ in ds.batches(2, limit=2)) == 1
 
 
+def test_prefetching_loader_matches_serial(tmp_path):
+    """batches(workers=4) (the reference DataLoader num_workers analog) must
+    yield bit-identical, in-order batches vs the serial path, on all three
+    dataset types; worker exceptions must surface."""
+    from ganspace_tpu.dissection import MultiSegmentDataset
+    from ganspace_tpu.dissection.broden import (
+        BrodenDataset, ParallelImageFolders, write_synthetic_broden,
+    )
+    from PIL import Image
+
+    d = write_synthetic_broden(tmp_path / "broden", n_images=7, size=16)
+    datasets = [BrodenDataset(d)]
+    datasets.append(ParallelImageFolders([d / "images"]))
+    root = tmp_path / "ms"
+    (root / "img").mkdir(parents=True)
+    (root / "seg").mkdir()
+    (root / "labelnames.json").write_text(json.dumps([
+        {"field": "shape", "index": 0, "bitshift": 0, "bitmask": 3,
+         "label": ["-", "a", "b"]}]))
+    rs = np.random.RandomState(1)
+    for i in range(7):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            root / "img" / f"{i}.png")
+        Image.fromarray(rs.randint(0, 3, (8, 8, 3), np.uint8)).save(
+            root / "seg" / f"{i}.png")
+    datasets.append(MultiSegmentDataset(root))
+
+    for ds in datasets:
+        serial = list(ds.batches(3, workers=1))
+        parallel = list(ds.batches(3, workers=4))
+        assert len(serial) == len(parallel) > 1, type(ds).__name__
+        for s, p in zip(serial, parallel):
+            for a, b in zip(s, p):
+                assert np.array_equal(a, b), type(ds).__name__
+
+    class Boom:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom")
+            return (np.zeros(2),)
+
+    from ganspace_tpu.dissection.broden import _iter_items
+    with pytest.raises(ValueError, match="boom"):
+        list(_iter_items(Boom(), 5, workers=4))
+
+
 def test_parallel_image_folders(tmp_path):
     """Reference ``parallelfolder.py`` semantics: filename-keyed pairing,
     mismatch detection, intersection mode, stacked batches."""
