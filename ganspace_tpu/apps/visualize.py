@@ -43,7 +43,8 @@ from ganspace_tpu.utils.video import make_mp4
 
 
 def make_grid(inst, layer_key, latent, lat_mean, lat_comp, lat_stdev, act_mean,
-              act_comp, act_stdev, scale=1, n_rows=10, n_cols=5, edit_type="latent"):
+              act_comp, act_stdev, scale=1, n_rows=10, n_cols=5,
+              edit_type="latent", max_batch=None):
     """Rows of centered edit strips, one per component (reference
     ``visualize.py:79-120`` minus the matplotlib chrome)."""
     inst.remove_edits()
@@ -53,7 +54,8 @@ def make_grid(inst, layer_key, latent, lat_mean, lat_comp, lat_stdev, act_mean,
             inst, edit_type, layer_key, [latent],
             act_comp[r:r + 1], lat_comp[r:r + 1], act_stdev[r], lat_stdev[r],
             act_mean, lat_mean, scale, 0, -1, n_cols,
-            as_uint8=True)[0]   # quantize on device: 4x less readback
+            as_uint8=True,      # quantize on device: 4x less readback
+            max_batch=max_batch)[0]
         rows.append(out_batch[:n_cols])
     inst.remove_edits()
     return rows
@@ -155,7 +157,7 @@ def main(args=None):
         rows = make_grid(inst, layer_key, t.Z_global_mean, t.Z_global_mean,
                          t.Z_comp, t.Z_stdev, t.X_global_mean, t.X_comp,
                          t.X_stdev, scale=args.sigma, edit_type=edit_mode,
-                         n_rows=n_rows)
+                         n_rows=n_rows, max_batch=max_batch)
         save_grid_image(rows, outdir_summ / f"components_{get_edit_name(edit_mode)}.jpg")
 
     if args.make_video:
@@ -169,7 +171,8 @@ def main(args=None):
                                      t.Z_stdev[c:c + 1], t.X_global_mean,
                                      t.X_comp[c:c + 1], t.X_stdev[c:c + 1],
                                      n_rows=1, n_cols=instances, scale=sigma,
-                                     edit_type=edit_mode)
+                                     edit_type=edit_mode,
+                                     max_batch=max_batch)
                     frames = rows[0]
                     frames = frames + frames[::-1]
                     make_mp4(frames, 5, outdir_comp /
@@ -184,7 +187,7 @@ def main(args=None):
         rows = make_grid(inst, layer_key, t.Z_global_mean, t.Z_global_mean,
                          rand_z, t.Z_stdev, t.X_global_mean, rand_act,
                          t.X_stdev, scale=args.sigma, edit_type=edit_mode,
-                         n_rows=n_rows)
+                         n_rows=n_rows, max_batch=max_batch)
         save_grid_image(rows, outdir_summ / f"random_dirs_{get_edit_name(edit_mode)}.jpg")
 
     # Random instances with components applied
@@ -195,7 +198,8 @@ def main(args=None):
         for edit_mode in edit_modes:
             rows = make_grid(inst, layer_key, z, t.Z_global_mean, t.Z_comp,
                              t.Z_stdev, t.X_global_mean, t.X_comp, t.X_stdev,
-                             scale=args.sigma, edit_type=edit_mode, n_rows=n_rows)
+                             scale=args.sigma, edit_type=edit_mode,
+                             n_rows=n_rows, max_batch=max_batch)
             save_grid_image(rows, outdir_summ /
                             f"samp{img_idx}_real_{get_edit_name(edit_mode)}.jpg")
 
@@ -210,7 +214,8 @@ def main(args=None):
                                          t.X_global_mean, t.X_comp[c:c + 1],
                                          t.X_stdev[c:c + 1], n_rows=1,
                                          n_cols=instances, scale=sigma,
-                                         edit_type=edit_mode)
+                                         edit_type=edit_mode,
+                                         max_batch=max_batch)
                         frames = rows[0]
                         frames = frames + frames[::-1]
                         make_mp4(frames, 5, outdir_inst /

@@ -33,30 +33,36 @@ def _normalize(v):
 
 
 def create_strip(inst, mode, layer, latents, x_comp, z_comp, act_stdev, lat_stdev,
-                 sigma, layer_start, layer_end, num_frames=5, as_uint8=False):
+                 sigma, layer_start, layer_end, num_frames=5, as_uint8=False,
+                 max_batch=None):
     """Apply edit to given latents, return a strip of images per latent.
 
     ``as_uint8=True`` quantizes frames on device before readback (HWC uint8
-    instead of float [0,1]) — for callers that write 8-bit outputs anyway."""
+    instead of float [0,1]) — for callers that write 8-bit outputs anyway.
+    ``max_batch`` caps the frames per forward (reference
+    ``notebook_utils.py:40-47`` frame-block batching): long sweeps at high
+    resolution must not materialize every frame's activations at once."""
     return _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp,
                               act_stdev, lat_stdev, None, None, sigma,
                               layer_start, layer_end, num_frames, center=False,
-                              as_uint8=as_uint8)
+                              as_uint8=as_uint8, max_batch=max_batch)
 
 
 def create_strip_centered(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                           lat_stdev, act_mean, lat_mean, sigma, layer_start,
-                          layer_end, num_frames=5, as_uint8=False):
+                          layer_end, num_frames=5, as_uint8=False,
+                          max_batch=None):
     """Strip where the sample is centered along the component first."""
     return _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp,
                               act_stdev, lat_stdev, act_mean, lat_mean, sigma,
                               layer_start, layer_end, num_frames, center=True,
-                              as_uint8=as_uint8)
+                              as_uint8=as_uint8, max_batch=max_batch)
 
 
 def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                        lat_stdev, act_mean, lat_mean, sigma, layer_start,
-                       layer_end, num_frames, center, as_uint8=False):
+                       layer_end, num_frames, center, as_uint8=False,
+                       max_batch=None):
     if not isinstance(latents, list):
         latents = list(latents)
     latents = [jnp.asarray(l) if np.asarray(l).ndim > 1 else jnp.asarray(l)[None]
@@ -110,14 +116,18 @@ def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                                axis=-1, keepdims=True)
                 zeroing_offset_lat = dotp * _normalize(z_comp)
 
-        # Batch ALL strip frames through one forward: replicate the latent
-        # num_frames times and apply a per-frame sigma — a single jitted
-        # call instead of the reference's frame-block loop.
+        # Batch strip frames through the forward in max_batch-sized chunks
+        # (all at once by default): replicate the latent num_frames times and
+        # apply a per-frame sigma.  The reference loops frame blocks of its
+        # VRAM-probed max_batch (notebook_utils.py:40-47); here the tail
+        # chunk pads up to the chunk size so every chunk reuses ONE jit
+        # signature, then the padding is sliced off after readback.
         n_base = z_single.shape[0]
         z_batch = jnp.repeat(z_single, num_frames, axis=0)
         sig = jnp.asarray(np.tile(sigma_range, n_base))
 
         inst.remove_edits()
+        total = num_frames * n_base
         z = z_batch
         if mode in ("latent", "both"):
             delta = z_comp * sig.reshape([-1] + [1] * (z_comp.ndim - 1)) * lat_stdev
@@ -128,18 +138,40 @@ def _create_strip_impl(inst, mode, layer, latents, x_comp, z_comp, act_stdev,
                 z_list[i] = z_batch - zoff + delta
             z = z_list
 
+        act_offset = None
         if mode in ("activation", "both"):
-            comp_batch = jnp.repeat(x_comp, num_frames * n_base, axis=0) \
+            comp_batch = jnp.repeat(x_comp, total, axis=0) \
                 if x_comp.shape[0] == 1 else jnp.broadcast_to(
-                    x_comp, (num_frames * n_base,) + x_comp.shape[1:])
+                    x_comp, (total,) + x_comp.shape[1:])
             delta = comp_batch * sig.reshape([-1] + [1] * (comp_batch.ndim - 1))
             aoff = (jnp.repeat(zeroing_offset_act, num_frames, axis=0)
                     if center and mode == "activation" else 0)
-            inst.edit_layer(layer, offset=np.asarray(delta * act_stdev - aoff))
+            act_offset = np.asarray(delta * act_stdev - aoff)
 
-        img_batch = inst.model.sample_np(z, uint8=as_uint8)
-        if img_batch.ndim == 3:
-            img_batch = img_batch[None]
+        bs = total if not max_batch else min(int(max_batch), total)
+
+        def pad(a, n):
+            return a if n == 0 else jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (n,) + a.shape[1:])])
+
+        chunks = []
+        for s in range(0, total, bs):
+            e = min(s + bs, total)
+            n_pad = bs - (e - s)
+            z_chunk = ([pad(zl[s:e], n_pad) for zl in z]
+                       if isinstance(z, list) else pad(z[s:e], n_pad))
+            inst.remove_edits()
+            if act_offset is not None:
+                off = act_offset[s:e]
+                if n_pad:
+                    off = np.concatenate(
+                        [off, np.broadcast_to(off[-1:], (n_pad,) + off.shape[1:])])
+                inst.edit_layer(layer, offset=off)
+            img = inst.model.sample_np(z_chunk, uint8=as_uint8)
+            if img.ndim == 3:
+                img = img[None]
+            chunks.append(img[:e - s])
+        img_batch = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
         for j in range(num_frames):
             frames[i_lat].append(img_batch[j])
 
@@ -154,7 +186,7 @@ def save_frames(title, model_name, rootdir, frames, strip_width=10):
 
     from PIL import Image
 
-    from ganspace_tpu.utils import pad_frames, prettify_name
+    from ganspace_tpu.utils import pad_frames, prettify_name, to_uint8
 
     test_name = prettify_name(title)
     outdir = f"{rootdir}/{model_name}/{test_name}"
@@ -168,8 +200,10 @@ def save_frames(title, model_name, rootdir, frames, strip_width=10):
     if len(strips) >= strip_width:
         left_col = np.vstack(strips[0:strip_width // 2])
         right_col = np.vstack(strips[strip_width // 2:strip_width])
-        grid = np.hstack([left_col, np.ones_like(left_col[:, :30]), right_col])
-        im = Image.fromarray((255 * grid).astype(np.uint8))
+        pad_val = 255 if left_col.dtype == np.uint8 else 1
+        grid = np.hstack([left_col,
+                          np.full_like(left_col[:, :30], pad_val), right_col])
+        im = Image.fromarray(to_uint8(grid))
         im = im.resize((int(ratio * im.size[0]), int(ratio * im.size[1])),
                        Image.LANCZOS)
         im.save(f"{outdir}/{test_name}_all.png")
@@ -177,7 +211,7 @@ def save_frames(title, model_name, rootdir, frames, strip_width=10):
         print("Too few strips to create grid, creating just strips!")
 
     for ex_num, strip in enumerate(frames[:strip_width]):
-        im = Image.fromarray(np.uint8(255 * np.hstack(pad_frames(strip))))
+        im = Image.fromarray(to_uint8(np.hstack(pad_frames(strip))))
         im = im.resize((int(ratio * im.size[0]), int(ratio * im.size[1])),
                        Image.LANCZOS)
         im.save(f"{outdir}/{test_name}_{ex_num}.png")

@@ -124,6 +124,32 @@ def test_cached_component_placeholder_dims(setup):
             assert img.ndim == 3 and img.shape[-1] == 3, img.shape
 
 
+def test_strip_chunked_matches_unchunked(setup):
+    """max_batch chunking (the reference's frame-block batching,
+    notebook_utils.py:40-47) must not change any frame, in either edit mode,
+    including a non-dividing chunk size (padded tail)."""
+    model, inst = setup
+    model.use_z()
+    z = model.sample_latent(1, seed=7)
+    rs = np.random.RandomState(2)
+    z_comp = rs.randn(1, 512).astype(np.float32)
+    inst.retain_layer("convs.0")
+    model.partial_forward(z, "convs.0")
+    feat_shape = np.asarray(inst.retained_features()["convs.0"]).shape[1:]
+    for mode, x_comp in (("latent", z_comp),
+                         ("activation",
+                          rs.randn(1, *feat_shape).astype(np.float32))):
+        common = dict(sigma=2.0, layer_start=0, layer_end=-1, num_frames=5)
+        args = (inst, mode, "convs.0", [z], x_comp, z_comp,
+                np.ones(1, np.float32), np.ones(1, np.float32),
+                np.zeros_like(x_comp[0]), np.zeros_like(z_comp[0]))
+        full = create_strip_centered(*args, **common)[0]
+        chunked = create_strip_centered(*args, max_batch=2, **common)[0]
+        assert len(full) == len(chunked) == 5
+        for a, b in zip(full, chunked):
+            assert np.allclose(a, b, atol=1e-5), mode
+
+
 def test_strip_uint8_matches_quantized_float(setup):
     """as_uint8=True quantizes on device; must equal the quantized float
     frames exactly (same clip+scale+round), for both edit modes."""
