@@ -3,7 +3,9 @@ from ganspace_tpu.dissection.dissect import (
     SegmenterBase,
     collect_cond_quantiles,
     collect_covariance,
+    collect_stats_and_cond_quantiles,
     dissect,
+    iqr_max_scores,
     iqr_scores,
     maxiou_scores,
     tally_stats,
@@ -43,6 +45,8 @@ __all__ = [
     "upsample_grid",
     "collect_cond_quantiles",
     "collect_covariance",
+    "collect_stats_and_cond_quantiles",
+    "iqr_max_scores",
     "iqr_scores",
     "maxiou_scores",
     "SegmenterBase",

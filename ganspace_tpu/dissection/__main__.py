@@ -4,7 +4,8 @@ relevant to generator dissection).
 
     python -m ganspace_tpu.dissection --model DCGAN --layer deconv1 \
         --samples 256 --outdir out/dissect [--segmenter color|unified|ade] \
-        [--iqr] [--maxiou] [--cov] [--ace-class N] [--done-dir JOBDIR]
+        [--iqr] [--maxiou] [--cov] [--ace-class N] [--done-dir JOBDIR] \
+        [--no-labels] [--no-report] [--netname NAME] [--quiet]
 
 Writes ``dissect.json``, ``bargraph.svg``, ``dissect.html`` and per-unit
 top-image grids under ``--outdir`` (see ``report.py``).
@@ -35,8 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="DCGAN")
     p.add_argument("--class", dest="output_class", default=None)
     p.add_argument("--layer", action="append",
-                   help="layer(s) to dissect; repeatable (required unless "
-                        "--imagedir is given)")
+                   help="layer(s) to dissect, each NAME or NAME:DISPLAY "
+                        "(reference --layers strpair aliases); repeatable "
+                        "(required unless --imagedir is given)")
     p.add_argument("--imagedir", default=None,
                    help="image-only mode (reference --imagedir / "
                         "ImageOnlySegRunner): segment every image in DIR "
@@ -61,9 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--quantile", type=_strfloat, default=0.995,
                    help="activation threshold: a quantile in (0,1), or "
-                        "'iqr'/'maxiou' for per-unit agreement-maximizing "
-                        "thresholds (the reference GAN mode's default "
-                        "behavior; costs one extra stats pass)")
+                        "'iqr' (information-quality-ratio search, the "
+                        "reference GAN mode's default) / 'maxiou' (IoU "
+                        "search) for per-unit thresholds; costs one extra "
+                        "stats pass, fused with the quantile/top-k pass")
     p.add_argument("--segmenter", choices=("color", "unified", "ade"),
                    default="color")
     p.add_argument("--seg-params", default=None,
@@ -86,6 +89,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="units shown in the report with top-image examples "
                         "(reference --examples)")
     p.add_argument("--no-images", action="store_true")
+    p.add_argument("--no-labels", action="store_true",
+                   help="skip the segmentation/label tally; rank units by "
+                        "top activation instead (reference --no-labels)")
+    p.add_argument("--no-report", action="store_true",
+                   help="write dissect.json + npz data but skip the HTML "
+                        "summary and unit images (reference --no-report)")
+    p.add_argument("--netname", default=None,
+                   help="display name used in the report "
+                        "(reference --netname)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="decode threads for dataset loaders in --features/"
+                        "--imagedir modes (reference --num_workers; default "
+                        "min(8, cpus) or GANSPACE_LOADER_WORKERS)")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress progress prints (reference --quiet)")
+    p.add_argument("--meta", nargs="+", default=None, metavar="FILE",
+                   help="json file(s) of metadata to attach to the report "
+                        "(reference --meta)")
+    p.add_argument("--merge", default=None, metavar="FILE",
+                   help="json file of per-unit data to merge into the "
+                        "report — {'layers': [{'layer': L, 'units': "
+                        "[{...}, ...]}]}, units in unit order (reference "
+                        "--merge; e.g. mark units uninterpretable from an "
+                        "outside analysis)")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="after dissecting, serve the (last) layer's report "
                         "+ live-edit viewer on this port")
@@ -127,6 +154,25 @@ def _rank_all_labels(report, k: int) -> None:
     report["label_rankings"] = rankings
 
 
+def _apply_meta_merge(report, args) -> None:
+    """Attach --meta metadata and merge --merge per-unit records (reference
+    ``dissection.py:171-175,307-318``): merge units are positional in unit
+    order within the matching layer entry."""
+    if args.meta:
+        meta = {}
+        for mf in args.meta:
+            meta.update(json.loads(Path(mf).read_text()))
+        report["meta"] = meta
+    if args.merge:
+        data = json.loads(Path(args.merge).read_text())
+        lrec = next((l for l in data.get("layers", [])
+                     if l.get("layer") == report["layer"]), None)
+        by_unit = sorted(report["units"], key=lambda r: r["unit"])
+        for u, urec in enumerate(lrec.get("units", []) if lrec else []):
+            if u < len(by_unit):
+                by_unit[u].update(urec)
+
+
 def _import_spec(spec: str):
     """``pkg.mod:attr`` -> the attribute.  The reference resolves ``--model``
     by *evaluating* a Python expression (``autoimport_eval``,
@@ -157,22 +203,30 @@ def _dissect_classifier_cli(args, outroot: Path) -> int:
     categories = [ds.label_category.get(n, "-")
                   for n in range(len(ds.labels))]
     lq = args.quantile if isinstance(args.quantile, float) else 0.995
-    for layer in (args.layer or [None]):
-        features_fn = factory(layer)
-        outdir = outroot if layer is None \
-            else outroot / layer.replace("/", "_")
-        print(f"dissecting {args.features}[{layer or 'features'}] "
-              f"vs {args.broden} -> {outdir}")
+    say = (lambda *a, **k: None) if args.quiet else print
+    for layer_arg in (args.layer or [None]):
+        layer, _, display = (layer_arg or "").partition(":")
+        display = display or layer
+        features_fn = factory(layer or None)
+        outdir = outroot if not layer \
+            else outroot / display.replace("/", "_")
+        say(f"dissecting {args.features}[{layer or 'features'}] "
+            f"vs {args.broden} -> {outdir}")
         report = dissect_classifier(
             features_fn, ds, ds.labels, categories=categories,
-            batch=args.batch, level_quantile=lq, limit=args.samples)
+            batch=args.batch, level_quantile=lq, limit=args.samples,
+            workers=args.workers)
         if layer:
-            report["layer"] = layer
+            report["layer"] = display
+        if args.netname:
+            report["model"] = args.netname
         if args.rank_all_labels:
             _rank_all_labels(report, args.examples)
+        _apply_meta_merge(report, args)
         html = generate_report(report, outdir, inst=None,
-                               n_units=args.examples)
-        print(f"report: {html}")
+                               n_units=args.examples,
+                               html_summary=not args.no_report)
+        say(f"report: {html}")
     return 0
 
 
@@ -191,7 +245,7 @@ def _segment_imagedir(args, segmenter, outroot: Path) -> int:
         np.asarray(a, np.float32) / 255.0, (2, 0, 1))
     ds = ParallelImageFolders([args.imagedir], transforms=[to_chw])
     maps = segment_dataset(segmenter, ds, batch=args.batch,
-                           limit=args.samples)
+                           limit=args.samples, workers=args.workers)
     outroot.mkdir(parents=True, exist_ok=True)
     labels, _ = segmenter.get_label_and_category_names()
     counts = np.zeros(len(labels), np.int64)
@@ -206,7 +260,8 @@ def _segment_imagedir(args, segmenter, outroot: Path) -> int:
         [{"label": str(l), "pixels": int(c)}
          for l, c in zip(labels, counts) if c], indent=2))
     write_lightbox(outroot, title=f"segmentations: {args.imagedir}")
-    print(f"segmented {len(maps)} images -> {outroot}")
+    if not args.quiet:
+        print(f"segmented {len(maps)} images -> {outroot}")
     return 0
 
 
@@ -219,7 +274,7 @@ def main(argv=None) -> int:
     from ganspace_tpu.dissection import dissect
     from ganspace_tpu.dissection.ace import ablation_effect, ace_optimize
     from ganspace_tpu.dissection.dissect import (
-        collect_cond_quantiles, collect_covariance, iqr_scores, maxiou_scores,
+        collect_covariance, iqr_max_scores, maxiou_scores,
     )
     from ganspace_tpu.dissection.report import generate_report
     from ganspace_tpu.models import get_instrumented_model
@@ -246,46 +301,115 @@ def main(argv=None) -> int:
         build_parser().error("--layer is required unless --imagedir or "
                              "--features is given")
 
+    say = (lambda *a, **k: None) if args.quiet else print
     last_session = None
-    for layer in args.layer:
+    for layer_arg in args.layer:
+        # NAME:DISPLAY aliases (reference --layers strpair): the display
+        # name labels the output directory and report; the real module
+        # path addresses the tap point.
+        layer, _, display = layer_arg.partition(":")
+        display = display or layer
         inst = get_instrumented_model(args.model, args.output_class, layer)
-        outdir = outroot / layer.replace("/", "_")
-        print(f"dissecting {args.model}/{layer} -> {outdir}")
-        from ganspace_tpu.dissection.dissect import tally_stats
-        layer_stats = tally_stats(inst, layer, n_samples=args.samples,
-                                  batch=args.batch, seed=args.seed)
+        outdir = outroot / display.replace("/", "_")
+        say(f"dissecting {args.model}/{layer} -> {outdir}")
+        from ganspace_tpu.dissection.dissect import (
+            collect_stats_and_cond_quantiles, tally_stats,
+        )
+
+        if args.no_labels:
+            # Reference --no-labels: skip the segmentation tally entirely;
+            # report units ranked by their top activation.
+            if isinstance(args.quantile, str) or args.iqr or args.maxiou \
+                    or args.cov or args.ace_class is not None:
+                build_parser().error(
+                    "--no-labels skips segmentation; it cannot combine with "
+                    "--quantile iqr/maxiou, --iqr, --maxiou, --cov, or "
+                    "--ace-class")
+            layer_stats = tally_stats(inst, layer, n_samples=args.samples,
+                                      batch=args.batch, seed=args.seed)
+            levels = layer_stats["quantiles"].quantiles(args.quantile)[:, 0]
+            units = [{
+                "unit": int(u),
+                "label": "-", "category": "-", "iou": 0.0,
+                "activation_level": float(levels[u]),
+                "top_samples": [int(s) for s in
+                                layer_stats["topk_samples"][u]],
+                "top_values": [float(v) for v in
+                               layer_stats["topk_values"][u]],
+            } for u in range(layer_stats["units"])]
+            units.sort(key=lambda r: -r["top_values"][0])
+            report = {
+                "layer": display,
+                "model": args.netname or args.model,
+                "n_samples": args.samples, "batch": args.batch,
+                "seed": args.seed, "level_quantile": args.quantile,
+                "labels": [], "units": units,
+            }
+            _apply_meta_merge(report, args)
+            out = generate_report(report, outdir,
+                                  inst=None if args.no_images else inst,
+                                  n_units=args.examples,
+                                  html_summary=not args.no_report)
+            say(f"report: {out}")
+            continue
 
         # One conditional-quantile pass feeds every consumer: string
         # --quantile modes (per-unit thresholds), --iqr, and --maxiou.
+        # When one is wanted, the fused pass streams ONE synthesis sweep
+        # into both the stats and the conditional sketches.
         per_unit_levels = None
         stats = None
         if isinstance(args.quantile, str) or args.iqr or args.maxiou:
-            stats = collect_cond_quantiles(
+            layer_stats, stats = collect_stats_and_cond_quantiles(
                 inst, layer, segmenter, n_samples=args.samples,
                 batch=args.batch, seed=args.seed)
+        else:
+            layer_stats = tally_stats(inst, layer, n_samples=args.samples,
+                                      batch=args.batch, seed=args.seed)
         if isinstance(args.quantile, str):
-            mi_lv = maxiou_scores(stats)
-            best = np.argmax(mi_lv["max_iou"], axis=1)
+            # Per-unit levels at each unit's best label under the chosen
+            # criterion: 'iqr' = information-quality-ratio search (the
+            # reference GAN default, dissection.py:102-115), 'maxiou' =
+            # IoU search.
+            if args.quantile == "iqr":
+                lv = iqr_max_scores(stats)
+                score_key, level_key = "max_iqr", "max_iqr_level"
+            else:
+                lv = maxiou_scores(stats)
+                score_key, level_key = "max_iou", "max_iou_level"
+            best = np.argmax(lv[score_key], axis=1)
             rows = np.arange(len(best))
-            per_unit_levels = mi_lv["max_iou_level"][rows, best]
+            per_unit_levels = lv[level_key][rows, best]
 
         report = dissect(inst, layer, segmenter, n_samples=args.samples,
                          batch=args.batch, seed=args.seed,
                          level_quantile=(0.995 if per_unit_levels is not None
                                          else args.quantile),
                          stats=layer_stats, levels=per_unit_levels)
+        report["layer"] = display
+        if args.netname:
+            report["model"] = args.netname
         if args.serve is not None:
             from ganspace_tpu.dissection.server import DissectionSession
             last_session = DissectionSession(inst, layer, report,
                                             outdir=outdir, stats=layer_stats)
 
         if args.iqr:
-            scores = iqr_scores(stats)
-            best = np.argmax(scores, axis=1)
+            # Information-quality-ratio level search (reference collect_iqr
+            # via iqr.npz); each unit reports its best label under max IQR.
+            iq = iqr_max_scores(stats)
+            outdir.mkdir(parents=True, exist_ok=True)
+            np.savez(outdir / "iqr.npz", **iq)       # reference field names
+            best = np.argmax(iq["max_iqr"], axis=1)
             for rec in report["units"]:
                 u = rec["unit"]
                 rec["iqr_label"] = report["labels"][int(best[u])]
-                rec["iqr_score"] = float(scores[u, best[u]])
+                rec["iqr_score"] = float(iq["max_iqr"][u, best[u]])
+                rec["iqr_level"] = float(iq["max_iqr_level"][u, best[u]])
+                rec["iqr_quantile"] = float(
+                    iq["max_iqr_quantile"][u, best[u]])
+                rec["iqr_agreement"] = float(
+                    iq["max_iqr_agreement"][u, best[u]])
         if args.maxiou:
             mi = maxiou_scores(stats)
             outdir.mkdir(parents=True, exist_ok=True)
@@ -307,10 +431,12 @@ def main(argv=None) -> int:
             outdir.mkdir(parents=True, exist_ok=True)
             np.save(outdir / "correlation.npy", cov["correlation"])
 
+        _apply_meta_merge(report, args)
         html = generate_report(report, outdir,
                                inst=None if args.no_images else inst,
-                               n_units=args.examples)
-        print(f"report: {html}")
+                               n_units=args.examples,
+                               html_summary=not args.no_report)
+        say(f"report: {html}")
 
         if args.ace_class is not None:
             ace = ace_optimize(inst, layer, segmenter, args.ace_class,
@@ -338,7 +464,7 @@ def main(argv=None) -> int:
             ace_html = generate_ace_report(
                 outdir, classname, {"ace": ace},
                 {"Units by ACE": effect, "Top units by IoU": iou_effect})
-            print(f"ace: baseline {ace['baseline']:.5f}, "
+            say(f"ace: baseline {ace['baseline']:.5f}, "
                   f"effect@top8 {effect.get(8, float('nan')):.5f}; "
                   f"report: {ace_html}")
 

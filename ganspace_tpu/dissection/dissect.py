@@ -240,9 +240,109 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
             "label_fracs": (label_px / max(total_px, 1.0)).astype(np.float32)}
 
 
+def collect_stats_and_cond_quantiles(
+        inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
+        n_samples: int = 256, batch: int = 16, seed: int = 1, k_top: int = 8,
+        pixels_per_label: int = 256,
+        samplesize: int = 1024) -> Tuple[Dict, Dict]:
+    """Fused stats + conditional-quantile pass: ONE synthesis/segmentation
+    stream feeds both the per-unit quantile sketch + top-k
+    (:func:`tally_stats`) and the per-label conditional sketches
+    (:func:`collect_cond_quantiles`).  The per-unit-threshold CLI modes
+    (``--quantile iqr/maxiou``, ``--iqr``, ``--maxiou``) need both, and the
+    generator forward dominates each pass on TPU, so fusing removes one of
+    the pipeline's three synthesis sweeps.  (The reference streams them as
+    separate passes, ``dissection.py:680,878``.)
+
+    Returns ``(stats, cond_stats)``, each bit-identical to the separate
+    passes: the same per-batch latent seeds, the same sketch-compaction key
+    sequences (each sketch carries its own PRNG), and the same per-batch
+    Gumbel keys.
+    """
+    model = inst.model
+    labels, _ = segmenter.get_label_and_category_names()
+    n_labels = len(labels)
+    cq = RunningConditionalQuantile(samplesize=samplesize)
+    uncond = RunningQuantile(samplesize=samplesize)
+    rq: Optional[RunningQuantile] = None
+    topk_val: Optional[np.ndarray] = None
+    topk_idx: Optional[np.ndarray] = None
+
+    @jax.jit
+    def _label_samples(act_up, seg, key):
+        b, u = act_up.shape[0], act_up.shape[1]
+        flat_act = act_up.transpose(0, 2, 3, 1).reshape(-1, u)   # [BHW, U]
+        onehot = jnp.zeros((flat_act.shape[0], n_labels), jnp.float32)
+        for c in range(seg.shape[1]):
+            onehot = jnp.maximum(
+                onehot, jax.nn.one_hot(seg[:, c].reshape(-1), n_labels))
+        counts = jnp.sum(onehot, axis=0)                          # [L]
+        g = jax.random.gumbel(key, (n_labels, flat_act.shape[0]))
+        scores = jnp.where(onehot.T > 0, g, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, pixels_per_label)          # [L, P]
+        return flat_act[idx], counts
+
+    key = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+    label_px = np.zeros((n_labels,), np.float64)
+    total_px = 0.0
+    for start in range(0, n_samples, batch):
+        b = min(batch, n_samples - start)
+        z = model.sample_latent(b, seed=seed + start)
+        act, img = _acts_and_image(inst, layer, z)
+        if act.ndim == 2:
+            act = act[:, :, None, None]
+
+        # -- stats half (tally_stats): raw-resolution sketch + top-k
+        bsz, units = act.shape[0], act.shape[1]
+        per_image_max = np.asarray(jnp.max(act.reshape(bsz, units, -1), axis=2))
+        flat = np.asarray(jnp.transpose(act, (0, 2, 3, 1)).reshape(-1, units))
+        if rq is None:
+            rq = RunningQuantile(samplesize=samplesize)
+            topk_val = np.full((units, k_top), -np.inf, np.float32)
+            topk_idx = np.zeros((units, k_top), np.int64)
+        rq.add(flat)
+        cand_val = np.concatenate([topk_val, per_image_max.T], axis=1)
+        cand_idx = np.concatenate(
+            [topk_idx, np.broadcast_to(np.arange(start, start + bsz),
+                                       (units, bsz))], axis=1)
+        order = np.argsort(-cand_val, axis=1)[:, :k_top]
+        topk_val = np.take_along_axis(cand_val, order, axis=1)
+        topk_idx = np.take_along_axis(cand_idx, order, axis=1)
+
+        # -- conditional half (collect_cond_quantiles): upsampled sketches
+        seg = _flatten_seg(segmenter.segment_batch(img))
+        act_up = upsample_grid(act, seg.shape[-2:])
+        key, sub = jax.random.split(key)
+        samples, counts = _label_samples(act_up, seg, sub)
+        counts = np.asarray(counts)
+        label_px += counts
+        total_px += act_up.shape[0] * act_up.shape[2] * act_up.shape[3]
+        uncond.add(np.asarray(
+            act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1])))
+        samples = np.asarray(samples)
+        for l in range(n_labels):
+            n_px = int(counts[l])
+            if n_px == 0:
+                continue
+            take = min(pixels_per_label, n_px)
+            cq.add(l, samples[l, :take])
+
+    stats = {"quantiles": rq, "topk_values": topk_val,
+             "topk_samples": topk_idx, "units": topk_val.shape[0],
+             "seed": seed, "batch": batch, "n_samples": n_samples}
+    cond = {"conditional": cq, "unconditional": uncond, "labels": labels,
+            "label_fracs": (label_px / max(total_px, 1.0)).astype(np.float32)}
+    return stats, cond
+
+
 def iqr_scores(cond_stats: Dict, quantile: float = 0.5) -> np.ndarray:
-    """Interquartile relevance (reference IQR scoring, ``dissection.py:1049``):
-    score[u, l] = (median(act | label l) - median(act)) / IQR(act)."""
+    """Median-shift relevance: score[u, l] = (median(act | label l) -
+    median(act)) / interquartile-range(act).  A cheap robust effect-size
+    ranking; the reference's "IQR" proper is the *information quality ratio*
+    — see :func:`iqr_max_scores` (level search, ``dissection.py:1049``) and
+    the tally-threshold ``iqr_matrix`` :func:`dissect` attaches
+    (``score_tally_stats``, ``dissection.py:661``)."""
     uncond = cond_stats["unconditional"]
     qs = uncond.quantiles(np.array([0.25, quantile, 0.75]))       # [U, 3]
     iqr = np.maximum(qs[:, 2] - qs[:, 0], 1e-9)
@@ -303,6 +403,85 @@ def maxiou_scores(cond_stats: Dict, n_levels: int = 100) -> Dict:
         max_quantile[:, l] = fracs[best]
     return {"max_iou": max_iou, "max_iou_level": max_level,
             "max_iou_quantile": max_quantile}
+
+
+def _information_quality_ratio(a00, a01, a10, a11):
+    """MI, joint entropy, and their ratio for a 2x2 contingency table of
+    probabilities, elementwise over the trailing dims (reference
+    ``mutual_information``/``joint_entropy``/``information_quality_ratio``,
+    ``dissection.py:1161-1185``).  0·log0 terms and 0/0 ratios -> 0."""
+    arr = np.clip(np.stack([np.stack([a00, a01]), np.stack([a10, a11])]),
+                  0.0, 1.0)
+    rows = arr.sum(axis=1, keepdims=True)                    # [2,1,...]
+    cols = arr.sum(axis=0, keepdims=True)                    # [1,2,...]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi_terms = arr * np.log(arr / (rows * cols))
+        je_terms = arr * np.log(arr)
+    mi = np.clip(np.nansum(mi_terms, axis=(0, 1)), 0.0, None)
+    je = np.clip(-np.nansum(je_terms, axis=(0, 1)), 0.0, None)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iqr = mi / je
+    iqr = np.where(np.isfinite(iqr), iqr, 0.0)
+    return mi, je, iqr
+
+
+def iqr_max_scores(cond_stats: Dict, n_levels: int = 100,
+                   agreement_min: float = 0.8,
+                   min_label_frac: float = 1e-3) -> Dict:
+    """Per-unit information-quality-ratio-maximizing thresholds (reference
+    ``collect_iqr``, ``dissection.py:1049-1159``): search ``n_levels``
+    log-spaced exceedance fractions and keep, per (unit, label), the level
+    maximizing IQR = MI(unit fires; label present) / H_joint of the 2x2
+    contingency table — zeroing candidates whose raw agreement
+    P(both) + P(neither) <= ``agreement_min`` or whose activation level is
+    <= 0 (the reference's positively-correlated, positive-threshold
+    constraint), and distrusting labels rarer than ``min_label_frac``.
+    Pure post-processing on the conditional-quantile sketches.
+
+    (Same flat-tally caveat as :func:`maxiou_scores`: the reference
+    normalizes P(unit fires) per annotation *category*; here the
+    unconditional distribution plays that role.)
+
+    Returns the per-(unit, label) [U, L] fields of the reference's
+    ``iqr.npz``: {"max_iqr", "max_iqr_level", "max_iqr_quantile",
+    "max_iqr_agreement", "max_iqr_iou"}.
+    """
+    uncond = cond_stats["unconditional"]
+    cq = cond_stats["conditional"]
+    label_fracs = np.asarray(cond_stats["label_fracs"], np.float64)
+    n_labels = len(cond_stats["labels"])
+
+    fracs = np.logspace(-3, 0, n_levels)             # exceedance fractions
+    levels = uncond.quantiles(1.0 - fracs)           # [U, K]
+    units = levels.shape[0]
+    preds = 1.0 - uncond.normalize(levels)           # [U, K] = P(act > level)
+
+    out = {k: np.zeros((units, n_labels), np.float32)
+           for k in ("max_iqr", "max_iqr_level", "max_iqr_quantile",
+                     "max_iqr_agreement", "max_iqr_iou")}
+    rows = np.arange(units)
+    for l in range(n_labels):
+        if not cq.has_conditional(l) or label_fracs[l] < min_label_frac:
+            continue
+        truth = label_fracs[l]
+        isect = (1.0 - cq.conditional(l).normalize(levels)) * truth  # [U, K]
+        union = truth + preds - isect
+        _, _, iqr = _information_quality_ratio(
+            isect, preds - isect, truth - isect, 1.0 - union)
+        iqr[:, -1] = 0.0          # the 1.0 quantile carries no information
+        agreement = np.clip(isect, 0, 1) + np.clip(1.0 - union, 0, 1)
+        iqr = np.where(agreement <= agreement_min, 0.0, iqr)
+        iqr = np.where(levels <= 0.0, 0.0, iqr)
+        best = np.argmax(iqr, axis=1)                # [U]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = isect / union
+        iou = np.where(np.isfinite(iou), iou, 0.0)
+        out["max_iqr"][:, l] = iqr[rows, best]
+        out["max_iqr_level"][:, l] = levels[rows, best]
+        out["max_iqr_quantile"][:, l] = fracs[best]
+        out["max_iqr_agreement"][:, l] = agreement[rows, best]
+        out["max_iqr_iou"][:, l] = iou[rows, best]
+    return out
 
 
 def collect_covariance(inst: InstrumentedModel, layer: str,
@@ -404,8 +583,18 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
         total_px += b * int(np.prod(seg.shape[-2:]))
 
     inter_np = np.asarray(inter)
-    union = np.asarray(act_count)[:, None] + np.asarray(seg_count)[None, :] - inter_np
+    act_np = np.asarray(act_count)[:, None]
+    seg_np = np.asarray(seg_count)[None, :]
+    union = act_np + seg_np - inter_np
     iou = inter_np / np.maximum(union, 1e-9)
+    # The reference scores the same contingency table a second way at the
+    # fixed threshold: information quality ratio MI/H_joint
+    # (``score_tally_stats``, ``dissection.py:661-679``).
+    tp = float(max(total_px, 1))
+    _, _, iqr_mat = _information_quality_ratio(
+        inter_np / tp, (act_np - inter_np) / tp,
+        (seg_np - inter_np) / tp, (tp - union) / tp)
+    iqr_mat = iqr_mat.astype(np.float32)
 
     best = np.argmax(iou, axis=1)
     report_units = []
@@ -415,6 +604,7 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
             "label": labels[int(best[u])],
             "category": categories[int(best[u])],
             "iou": float(iou[u, best[u]]),
+            "iqr": float(iqr_mat[u, best[u]]),
             "activation_level": float(np.asarray(levels)[u]),
             "top_samples": [int(s) for s in stats["topk_samples"][u]],
             "top_values": [float(v) for v in stats["topk_values"][u]],
@@ -430,4 +620,5 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
         "labels": labels,
         "units": report_units,
         "iou_matrix": iou,
+        "iqr_matrix": iqr_mat,
     }

@@ -74,13 +74,19 @@ def save_unit_images(report: Dict, inst: InstrumentedModel, outdir,
 
 
 def generate_report(report: Dict, outdir, inst: Optional[InstrumentedModel] = None,
-                    n_units: int = 20) -> Path:
-    """JSON + SVG + HTML under ``outdir``; returns the html path."""
+                    n_units: int = 20, html_summary: bool = True) -> Path:
+    """JSON + SVG + HTML under ``outdir``; returns the html path.
+    ``html_summary=False`` (reference ``--no-report``) writes the data file
+    only and returns the json path."""
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    serializable = {k: v for k, v in report.items() if k != "iou_matrix"}
-    (outdir / "dissect.json").write_text(json.dumps(serializable, indent=2))
+    serializable = {k: v for k, v in report.items()
+                    if k not in ("iou_matrix", "iqr_matrix")}
+    json_path = outdir / "dissect.json"
+    json_path.write_text(json.dumps(serializable, indent=2))
+    if not html_summary:
+        return json_path
 
     top = report["units"][:n_units]
     svg = make_svg_bargraph(

@@ -115,8 +115,13 @@ class DissectionSession:
                 "scores": [r["iou"] for r in by_unit]},
                {"name": "activation level", "metric": "level",
                 "scores": [r["activation_level"] for r in by_unit]}]
-        if "iqr_score" in by_unit[0]:
+        if "iqr" in by_unit[0]:
+            # fixed-threshold information quality ratio (score_tally_stats)
             out.append({"name": "iqr", "metric": "iqr",
+                        "scores": [r["iqr"] for r in by_unit]})
+        if "iqr_score" in by_unit[0]:
+            # level-search max IQR (collect_iqr), when --iqr ran
+            out.append({"name": "max iqr", "metric": "iqr",
                         "scores": [r["iqr_score"] for r in by_unit]})
         return out
 

@@ -44,17 +44,25 @@ def to_uint8(img01: np.ndarray) -> np.ndarray:
     return (255.0 * np.clip(img01, 0.0, 1.0) + 0.5).astype(np.uint8)
 
 
+_quantize_nhwc = None
+
+
 def device_uint8_nhwc(img):
     """Device-side [B,3,H,W] float [0,1] -> [B,H,W,3] uint8: quantize BEFORE
     readback, so rendered frames cross to the host at 1/4 the bytes (on
     tunneled/remote device links the frame copy, not synthesis, dominates
-    grid/video rendering)."""
-    import jax
-    import jax.numpy as jnp
+    grid/video rendering).  The jitted quantizer is module-cached so repeated
+    frame readbacks skip re-tracing (jax import stays lazy for host-only
+    callers)."""
+    global _quantize_nhwc
+    if _quantize_nhwc is None:
+        import jax
+        import jax.numpy as jnp
 
-    @jax.jit
-    def _q(x):
-        x = jnp.clip(jnp.transpose(x, (0, 2, 3, 1)), 0.0, 1.0)
-        return (x * 255.0 + 0.5).astype(jnp.uint8)
+        @jax.jit
+        def _q(x):
+            x = jnp.clip(jnp.transpose(x, (0, 2, 3, 1)), 0.0, 1.0)
+            return (x * 255.0 + 0.5).astype(jnp.uint8)
 
-    return _q(img)
+        _quantize_nhwc = _q
+    return _quantize_nhwc(img)

@@ -180,3 +180,37 @@ def test_ace_report_generation(tmp_path):
     text = html_path.read_text()
     assert "ace-loss.png" in text and "ace-effect.png" in text
     assert "reg 0.01" in text and "2/4" in text   # saturated-unit count
+
+
+def test_fused_stats_and_cond_pass_matches_separate(setup):
+    """collect_stats_and_cond_quantiles = tally_stats + collect_cond_quantiles
+    from ONE synthesis sweep, bit-identical to the two separate passes."""
+    from ganspace_tpu.dissection import collect_stats_and_cond_quantiles
+    from ganspace_tpu.dissection.dissect import tally_stats
+
+    model, inst, seg = setup
+    kw = dict(n_samples=16, batch=8, seed=3)
+    fused_stats, fused_cond = collect_stats_and_cond_quantiles(
+        inst, "deconv0", seg, pixels_per_label=64, **kw)
+    sep_stats = tally_stats(inst, "deconv0", **kw)
+    sep_cond = collect_cond_quantiles(inst, "deconv0", seg,
+                                      pixels_per_label=64, **kw)
+
+    np.testing.assert_array_equal(fused_stats["topk_values"],
+                                  sep_stats["topk_values"])
+    np.testing.assert_array_equal(fused_stats["topk_samples"],
+                                  sep_stats["topk_samples"])
+    qs = np.array([0.25, 0.5, 0.995])
+    np.testing.assert_array_equal(fused_stats["quantiles"].quantiles(qs),
+                                  sep_stats["quantiles"].quantiles(qs))
+    np.testing.assert_array_equal(fused_cond["label_fracs"],
+                                  sep_cond["label_fracs"])
+    np.testing.assert_array_equal(
+        fused_cond["unconditional"].quantiles(qs),
+        sep_cond["unconditional"].quantiles(qs))
+    assert set(fused_cond["conditional"].keys()) == \
+        set(sep_cond["conditional"].keys())
+    for l in fused_cond["conditional"].keys():
+        np.testing.assert_array_equal(
+            fused_cond["conditional"].conditional(l).quantiles(qs),
+            sep_cond["conditional"].conditional(l).quantiles(qs))

@@ -54,6 +54,10 @@ def test_tally_and_dissect(inst, tmp_path):
     assert ious == sorted(ious, reverse=True)
     assert all(0.0 <= i <= 1.0 for i in ious)
     assert report["iou_matrix"].shape == (units, len(report["labels"]))
+    # The fixed-threshold information-quality-ratio column rides the same
+    # contingency counts (reference score_tally_stats).
+    assert report["iqr_matrix"].shape == report["iou_matrix"].shape
+    assert all(0.0 <= r["iqr"] <= 1.0 for r in report["units"])
 
     out = generate_report(report, tmp_path, inst=inst, n_units=5)
     assert out.is_file()
@@ -115,3 +119,36 @@ def test_dissect_per_unit_levels(inst):
     with pytest.raises(AssertionError):
         dissect(inst, "convs.0", seg, n_samples=8, batch=4, seed=1,
                 stats=stats, levels=levels[:3])
+
+
+def test_iqr_max_scores_synthetic():
+    """Information-quality-ratio level search (reference collect_iqr): a unit
+    perfectly predicted by one label scores ~1 at the true threshold; an
+    independent unit and an absent label are gated to zero."""
+    from ganspace_tpu.dissection import iqr_max_scores
+    from ganspace_tpu.stats import RunningConditionalQuantile, RunningQuantile
+
+    rng = np.random.RandomState(0)
+    n = 20000
+    is_a = rng.rand(n) < 0.25
+    # unit 0 fires U(0.75, 1) exactly on label-A pixels, U(0, 0.75) elsewhere
+    u0 = np.where(is_a, 0.75 + 0.25 * rng.rand(n), 0.75 * rng.rand(n))
+    u1 = rng.rand(n)                       # unit 1: independent of the label
+    acts = np.stack([u0, u1], axis=1).astype(np.float32)
+
+    uncond = RunningQuantile(samplesize=4096)
+    uncond.add(acts)
+    cq = RunningConditionalQuantile(samplesize=4096)
+    cq.add(0, acts[is_a])
+    stats = {"unconditional": uncond, "conditional": cq,
+             "labels": ["A", "B"],
+             "label_fracs": np.array([is_a.mean(), 0.0], np.float32)}
+
+    out = iqr_max_scores(stats)
+    assert out["max_iqr"].shape == (2, 2)
+    assert out["max_iqr"][0, 0] > 0.8
+    assert abs(out["max_iqr_level"][0, 0] - 0.75) < 0.05
+    assert out["max_iqr_agreement"][0, 0] > 0.95
+    assert out["max_iqr_iou"][0, 0] > 0.9
+    assert out["max_iqr"][1, 0] < 0.05     # independent unit: no information
+    assert out["max_iqr"][:, 1].max() == 0.0         # label never observed

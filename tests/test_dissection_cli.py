@@ -97,3 +97,53 @@ def test_imagedir_mode(tmp_path):
     assert hist and all(h["pixels"] > 0 for h in hist)
     assert sum(h["pixels"] for h in hist) == 4 * 16 * 16
     assert "seg_im0.png" in (out / "+lightbox.html").read_text()
+
+
+def test_no_labels_no_report_alias_quiet(tmp_path, capsys):
+    """--no-labels / --no-report / NAME:DISPLAY / --netname / --quiet
+    (reference __main__.py flag surface)."""
+    from ganspace_tpu.dissection.__main__ import main
+
+    rc = main(["--model", "DCGAN", "--layer", "deconv1:alias1",
+               "--samples", "8", "--batch", "4", "--no-labels",
+               "--no-report", "--no-images", "--netname", "mynet",
+               "--quiet", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert capsys.readouterr().out == ""             # --quiet
+    d = tmp_path / "alias1"                          # display-name outdir
+    rep = json.loads((d / "dissect.json").read_text())
+    assert rep["layer"] == "alias1" and rep["model"] == "mynet"
+    assert rep["labels"] == []                       # no segmentation tally
+    tops = [u["top_values"][0] for u in rep["units"]]
+    assert tops == sorted(tops, reverse=True)        # ranked by activation
+    assert not (d / "dissect.html").exists()         # --no-report
+    assert not (d / "image").exists()
+
+    # --no-labels rejects label-dependent flags
+    with pytest.raises(SystemExit):
+        main(["--model", "DCGAN", "--layer", "deconv1", "--no-labels",
+              "--iqr", "--outdir", str(tmp_path)])
+
+
+def test_meta_and_merge(tmp_path):
+    """--meta attaches metadata; --merge updates units positionally in unit
+    order within the matching layer (reference dissection.py:171,307-318)."""
+    from ganspace_tpu.dissection.__main__ import main
+
+    (tmp_path / "meta.json").write_text(json.dumps({"experiment": "e7"}))
+    (tmp_path / "merge.json").write_text(json.dumps({"layers": [
+        {"layer": "deconv1",
+         "units": [{"interp": False}, {"interp": True, "note": "edge"}]}]}))
+    rc = main(["--model", "DCGAN", "--layer", "deconv1",
+               "--samples", "8", "--batch", "4", "--no-labels",
+               "--no-report", "--no-images", "--quiet",
+               "--meta", str(tmp_path / "meta.json"),
+               "--merge", str(tmp_path / "merge.json"),
+               "--outdir", str(tmp_path)])
+    assert rc == 0
+    rep = json.loads((tmp_path / "deconv1" / "dissect.json").read_text())
+    assert rep["meta"] == {"experiment": "e7"}
+    by_unit = {u["unit"]: u for u in rep["units"]}
+    assert by_unit[0]["interp"] is False
+    assert by_unit[1]["interp"] is True and by_unit[1]["note"] == "edge"
+    assert "interp" not in by_unit[2]
