@@ -481,6 +481,13 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
                     if not isinstance(body, dict):
                         raise ValueError("state must be a JSON object")
                     sl = np.asarray(body.get("sliders", []), np.float32)
+                    if sl.ndim != 1:
+                        raise ValueError(
+                            f"sliders must be a flat list, got shape "
+                            f"{sl.shape}")
+                    sl = sl[:session.n_sliders]
+                    if not np.all(np.isfinite(sl)):
+                        raise ValueError("sliders must be finite")
                     mode = body.get("mode", session.mode)
                     if mode not in ("latent", "activation", "both"):
                         raise ValueError(f"unknown mode {mode!r}")
@@ -492,11 +499,16 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
                     lend = max(lstart, min(int(body.get(
                         "lend", session.edit_layer_end)), max_lat))
                     new_trunc = float(body.get("trunc", session.truncation))
+                    # json.loads accepts bare NaN/Infinity literals; a NaN
+                    # truncation would poison every later frame (and NaN !=
+                    # anything forces a resample per POST).
+                    if not np.isfinite(new_trunc):
+                        raise ValueError("trunc must be finite")
                 except (ValueError, TypeError, UnicodeDecodeError) as e:
                     self._send(400, f"bad state: {e}".encode(), "text/plain")
                     return
                 with lock:
-                    session.sliders[:len(sl)] = sl[:session.n_sliders]
+                    session.sliders[:len(sl)] = sl
                     session.mode = mode
                     session.edit_layer_start = lstart
                     session.edit_layer_end = lend

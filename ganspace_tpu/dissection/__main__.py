@@ -154,6 +154,24 @@ def _rank_all_labels(report, k: int) -> None:
     report["label_rankings"] = rankings
 
 
+def _label_histogram(m: np.ndarray, n_labels: int) -> np.ndarray:
+    """Pixel counts per label for one segmentation map [H,W] or [C,H,W].
+
+    Multi-channel maps carry one label per category channel: each pixel
+    counts once per label it carries (a label can't repeat across channels),
+    and background (0) only where NO channel labels the pixel — a flat
+    ravel would tally label 0 once per channel, inflating the histogram
+    C-fold."""
+    if m.ndim == 3:
+        per_label = np.zeros(n_labels, np.int64)
+        for c in range(m.shape[0]):
+            per_label += np.bincount(m[c].ravel(),
+                                     minlength=n_labels)[:n_labels]
+        per_label[0] = int(np.sum(~np.any(m > 0, axis=0)))
+        return per_label
+    return np.bincount(m.ravel(), minlength=n_labels)[:n_labels]
+
+
 def _apply_meta_merge(report, args) -> None:
     """Attach --meta metadata and merge --merge per-unit records (reference
     ``dissection.py:171-175,307-318``): merge units are positional in unit
@@ -194,6 +212,13 @@ def _dissect_classifier_cli(args, outroot: Path) -> int:
     ``netdissect/dissection.py:1529``): per-unit quantile thresholds over the
     dataset, then IoU of thresholded upsampled unit masks vs the broden
     ground-truth label maps."""
+    if not isinstance(args.quantile, float):
+        # validate flags before any dataset/model IO
+        build_parser().error(
+            "--quantile iqr/maxiou (per-unit threshold search) is only "
+            "available in GAN-mode dissection; classifier mode takes a "
+            "fixed quantile")
+
     from ganspace_tpu.dissection.broden import BrodenDataset
     from ganspace_tpu.dissection.report import generate_report
     from ganspace_tpu.dissection.runners import dissect_classifier
@@ -202,7 +227,7 @@ def _dissect_classifier_cli(args, outroot: Path) -> int:
     ds = BrodenDataset(args.broden)
     categories = [ds.label_category.get(n, "-")
                   for n in range(len(ds.labels))]
-    lq = args.quantile if isinstance(args.quantile, float) else 0.995
+    lq = args.quantile
     say = (lambda *a, **k: None) if args.quiet else print
     for layer_arg in (args.layer or [None]):
         layer, _, display = (layer_arg or "").partition(":")
@@ -251,8 +276,7 @@ def _segment_imagedir(args, segmenter, outroot: Path) -> int:
     counts = np.zeros(len(labels), np.int64)
     for m, key in zip(maps, ds.keys):
         m = np.asarray(m)
-        counts += np.bincount(m.ravel(),
-                              minlength=len(labels))[:len(labels)]
+        counts += _label_histogram(m, len(labels))
         rgb = (segment_visualization(m) * 255).astype(np.uint8)
         name = Path(str(key).replace("/", "_")).stem
         Image.fromarray(rgb).save(outroot / f"seg_{name}.png")
@@ -281,6 +305,10 @@ def main(argv=None) -> int:
 
     outroot = Path(args.outdir)
 
+    if args.serve is not None and (args.features or args.broden
+                                   or args.imagedir):
+        build_parser().error("--serve needs a generator session; it is not "
+                             "available in --features/--imagedir modes")
     if args.features or args.broden:
         if not (args.features and args.broden):
             build_parser().error("--features and --broden go together")
@@ -325,8 +353,21 @@ def main(argv=None) -> int:
                     "--no-labels skips segmentation; it cannot combine with "
                     "--quantile iqr/maxiou, --iqr, --maxiou, --cov, or "
                     "--ace-class")
-            layer_stats = tally_stats(inst, layer, n_samples=args.samples,
-                                      batch=args.batch, seed=args.seed)
+            from ganspace_tpu.dissection.dissect import (
+                load_stats_cache, save_stats_cache,
+            )
+            prov = {"model": args.model, "class": str(args.output_class),
+                    "layer": layer, "n": args.samples, "batch": args.batch,
+                    "seed": args.seed}
+            cache_path = outdir / "stats_cache.npz"
+            layer_stats, _ = load_stats_cache(cache_path, prov)
+            if layer_stats is None:
+                layer_stats = tally_stats(inst, layer,
+                                          n_samples=args.samples,
+                                          batch=args.batch, seed=args.seed)
+                save_stats_cache(cache_path, layer_stats, None, prov)
+            else:
+                say(f"reusing cached stats: {cache_path}")
             levels = layer_stats["quantiles"].quantiles(args.quantile)[:, 0]
             units = [{
                 "unit": int(u),
@@ -351,6 +392,11 @@ def main(argv=None) -> int:
                                   n_units=args.examples,
                                   html_summary=not args.no_report)
             say(f"report: {out}")
+            if args.serve is not None:
+                from ganspace_tpu.dissection.server import DissectionSession
+                last_session = DissectionSession(inst, layer, report,
+                                                 outdir=outdir,
+                                                 stats=layer_stats)
             continue
 
         # One conditional-quantile pass feeds every consumer: string
@@ -359,24 +405,59 @@ def main(argv=None) -> int:
         # into both the stats and the conditional sketches.
         per_unit_levels = None
         stats = None
-        if isinstance(args.quantile, str) or args.iqr or args.maxiou:
-            layer_stats, stats = collect_stats_and_cond_quantiles(
-                inst, layer, segmenter, n_samples=args.samples,
-                batch=args.batch, seed=args.seed)
+        # Stats/conditional passes cache+resume like the reference's
+        # per-pass npz files under outdir (dissection.py:700-712,888-895) —
+        # but keyed on the exact draw geometry, so a flag change recomputes
+        # instead of silently reusing a stale file.
+        from ganspace_tpu.dissection.dissect import (
+            load_stats_cache, save_stats_cache,
+        )
+        need_cond = isinstance(args.quantile, str) or args.iqr or args.maxiou
+        prov = {"model": args.model, "class": str(args.output_class),
+                "layer": layer, "n": args.samples, "batch": args.batch,
+                "seed": args.seed, "segmenter": args.segmenter,
+                "seg_params": str(args.seg_params),
+                "segsizes": str(tuple(args.segsizes))}
+        cache_path = outdir / "stats_cache.npz"
+        cached_stats, cached_cond = load_stats_cache(cache_path, prov)
+        if need_cond:
+            if cached_stats is not None and cached_cond is not None:
+                say(f"reusing cached stats: {cache_path}")
+                layer_stats, stats = cached_stats, cached_cond
+            else:
+                layer_stats, stats = collect_stats_and_cond_quantiles(
+                    inst, layer, segmenter, n_samples=args.samples,
+                    batch=args.batch, seed=args.seed)
+                save_stats_cache(cache_path, layer_stats, stats, prov)
         else:
-            layer_stats = tally_stats(inst, layer, n_samples=args.samples,
-                                      batch=args.batch, seed=args.seed)
+            if cached_stats is not None:
+                say(f"reusing cached stats: {cache_path}")
+                layer_stats = cached_stats
+            else:
+                layer_stats = tally_stats(inst, layer,
+                                          n_samples=args.samples,
+                                          batch=args.batch, seed=args.seed)
+                save_stats_cache(cache_path, layer_stats, None, prov)
+        # Each level search runs at most once even when the same criterion
+        # is wanted both for thresholds (--quantile iqr/maxiou) and for
+        # reporting (--iqr/--maxiou) — it is a full O(U*K*L) sketch sweep.
+        searches = {}
+
+        def level_search(kind):
+            if kind not in searches:
+                searches[kind] = (iqr_max_scores(stats) if kind == "iqr"
+                                  else maxiou_scores(stats))
+            return searches[kind]
+
         if isinstance(args.quantile, str):
             # Per-unit levels at each unit's best label under the chosen
             # criterion: 'iqr' = information-quality-ratio search (the
             # reference GAN default, dissection.py:102-115), 'maxiou' =
             # IoU search.
-            if args.quantile == "iqr":
-                lv = iqr_max_scores(stats)
-                score_key, level_key = "max_iqr", "max_iqr_level"
-            else:
-                lv = maxiou_scores(stats)
-                score_key, level_key = "max_iou", "max_iou_level"
+            lv = level_search(args.quantile)
+            score_key, level_key = (("max_iqr", "max_iqr_level")
+                                    if args.quantile == "iqr"
+                                    else ("max_iou", "max_iou_level"))
             best = np.argmax(lv[score_key], axis=1)
             rows = np.arange(len(best))
             per_unit_levels = lv[level_key][rows, best]
@@ -397,7 +478,7 @@ def main(argv=None) -> int:
         if args.iqr:
             # Information-quality-ratio level search (reference collect_iqr
             # via iqr.npz); each unit reports its best label under max IQR.
-            iq = iqr_max_scores(stats)
+            iq = level_search("iqr")
             outdir.mkdir(parents=True, exist_ok=True)
             np.savez(outdir / "iqr.npz", **iq)       # reference field names
             best = np.argmax(iq["max_iqr"], axis=1)
@@ -411,7 +492,7 @@ def main(argv=None) -> int:
                 rec["iqr_agreement"] = float(
                     iq["max_iqr_agreement"][u, best[u]])
         if args.maxiou:
-            mi = maxiou_scores(stats)
+            mi = level_search("maxiou")
             outdir.mkdir(parents=True, exist_ok=True)
             np.savez(outdir / "max_iou.npz", **mi)   # reference field names
             best = np.argmax(mi["max_iou"], axis=1)

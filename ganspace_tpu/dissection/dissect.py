@@ -25,6 +25,7 @@ run on device; only uint8 top-image crops come back to the host.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -114,15 +115,52 @@ def _acts_and_image(inst: InstrumentedModel, layer: str, z) -> Tuple[jnp.ndarray
     return act, jnp.clip(img, 0.0, 1.0)
 
 
+class _StatsAccum:
+    """Per-unit quantile sketch + top-k (value, sample index) accumulator —
+    the shared per-batch body of :func:`tally_stats` and the fused pass."""
+
+    def __init__(self, k_top: int, samplesize: int):
+        self.k_top = k_top
+        self.samplesize = samplesize
+        self.rq: Optional[RunningQuantile] = None
+        self.topk_val: Optional[np.ndarray] = None   # [U, k]
+        self.topk_idx: Optional[np.ndarray] = None
+
+    def update(self, act: jnp.ndarray, start: int) -> None:
+        """act [B,U,h,w]; ``start`` = global index of the batch's first
+        sample (merged into the top-k index lists)."""
+        bsz, units = act.shape[0], act.shape[1]
+        per_image_max = np.asarray(
+            jnp.max(act.reshape(bsz, units, -1), axis=2))
+        flat = np.asarray(jnp.transpose(act, (0, 2, 3, 1)).reshape(-1, units))
+        if self.rq is None:
+            self.rq = RunningQuantile(samplesize=self.samplesize)
+            self.topk_val = np.full((units, self.k_top), -np.inf, np.float32)
+            self.topk_idx = np.zeros((units, self.k_top), np.int64)
+        self.rq.add(flat)
+        # merge per-image maxima into the top-k (value, sample index) lists
+        cand_val = np.concatenate([self.topk_val, per_image_max.T], axis=1)
+        cand_idx = np.concatenate(
+            [self.topk_idx, np.broadcast_to(np.arange(start, start + bsz),
+                                            (units, bsz))], axis=1)
+        order = np.argsort(-cand_val, axis=1)[:, :self.k_top]
+        self.topk_val = np.take_along_axis(cand_val, order, axis=1)
+        self.topk_idx = np.take_along_axis(cand_idx, order, axis=1)
+
+    def result(self, *, seed: int, batch: int, n_samples: int) -> Dict:
+        return {"quantiles": self.rq, "topk_values": self.topk_val,
+                "topk_samples": self.topk_idx,
+                "units": self.topk_val.shape[0],
+                # RNG geometry, so sample indices regenerate faithfully
+                "seed": seed, "batch": batch, "n_samples": n_samples}
+
+
 def tally_stats(inst: InstrumentedModel, layer: str, *, n_samples: int = 1000,
                 batch: int = 16, seed: int = 1, k_top: int = 8,
                 samplesize: int = 1024):
     """Stats pass: per-unit quantile sketch + top-k sample indices/values."""
     model = inst.model
-    rq: Optional[RunningQuantile] = None
-    topk_val: Optional[np.ndarray] = None   # [U, k]
-    topk_idx: Optional[np.ndarray] = None
-
+    acc = _StatsAccum(k_top, samplesize)
     np.random.seed(seed)
     for start in range(0, n_samples, batch):
         b = min(batch, n_samples - start)
@@ -130,27 +168,8 @@ def tally_stats(inst: InstrumentedModel, layer: str, *, n_samples: int = 1000,
         act, _ = _acts_and_image(inst, layer, z)
         if act.ndim == 2:
             act = act[:, :, None, None]
-        bsz, units = act.shape[0], act.shape[1]
-        per_image_max = np.asarray(jnp.max(act.reshape(bsz, units, -1), axis=2))
-        flat = np.asarray(jnp.transpose(act, (0, 2, 3, 1)).reshape(-1, units))
-        if rq is None:
-            rq = RunningQuantile(samplesize=samplesize)
-            topk_val = np.full((units, k_top), -np.inf, np.float32)
-            topk_idx = np.zeros((units, k_top), np.int64)
-        rq.add(flat)
-        # merge per-image maxima into the top-k (value, sample index) lists
-        cand_val = np.concatenate([topk_val, per_image_max.T], axis=1)
-        cand_idx = np.concatenate(
-            [topk_idx, np.broadcast_to(np.arange(start, start + bsz),
-                                       (units, bsz))], axis=1)
-        order = np.argsort(-cand_val, axis=1)[:, :k_top]
-        topk_val = np.take_along_axis(cand_val, order, axis=1)
-        topk_idx = np.take_along_axis(cand_idx, order, axis=1)
-
-    return {"quantiles": rq, "topk_values": topk_val, "topk_samples": topk_idx,
-            "units": topk_val.shape[0],
-            # RNG geometry, so sample indices can be regenerated faithfully
-            "seed": seed, "batch": batch, "n_samples": n_samples}
+        acc.update(act, start)
+    return acc.result(seed=seed, batch=batch, n_samples=n_samples)
 
 
 def regenerate_sample(model, s: int, *, seed: int, batch: int, n_samples: int):
@@ -172,14 +191,10 @@ def _flatten_seg(seg: jnp.ndarray) -> jnp.ndarray:
     return seg[:, None] if seg.ndim == 3 else seg
 
 
-def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
-                           segmenter: SegmenterBase, *, n_samples: int = 256,
-                           batch: int = 16, seed: int = 1,
-                           pixels_per_label: int = 256,
-                           samplesize: int = 1024) -> Dict:
-    """Conditional quantile pass (reference ``collect_cond_quantiles``,
-    ``dissection.py:878``): per-label sketches of unit activations at pixels
-    carrying that label, plus the unconditional sketch.
+@lru_cache(maxsize=None)
+def _label_sampler(n_labels: int, pixels_per_label: int):
+    """Jitted Gumbel-max per-label pixel sampler (cached per config, so
+    repeated passes reuse one trace).
 
     TPU formulation: instead of the reference's dynamic per-label gathers
     (data-dependent shapes), each batch draws a *fixed* ``pixels_per_label``
@@ -187,11 +202,6 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
     the label mask — static shapes, one jitted draw per batch, and the
     sketch insert stays O(pixels_per_label) regardless of label frequency.
     """
-    model = inst.model
-    labels, _ = segmenter.get_label_and_category_names()
-    n_labels = len(labels)
-    cq = RunningConditionalQuantile(samplesize=samplesize)
-    uncond = RunningQuantile(samplesize=samplesize)
 
     @jax.jit
     def _label_samples(act_up, seg, key):
@@ -210,34 +220,74 @@ def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
         _, idx = jax.lax.top_k(scores, pixels_per_label)          # [L, P]
         return flat_act[idx], counts
 
+    return _label_samples
+
+
+class _CondAccum:
+    """Conditional + unconditional sketch accumulator — the shared per-batch
+    body of :func:`collect_cond_quantiles` and the fused pass."""
+
+    def __init__(self, labels: List[str], pixels_per_label: int,
+                 samplesize: int):
+        self.labels = labels
+        self.n_labels = len(labels)
+        self.pixels_per_label = pixels_per_label
+        self.cq = RunningConditionalQuantile(samplesize=samplesize)
+        self.uncond = RunningQuantile(samplesize=samplesize)
+        self.label_px = np.zeros((self.n_labels,), np.float64)
+        self.total_px = 0.0
+
+    def update(self, act: jnp.ndarray, img: jnp.ndarray,
+               segmenter: SegmenterBase, key) -> "jax.Array":
+        """One batch of (activations, images) -> the next PRNG key."""
+        seg = _flatten_seg(segmenter.segment_batch(img))
+        act_up = upsample_grid(act, seg.shape[-2:])
+        key, sub = jax.random.split(key)
+        samples, counts = _label_sampler(
+            self.n_labels, self.pixels_per_label)(act_up, seg, sub)
+        counts = np.asarray(counts)
+        self.label_px += counts
+        self.total_px += act_up.shape[0] * act_up.shape[2] * act_up.shape[3]
+        self.uncond.add(np.asarray(
+            act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1])))
+        samples = np.asarray(samples)
+        for l in range(self.n_labels):
+            n_px = int(counts[l])
+            if n_px == 0:
+                continue
+            take = min(self.pixels_per_label, n_px)
+            self.cq.add(l, samples[l, :take])
+        return key
+
+    def result(self) -> Dict:
+        return {"conditional": self.cq, "unconditional": self.uncond,
+                "labels": self.labels,
+                "label_fracs": (self.label_px /
+                                max(self.total_px, 1.0)).astype(np.float32)}
+
+
+def collect_cond_quantiles(inst: InstrumentedModel, layer: str,
+                           segmenter: SegmenterBase, *, n_samples: int = 256,
+                           batch: int = 16, seed: int = 1,
+                           pixels_per_label: int = 256,
+                           samplesize: int = 1024) -> Dict:
+    """Conditional quantile pass (reference ``collect_cond_quantiles``,
+    ``dissection.py:878``): per-label sketches of unit activations at pixels
+    carrying that label, plus the unconditional sketch.  (See
+    :func:`_label_sampler` for the static-shape TPU formulation.)"""
+    model = inst.model
+    labels, _ = segmenter.get_label_and_category_names()
+    acc = _CondAccum(labels, pixels_per_label, samplesize)
     key = jax.random.PRNGKey(seed)
     np.random.seed(seed)
-    label_px = np.zeros((n_labels,), np.float64)
-    total_px = 0.0
     for start in range(0, n_samples, batch):
         b = min(batch, n_samples - start)
         z = model.sample_latent(b, seed=seed + start)
         act, img = _acts_and_image(inst, layer, z)
         if act.ndim == 2:
             act = act[:, :, None, None]
-        seg = _flatten_seg(segmenter.segment_batch(img))
-        act_up = upsample_grid(act, seg.shape[-2:])
-        key, sub = jax.random.split(key)
-        samples, counts = _label_samples(act_up, seg, sub)
-        counts = np.asarray(counts)
-        label_px += counts
-        total_px += act_up.shape[0] * act_up.shape[2] * act_up.shape[3]
-        flat = np.asarray(act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1]))
-        uncond.add(flat)
-        samples = np.asarray(samples)
-        for l in range(n_labels):
-            n_px = int(counts[l])
-            if n_px == 0:
-                continue
-            take = min(pixels_per_label, n_px)
-            cq.add(l, samples[l, :take])
-    return {"conditional": cq, "unconditional": uncond, "labels": labels,
-            "label_fracs": (label_px / max(total_px, 1.0)).astype(np.float32)}
+        key = acc.update(act, img, segmenter, key)
+    return acc.result()
 
 
 def collect_stats_and_cond_quantiles(
@@ -261,78 +311,102 @@ def collect_stats_and_cond_quantiles(
     """
     model = inst.model
     labels, _ = segmenter.get_label_and_category_names()
-    n_labels = len(labels)
-    cq = RunningConditionalQuantile(samplesize=samplesize)
-    uncond = RunningQuantile(samplesize=samplesize)
-    rq: Optional[RunningQuantile] = None
-    topk_val: Optional[np.ndarray] = None
-    topk_idx: Optional[np.ndarray] = None
-
-    @jax.jit
-    def _label_samples(act_up, seg, key):
-        b, u = act_up.shape[0], act_up.shape[1]
-        flat_act = act_up.transpose(0, 2, 3, 1).reshape(-1, u)   # [BHW, U]
-        onehot = jnp.zeros((flat_act.shape[0], n_labels), jnp.float32)
-        for c in range(seg.shape[1]):
-            onehot = jnp.maximum(
-                onehot, jax.nn.one_hot(seg[:, c].reshape(-1), n_labels))
-        counts = jnp.sum(onehot, axis=0)                          # [L]
-        g = jax.random.gumbel(key, (n_labels, flat_act.shape[0]))
-        scores = jnp.where(onehot.T > 0, g, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, pixels_per_label)          # [L, P]
-        return flat_act[idx], counts
-
+    stats_acc = _StatsAccum(k_top, samplesize)
+    cond_acc = _CondAccum(labels, pixels_per_label, samplesize)
     key = jax.random.PRNGKey(seed)
     np.random.seed(seed)
-    label_px = np.zeros((n_labels,), np.float64)
-    total_px = 0.0
     for start in range(0, n_samples, batch):
         b = min(batch, n_samples - start)
         z = model.sample_latent(b, seed=seed + start)
         act, img = _acts_and_image(inst, layer, z)
         if act.ndim == 2:
             act = act[:, :, None, None]
+        stats_acc.update(act, start)              # raw-res sketch + top-k
+        key = cond_acc.update(act, img, segmenter, key)  # upsampled sketches
+    return (stats_acc.result(seed=seed, batch=batch, n_samples=n_samples),
+            cond_acc.result())
 
-        # -- stats half (tally_stats): raw-resolution sketch + top-k
-        bsz, units = act.shape[0], act.shape[1]
-        per_image_max = np.asarray(jnp.max(act.reshape(bsz, units, -1), axis=2))
-        flat = np.asarray(jnp.transpose(act, (0, 2, 3, 1)).reshape(-1, units))
-        if rq is None:
-            rq = RunningQuantile(samplesize=samplesize)
-            topk_val = np.full((units, k_top), -np.inf, np.float32)
-            topk_idx = np.zeros((units, k_top), np.int64)
-        rq.add(flat)
-        cand_val = np.concatenate([topk_val, per_image_max.T], axis=1)
-        cand_idx = np.concatenate(
-            [topk_idx, np.broadcast_to(np.arange(start, start + bsz),
-                                       (units, bsz))], axis=1)
-        order = np.argsort(-cand_val, axis=1)[:, :k_top]
-        topk_val = np.take_along_axis(cand_val, order, axis=1)
-        topk_idx = np.take_along_axis(cand_idx, order, axis=1)
 
-        # -- conditional half (collect_cond_quantiles): upsampled sketches
-        seg = _flatten_seg(segmenter.segment_batch(img))
-        act_up = upsample_grid(act, seg.shape[-2:])
-        key, sub = jax.random.split(key)
-        samples, counts = _label_samples(act_up, seg, sub)
-        counts = np.asarray(counts)
-        label_px += counts
-        total_px += act_up.shape[0] * act_up.shape[2] * act_up.shape[3]
-        uncond.add(np.asarray(
-            act_up.transpose(0, 2, 3, 1).reshape(-1, act.shape[1])))
-        samples = np.asarray(samples)
-        for l in range(n_labels):
-            n_px = int(counts[l])
-            if n_px == 0:
-                continue
-            take = min(pixels_per_label, n_px)
-            cq.add(l, samples[l, :take])
+def save_stats_cache(path, stats: Optional[Dict] = None,
+                     cond: Optional[Dict] = None,
+                     provenance: Optional[Dict] = None) -> None:
+    """Serialize the stats / conditional-quantile pass results to one npz.
 
-    stats = {"quantiles": rq, "topk_values": topk_val,
-             "topk_samples": topk_idx, "units": topk_val.shape[0],
-             "seed": seed, "batch": batch, "n_samples": n_samples}
-    cond = {"conditional": cq, "unconditional": uncond, "labels": labels,
-            "label_fracs": (label_px / max(total_px, 1.0)).astype(np.float32)}
+    The reference caches every expensive pass as npz files under outdir and
+    silently reuses whatever it finds there (``dissection.py:700-712,
+    888-895,1061-1074``); this cache additionally records its draw geometry
+    (``provenance``) and :func:`load_stats_cache` only reuses an exact
+    match — a stale or foreign file recomputes instead of silently
+    corrupting the run."""
+    from pathlib import Path
+
+    out = {}
+    for k, v in (provenance or {}).items():
+        out[f"prov_{k}"] = np.asarray(v)
+    if stats is not None:
+        for k, v in stats["quantiles"].state_dict().items():
+            out[f"rq_{k}"] = v
+        out["topk_values"] = stats["topk_values"]
+        out["topk_samples"] = stats["topk_samples"]
+        for k in ("units", "seed", "batch", "n_samples"):
+            out[f"stats_{k}"] = np.int64(stats[k])
+    if cond is not None:
+        for label_key, sub in cond["conditional"].state_dict().items():
+            for k, v in sub.items():
+                out[f"cond_{label_key}__{k}"] = v
+        for k, v in cond["unconditional"].state_dict().items():
+            out[f"uncond_{k}"] = v
+        out["labels"] = np.asarray(cond["labels"])
+        out["label_fracs"] = cond["label_fracs"]
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **out)
+
+
+def load_stats_cache(path, provenance: Dict
+                     ) -> Tuple[Optional[Dict], Optional[Dict]]:
+    """Inverse of :func:`save_stats_cache`: returns ``(stats, cond)``
+    (either may be None) — all None unless every provenance field matches
+    the stored one exactly."""
+    from pathlib import Path
+
+    path = Path(path)
+    if not path.is_file():
+        return None, None
+    try:
+        data = np.load(path, allow_pickle=False)
+    except (OSError, ValueError):
+        return None, None
+    for k, v in provenance.items():
+        key = f"prov_{k}"
+        if key not in data or str(data[key]) != str(np.asarray(v)):
+            return None, None
+
+    stats = None
+    if "topk_values" in data:
+        rq = RunningQuantile().set_state_dict(
+            {k[len("rq_"):]: data[k] for k in data.files
+             if k.startswith("rq_")})
+        stats = {"quantiles": rq, "topk_values": data["topk_values"],
+                 "topk_samples": data["topk_samples"],
+                 "units": int(data["stats_units"]),
+                 "seed": int(data["stats_seed"]),
+                 "batch": int(data["stats_batch"]),
+                 "n_samples": int(data["stats_n_samples"])}
+    cond = None
+    if "label_fracs" in data:
+        nested: Dict[str, Dict] = {}
+        for k in data.files:
+            if k.startswith("cond_"):
+                label_key, sub = k[len("cond_"):].split("__", 1)
+                nested.setdefault(label_key, {})[sub] = data[k]
+        cq = RunningConditionalQuantile().set_state_dict(nested)
+        uncond = RunningQuantile().set_state_dict(
+            {k[len("uncond_"):]: data[k] for k in data.files
+             if k.startswith("uncond_")})
+        cond = {"conditional": cq, "unconditional": uncond,
+                "labels": [str(l) for l in data["labels"]],
+                "label_fracs": np.asarray(data["label_fracs"])}
     return stats, cond
 
 

@@ -317,6 +317,18 @@ class RunningConditionalQuantile:
     def state_dict(self):
         return {str(k): v.state_dict() for k, v in self._sketches.items()}
 
+    def set_state_dict(self, d) -> "RunningConditionalQuantile":
+        """Inverse of :meth:`state_dict`; integer-typed condition keys are
+        restored as ints (the dissection passes key conditions by label
+        number)."""
+        self._sketches = {}
+        for k, sub in d.items():
+            cond = (int(k) if isinstance(k, str) and k.lstrip("-").isdigit()
+                    else k)
+            self._sketches[cond] = RunningQuantile(
+                self.samplesize, self.depth).set_state_dict(sub)
+        return self
+
 
 # ---------------------------------------------------------------------------
 # Cross-covariance / variance

@@ -14,10 +14,10 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-
-def _u8(x):
-    x = np.asarray(x)
-    return x if x.dtype == np.uint8 else (x * 255).astype(np.uint8)
+# clip+round quantization, uint8 passthrough — the SAME rule as the
+# device-side readback path (imaging.device_uint8_nhwc), so a sweep rendered
+# float vs as_uint8 writes byte-identical frames.
+from ganspace_tpu.utils.imaging import to_uint8 as _u8
 
 
 def make_gif(imgs, duration_secs: float, outname):

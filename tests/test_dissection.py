@@ -152,3 +152,39 @@ def test_iqr_max_scores_synthetic():
     assert out["max_iqr_iou"][0, 0] > 0.9
     assert out["max_iqr"][1, 0] < 0.05     # independent unit: no information
     assert out["max_iqr"][:, 1].max() == 0.0         # label never observed
+
+
+def test_stats_cache_roundtrip(inst, tmp_path):
+    """save_stats_cache/load_stats_cache reproduce the sketches exactly and
+    refuse a provenance mismatch (the reference reuses per-pass npz files
+    blindly; this cache is keyed on the draw geometry)."""
+    from ganspace_tpu.dissection.dissect import (
+        collect_stats_and_cond_quantiles, load_stats_cache, save_stats_cache,
+    )
+
+    stats, cond = collect_stats_and_cond_quantiles(
+        inst, "convs.0", ColorSegmenter(), n_samples=16, batch=8, seed=2)
+    prov = {"model": "tiny", "layer": "convs.0", "n": 16, "seed": 2}
+    p = tmp_path / "stats_cache.npz"
+    save_stats_cache(p, stats, cond, prov)
+
+    s2, c2 = load_stats_cache(p, prov)
+    qs = np.array([0.25, 0.5, 0.995])
+    np.testing.assert_array_equal(s2["topk_values"], stats["topk_values"])
+    np.testing.assert_array_equal(s2["topk_samples"], stats["topk_samples"])
+    np.testing.assert_array_equal(s2["quantiles"].quantiles(qs),
+                                  stats["quantiles"].quantiles(qs))
+    assert (s2["seed"], s2["batch"], s2["n_samples"]) == (2, 8, 16)
+    np.testing.assert_array_equal(c2["label_fracs"], cond["label_fracs"])
+    assert set(c2["conditional"].keys()) == set(cond["conditional"].keys())
+    for l in cond["conditional"].keys():
+        np.testing.assert_array_equal(
+            c2["conditional"].conditional(l).quantiles(qs),
+            cond["conditional"].conditional(l).quantiles(qs))
+    np.testing.assert_array_equal(c2["unconditional"].quantiles(qs),
+                                  cond["unconditional"].quantiles(qs))
+
+    # provenance mismatch -> full recompute signal
+    assert load_stats_cache(p, {**prov, "n": 32}) == (None, None)
+    assert load_stats_cache(p, {**prov, "extra": "x"}) == (None, None)
+    assert load_stats_cache(tmp_path / "missing.npz", prov) == (None, None)

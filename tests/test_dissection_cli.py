@@ -147,3 +147,38 @@ def test_meta_and_merge(tmp_path):
     assert by_unit[0]["interp"] is False
     assert by_unit[1]["interp"] is True and by_unit[1]["note"] == "edge"
     assert "interp" not in by_unit[2]
+
+
+def test_label_histogram_multichannel():
+    """Multi-channel maps must count a pixel once per carried label and
+    background only where no channel fires (review finding: flat ravel
+    inflated label 0 by the channel count)."""
+    from ganspace_tpu.dissection.__main__ import _label_histogram
+
+    m = np.zeros((3, 2, 2), np.int64)     # 3 categories, 4 pixels
+    m[0, 0, 0] = 1                        # pixel (0,0): labels 1 (ch0)...
+    m[1, 0, 0] = 2                        # ...and 2 (ch1)
+    m[2, 1, 1] = 3                        # pixel (1,1): label 3
+    h = _label_histogram(m, 5)
+    assert h.tolist() == [2, 1, 1, 1, 0]  # bg = 2 unlabeled pixels, not 2*C
+
+    flat = np.array([[0, 1], [1, 4]])
+    assert _label_histogram(flat, 5).tolist() == [1, 2, 0, 0, 1]
+
+
+def test_mode_flag_conflicts(tmp_path, capsys):
+    """--serve and --quantile iqr are GAN-session features; the classifier
+    and imagedir modes must reject them loudly, not silently downgrade."""
+    from ganspace_tpu.dissection.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--features", "examples.custom_classifier:features",
+              "--broden", str(tmp_path), "--serve", "8000",
+              "--outdir", str(tmp_path)])
+    assert "--serve" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit):
+        main(["--features", "examples.custom_classifier:features",
+              "--broden", str(tmp_path), "--quantile", "iqr",
+              "--outdir", str(tmp_path)])
+    assert "GAN-mode" in capsys.readouterr().err

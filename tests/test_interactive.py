@@ -169,7 +169,10 @@ def test_viewer_http_endpoints(session):
         # rendering after the clamped window must not raise
         session.render(force=True)
 
-        for bad in ({"sliders": ["a"]}, {"mode": "nope"}, ["not", "a", "dict"]):
+        for bad in ({"sliders": ["a"]}, {"mode": "nope"}, ["not", "a", "dict"],
+                    {"sliders": [[1.0], [2.0]]},        # nested -> 400
+                    {"sliders": [float("nan")]},        # non-finite -> 400
+                    {"trunc": float("nan")}):           # NaN trunc -> 400
             req = urllib.request.Request(
                 f"{base}/state", method="POST",
                 data=json.dumps(bad).encode(),

@@ -102,7 +102,11 @@ def test_video_writers_accept_uint8(tmp_path, monkeypatch):
     """uint8 frames (the device-quantized strip path) pass through the
     writers byte-identical to their float twins."""
     frames_f = _frames(n=3)
-    frames_u = [(f * 255).astype(np.uint8) for f in frames_f]
+    # quantize with the device readback rule (clip + round, as
+    # imaging.device_uint8_nhwc / to_uint8) — the float path now uses the
+    # same rule, so both renderings must be byte-identical
+    frames_u = [(np.clip(f, 0, 1) * 255 + 0.5).astype(np.uint8)
+                for f in frames_f]
     make_gif(frames_u, 1.0, tmp_path / "u8.gif")
     with Image.open(tmp_path / "u8.gif") as im:
         assert im.n_frames == 3
