@@ -22,11 +22,15 @@ import numpy as np
 
 
 def _strfloat(v: str):
-    """Reference ``strfloat`` (``netdissect/__main__.py``): a float, or a
-    named per-unit threshold mode."""
+    """Reference ``strfloat`` (``netdissect/__main__.py``): a float quantile
+    in (0, 1), or a named per-unit threshold mode."""
     if v in ("iqr", "maxiou"):
         return v
-    return float(v)
+    f = float(v)
+    if not 0.0 < f < 1.0:
+        raise argparse.ArgumentTypeError(
+            f"quantile must be in (0, 1) or 'iqr'/'maxiou', got {v}")
+    return f
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -466,7 +470,9 @@ def main(argv=None) -> int:
                          batch=args.batch, seed=args.seed,
                          level_quantile=(0.995 if per_unit_levels is not None
                                          else args.quantile),
-                         stats=layer_stats, levels=per_unit_levels)
+                         stats=layer_stats, levels=per_unit_levels,
+                         cache_path=outdir / "tally_cache.npz",
+                         cache_provenance=prov)
         report["layer"] = display
         if args.netname:
             report["model"] = args.netname

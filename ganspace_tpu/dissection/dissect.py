@@ -592,11 +592,50 @@ def collect_covariance(inst: InstrumentedModel, layer: str,
             "correlation": rcc.correlation()}
 
 
+def _save_tally_cache(path, provenance: Optional[Dict], levels: np.ndarray,
+                      tally) -> None:
+    """Cache the tally contingency counts (reference ``bincounts`` npz,
+    ``dissection.py:743-765``), keyed on provenance + exact levels."""
+    from pathlib import Path
+
+    inter, act, seg, total_px = tally
+    out = {f"prov_{k}": np.asarray(v) for k, v in (provenance or {}).items()}
+    out.update(levels=np.asarray(levels, np.float32), inter=inter,
+               act_count=act, seg_count=seg, total_px=np.int64(total_px))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **out)
+
+
+def _load_tally_cache(path, provenance: Optional[Dict], levels: np.ndarray):
+    """Inverse of :func:`_save_tally_cache`; None unless provenance AND the
+    threshold levels match exactly."""
+    from pathlib import Path
+
+    path = Path(path)
+    if not path.is_file():
+        return None
+    try:
+        data = np.load(path, allow_pickle=False)
+    except (OSError, ValueError):
+        return None
+    for k, v in (provenance or {}).items():
+        key = f"prov_{k}"
+        if key not in data or str(data[key]) != str(np.asarray(v)):
+            return None
+    if "levels" not in data or not np.array_equal(
+            data["levels"], np.asarray(levels, np.float32)):
+        return None
+    return (data["inter"], data["act_count"], data["seg_count"],
+            int(data["total_px"]))
+
+
 def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
             n_samples: int = 1000, batch: int = 16, seed: int = 1,
             level_quantile: float = 0.995, k_top: int = 8,
             stats: Optional[dict] = None,
-            levels: Optional[np.ndarray] = None) -> Dict:
+            levels: Optional[np.ndarray] = None,
+            cache_path=None, cache_provenance: Optional[Dict] = None) -> Dict:
     """Full dissection of one layer; returns the report dict
     (units ranked by best-concept IoU).
 
@@ -604,6 +643,10 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
     [U] array — e.g. the IoU-maximizing levels from :func:`maxiou_scores`
     (the reference's GAN mode picks per-unit agreement-maximizing thresholds
     by default, ``__main__.py:153-157`` + ``dissection.py:102-115``).
+
+    ``cache_path`` caches the tally counts (the reference's per-pass
+    ``bincounts`` npz, ``dissection.py:743-765``), reused only when
+    ``cache_provenance`` AND the exact threshold levels match.
     """
     model = inst.model
     stats = stats or tally_stats(inst, layer, n_samples=n_samples, batch=batch,
@@ -620,6 +663,10 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
 
     labels, categories = segmenter.get_label_and_category_names()
     n_labels = len(labels)
+
+    cached = _load_tally_cache(cache_path, cache_provenance,
+                               np.asarray(levels)) \
+        if cache_path is not None else None
 
     inter = jnp.zeros((units, n_labels))
     act_count = jnp.zeros((units,))
@@ -645,20 +692,27 @@ def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,
         seg_count = seg_count + jnp.sum(onehot, axis=(0, 1, 2))
         return inter, act_count, seg_count
 
-    np.random.seed(seed)
-    for start in range(0, n_samples, batch):
-        b = min(batch, n_samples - start)
-        z = model.sample_latent(b, seed=seed + start)
-        act, img = _acts_and_image(inst, layer, z)
-        if act.ndim == 2:
-            act = act[:, :, None, None]
-        seg = segmenter.segment_batch(img)
-        inter, act_count, seg_count = _tally(act, seg, inter, act_count, seg_count)
-        total_px += b * int(np.prod(seg.shape[-2:]))
-
-    inter_np = np.asarray(inter)
-    act_np = np.asarray(act_count)[:, None]
-    seg_np = np.asarray(seg_count)[None, :]
+    if cached is not None:
+        inter_np, act_np, seg_np, total_px = cached
+    else:
+        np.random.seed(seed)
+        for start in range(0, n_samples, batch):
+            b = min(batch, n_samples - start)
+            z = model.sample_latent(b, seed=seed + start)
+            act, img = _acts_and_image(inst, layer, z)
+            if act.ndim == 2:
+                act = act[:, :, None, None]
+            seg = segmenter.segment_batch(img)
+            inter, act_count, seg_count = _tally(act, seg, inter, act_count,
+                                                 seg_count)
+            total_px += b * int(np.prod(seg.shape[-2:]))
+        inter_np = np.asarray(inter)
+        act_np = np.asarray(act_count)[:, None]
+        seg_np = np.asarray(seg_count)[None, :]
+        if cache_path is not None:
+            _save_tally_cache(cache_path, cache_provenance,
+                              np.asarray(levels),
+                              (inter_np, act_np, seg_np, total_px))
     union = act_np + seg_np - inter_np
     iou = inter_np / np.maximum(union, 1e-9)
     # The reference scores the same contingency table a second way at the

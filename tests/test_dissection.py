@@ -188,3 +188,38 @@ def test_stats_cache_roundtrip(inst, tmp_path):
     assert load_stats_cache(p, {**prov, "n": 32}) == (None, None)
     assert load_stats_cache(p, {**prov, "extra": "x"}) == (None, None)
     assert load_stats_cache(tmp_path / "missing.npz", prov) == (None, None)
+
+
+def test_tally_cache_roundtrip(inst, tmp_path):
+    """dissect(cache_path=...) reuses the tally counts only when provenance
+    and the exact per-unit levels match (reference bincounts npz)."""
+    seg = ColorSegmenter()
+    stats = tally_stats(inst, "convs.0", n_samples=16, batch=8, seed=1)
+    prov = {"model": "tiny", "layer": "convs.0", "n": 16}
+    p = tmp_path / "tally_cache.npz"
+    kw = dict(n_samples=16, batch=8, seed=1, stats=stats,
+              cache_path=p, cache_provenance=prov)
+
+    r1 = dissect(inst, "convs.0", seg, **kw)
+    assert p.is_file()
+    r2 = dissect(inst, "convs.0", seg, **kw)          # cache hit
+    np.testing.assert_array_equal(r1["iou_matrix"], r2["iou_matrix"])
+    np.testing.assert_array_equal(r1["iqr_matrix"], r2["iqr_matrix"])
+
+    # different levels -> miss (recompute, still equal numerically here
+    # because the quantile is the same; assert via a genuinely different one)
+    r3 = dissect(inst, "convs.0", seg, n_samples=16, batch=8, seed=1,
+                 stats=stats, level_quantile=0.5,
+                 cache_path=p, cache_provenance=prov)
+    assert not np.array_equal(r1["iou_matrix"], r3["iou_matrix"])
+    # and the cache now holds the 0.5-quantile tally; the original levels
+    # miss and recompute to the same numbers
+    r4 = dissect(inst, "convs.0", seg, **kw)
+    np.testing.assert_allclose(r1["iou_matrix"], r4["iou_matrix"],
+                               rtol=1e-6, atol=1e-7)
+    # provenance mismatch -> miss
+    r5 = dissect(inst, "convs.0", seg, n_samples=16, batch=8, seed=1,
+                 stats=stats, cache_path=p,
+                 cache_provenance={**prov, "n": 32})
+    np.testing.assert_allclose(r1["iou_matrix"], r5["iou_matrix"],
+                               rtol=1e-6, atol=1e-7)
