@@ -157,6 +157,9 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     # (the reference's linreg reuses compute()'s global B).
     batch = config.batch_size or get_max_batch_size(inst,
                                                     layer_name=config.layer)
+    # A pinned batch larger than the sample budget must not zero out the
+    # accumulation loop (G would stay singular -> NaN directions).
+    batch = min(batch, max(10_000, config.n))
     n_samp = max(10_000, config.n) // batch * batch
     n_comp = comp.shape[0]
     latent_dims = model.get_latent_dims()
@@ -695,7 +698,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "dtype": getattr(config, "dtype", None) or "float32",
         "mesh": dict(mesh.shape) if mesh is not None else None,
     })
-    np.savez_compressed(dump_name, **{
+    # Atomic write (temp + rename): an interrupt mid-savez must never leave
+    # a truncated zip at the cache path get_or_compute would blindly reuse.
+    tmp_name = dump_name.with_name(
+        f"{dump_name.stem}.{os.getpid()}.tmp.npz")
+    np.savez_compressed(tmp_name, **{
         "act_comp": x_comp.astype(np.float32),
         "act_mean": x_global_mean.astype(np.float32),
         "act_stdev": np.asarray(x_stdev, np.float32),
@@ -706,6 +713,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "random_stdevs": x_stdev_random.astype(np.float32),
         "_meta": np.bytes_(meta.encode()),
     })
+    os.replace(tmp_name, dump_name)
 
     if canceled:
         sys.exit(1)
@@ -752,7 +760,8 @@ def get_or_compute(config, model: Optional[InstrumentedModel] = None,
         raise RuntimeError(f"Cannot change latent space of non-StyleGAN model {config.model}")
 
     dump_path = basedir / "cache" / "components" / component_cache_name(config)
-    if not dump_path.is_file() or force_recompute:
+    if not dump_path.is_file() or force_recompute \
+            or not _cache_file_readable(dump_path):
         print("Not cached")
         t_start = datetime.datetime.now()
         compute(config, dump_path, model)
@@ -760,6 +769,19 @@ def get_or_compute(config, model: Optional[InstrumentedModel] = None,
     else:
         _warn_on_provenance_mismatch(dump_path, config)
     return dump_path
+
+
+def _cache_file_readable(dump_path: Path) -> bool:
+    """True if the cached npz opens and holds the component keys; a corrupt
+    file (e.g. interrupted write by an older, non-atomic version) recomputes
+    instead of poisoning every later run."""
+    try:
+        with np.load(dump_path, allow_pickle=False) as d:
+            return "act_comp" in d.files and "lat_comp" in d.files
+    except Exception as e:
+        print(f"Warning: cached {dump_path.name} is unreadable ({e!r}); "
+              f"recomputing")
+        return False
 
 
 def _prospective_mesh_desc(config) -> Optional[dict]:

@@ -282,7 +282,9 @@ def _segment_imagedir(args, segmenter, outroot: Path) -> int:
         m = np.asarray(m)
         counts += _label_histogram(m, len(labels))
         rgb = (segment_visualization(m) * 255).astype(np.uint8)
-        name = Path(str(key).replace("/", "_")).stem
+        # Keys are already extension-less; .stem here would merge distinct
+        # dotted names (photo.2024/photo.2025 -> photo) and overwrite.
+        name = str(key).replace("/", "__")
         Image.fromarray(rgb).save(outroot / f"seg_{name}.png")
     (outroot / "labels.json").write_text(json.dumps(
         [{"label": str(l), "pixels": int(c)}

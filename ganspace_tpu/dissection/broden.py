@@ -374,6 +374,12 @@ class MultiSegmentDataset:
         for i, fd in enumerate(self.fields):
             v = (segin[:, :, fd.index].astype(np.int64)
                  >> fd.bitshift) & fd.bitmask
+            # The bitmask covers the channel width, not the label table —
+            # decoded values beyond the field's labels (corrupt pixels or a
+            # short labelnames.json) are unlabeled, never out-of-table
+            # global ids (those would make per-item bincount lengths vary
+            # and corrupt the one-hot tallies downstream).
+            v = np.where(v >= len(fd.labels), 0, v)
             segout[i] = np.where(v > 0, fd.firstchannel + v - 1, 0)
         bincount = np.bincount(segout.ravel(), minlength=len(self.labels))
         return img, segout, bincount

@@ -338,8 +338,6 @@ def save_stats_cache(path, stats: Optional[Dict] = None,
     (``provenance``) and :func:`load_stats_cache` only reuses an exact
     match — a stale or foreign file recomputes instead of silently
     corrupting the run."""
-    from pathlib import Path
-
     out = {}
     for k, v in (provenance or {}).items():
         out[f"prov_{k}"] = np.asarray(v)
@@ -358,9 +356,47 @@ def save_stats_cache(path, stats: Optional[Dict] = None,
             out[f"uncond_{k}"] = v
         out["labels"] = np.asarray(cond["labels"])
         out["label_fracs"] = cond["label_fracs"]
+    _savez_atomic(path, out)
+
+
+def _savez_atomic(path, arrays: Dict) -> None:
+    """np.savez to a sibling temp file, then rename over ``path``.
+
+    Cache writes can be interrupted (Ctrl-C mid-savez); a truncated zip at
+    the stable cache path would otherwise poison every later run of the
+    same command."""
+    import os
+    from pathlib import Path
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **out)
+    # pid-unique, .npz-suffixed (savez appends .npz otherwise) so concurrent
+    # writers of the same cache can't interleave into one temp file
+    tmp = path.with_name(f"{path.stem}.{os.getpid()}.tmp.npz")
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_npz_cache(path):
+    """np.load a cache file, returning None on ANY unreadable/corrupt file.
+
+    Truncated zips raise ``zipfile.BadZipFile`` (not OSError/ValueError), and
+    corrupt *members* only raise when lazily read — so callers must also keep
+    member reads inside their own guard (see the load functions below)."""
+    from pathlib import Path
+
+    path = Path(path)
+    if not path.is_file():
+        return None
+    try:
+        # Eager read of every member: corruption surfaces here, not at a
+        # lazy data[key] access later.
+        with np.load(path, allow_pickle=False) as data:
+            return {k: data[k] for k in data.files}
+    except Exception as e:
+        print(f"Warning: ignoring unreadable cache {path} ({e!r}); "
+              f"recomputing")
+        return None
 
 
 def load_stats_cache(path, provenance: Dict
@@ -368,45 +404,44 @@ def load_stats_cache(path, provenance: Dict
     """Inverse of :func:`save_stats_cache`: returns ``(stats, cond)``
     (either may be None) — all None unless every provenance field matches
     the stored one exactly."""
-    from pathlib import Path
-
-    path = Path(path)
-    if not path.is_file():
-        return None, None
-    try:
-        data = np.load(path, allow_pickle=False)
-    except (OSError, ValueError):
+    data = _load_npz_cache(path)
+    if data is None:
         return None, None
     for k, v in provenance.items():
         key = f"prov_{k}"
         if key not in data or str(data[key]) != str(np.asarray(v)):
             return None, None
 
-    stats = None
-    if "topk_values" in data:
-        rq = RunningQuantile().set_state_dict(
-            {k[len("rq_"):]: data[k] for k in data.files
-             if k.startswith("rq_")})
-        stats = {"quantiles": rq, "topk_values": data["topk_values"],
-                 "topk_samples": data["topk_samples"],
-                 "units": int(data["stats_units"]),
-                 "seed": int(data["stats_seed"]),
-                 "batch": int(data["stats_batch"]),
-                 "n_samples": int(data["stats_n_samples"])}
-    cond = None
-    if "label_fracs" in data:
-        nested: Dict[str, Dict] = {}
-        for k in data.files:
-            if k.startswith("cond_"):
-                label_key, sub = k[len("cond_"):].split("__", 1)
-                nested.setdefault(label_key, {})[sub] = data[k]
-        cq = RunningConditionalQuantile().set_state_dict(nested)
-        uncond = RunningQuantile().set_state_dict(
-            {k[len("uncond_"):]: data[k] for k in data.files
-             if k.startswith("uncond_")})
-        cond = {"conditional": cq, "unconditional": uncond,
-                "labels": [str(l) for l in data["labels"]],
-                "label_fracs": np.asarray(data["label_fracs"])}
+    try:
+        stats = None
+        if "topk_values" in data:
+            rq = RunningQuantile().set_state_dict(
+                {k[len("rq_"):]: data[k] for k in data
+                 if k.startswith("rq_")})
+            stats = {"quantiles": rq, "topk_values": data["topk_values"],
+                     "topk_samples": data["topk_samples"],
+                     "units": int(data["stats_units"]),
+                     "seed": int(data["stats_seed"]),
+                     "batch": int(data["stats_batch"]),
+                     "n_samples": int(data["stats_n_samples"])}
+        cond = None
+        if "label_fracs" in data:
+            nested: Dict[str, Dict] = {}
+            for k in data:
+                if k.startswith("cond_"):
+                    label_key, sub = k[len("cond_"):].split("__", 1)
+                    nested.setdefault(label_key, {})[sub] = data[k]
+            cq = RunningConditionalQuantile().set_state_dict(nested)
+            uncond = RunningQuantile().set_state_dict(
+                {k[len("uncond_"):]: data[k] for k in data
+                 if k.startswith("uncond_")})
+            cond = {"conditional": cq, "unconditional": uncond,
+                    "labels": [str(l) for l in data["labels"]],
+                    "label_fracs": np.asarray(data["label_fracs"])}
+    except (KeyError, ValueError) as e:
+        print(f"Warning: ignoring malformed stats cache {path} ({e!r}); "
+              f"recomputing")
+        return None, None
     return stats, cond
 
 
@@ -596,28 +631,18 @@ def _save_tally_cache(path, provenance: Optional[Dict], levels: np.ndarray,
                       tally) -> None:
     """Cache the tally contingency counts (reference ``bincounts`` npz,
     ``dissection.py:743-765``), keyed on provenance + exact levels."""
-    from pathlib import Path
-
     inter, act, seg, total_px = tally
     out = {f"prov_{k}": np.asarray(v) for k, v in (provenance or {}).items()}
     out.update(levels=np.asarray(levels, np.float32), inter=inter,
                act_count=act, seg_count=seg, total_px=np.int64(total_px))
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **out)
+    _savez_atomic(path, out)
 
 
 def _load_tally_cache(path, provenance: Optional[Dict], levels: np.ndarray):
     """Inverse of :func:`_save_tally_cache`; None unless provenance AND the
     threshold levels match exactly."""
-    from pathlib import Path
-
-    path = Path(path)
-    if not path.is_file():
-        return None
-    try:
-        data = np.load(path, allow_pickle=False)
-    except (OSError, ValueError):
+    data = _load_npz_cache(path)
+    if data is None:
         return None
     for k, v in (provenance or {}).items():
         key = f"prov_{k}"
@@ -626,8 +651,11 @@ def _load_tally_cache(path, provenance: Optional[Dict], levels: np.ndarray):
     if "levels" not in data or not np.array_equal(
             data["levels"], np.asarray(levels, np.float32)):
         return None
-    return (data["inter"], data["act_count"], data["seg_count"],
-            int(data["total_px"]))
+    try:
+        return (data["inter"], data["act_count"], data["seg_count"],
+                int(data["total_px"]))
+    except (KeyError, ValueError):
+        return None
 
 
 def dissect(inst: InstrumentedModel, layer: str, segmenter: SegmenterBase, *,

@@ -324,3 +324,33 @@ def test_plotutil_helpers():
     assert lo == f2.axes[1].images[0].get_clim()[0]       # shared scale
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_multi_segment_dataset_out_of_range_values(tmp_path):
+    """Packed values beyond a field's label table (bitmask covers the channel
+    width, not the table) decode as unlabeled — bincount length stays fixed
+    so batches() can stack, and no out-of-table global ids leak downstream."""
+    from PIL import Image
+    from ganspace_tpu.dissection import MultiSegmentDataset
+    root = tmp_path / "oor"
+    (root / "img").mkdir(parents=True)
+    (root / "seg").mkdir()
+    (root / "labelnames.json").write_text(json.dumps([
+        {"field": "thing", "index": 0, "bitshift": 0, "bitmask": 255,
+         "label": ["-", "a", "b"]},          # mask 255 >> table of 3
+    ]))
+    for i in range(3):                       # 75% split -> 2 train items
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            root / "img" / f"{i}.png")
+        v = np.full((4, 4), 1, np.uint8)
+        if i == 0:
+            v[0, 0] = 40                     # out-of-table packed value
+        Image.fromarray(np.stack([v, 0 * v, 0 * v], -1)).save(
+            root / "seg" / f"{i}.png")
+    ds = MultiSegmentDataset(root)
+    img, seg, binc = ds[0]
+    assert seg.max() < len(ds.labels)
+    assert seg[0, 0, 0] == 0                 # unlabeled, not label 40
+    assert binc.shape == (len(ds.labels),)
+    imgs, segs, bincs = next(ds.batches(2, limit=2))   # stacks fine
+    assert bincs.shape == (2, len(ds.labels))

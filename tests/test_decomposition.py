@@ -323,3 +323,41 @@ def test_cache_filename_bf16_tag():
     assert component_cache_name(Config(**kw, dtype="float32")) == \
         component_cache_name(Config(**kw)) == \
         "stylegan2-ffhq_style_ipca_c80_n300000_w.npz"
+
+
+def test_linreg_oversized_pinned_batch(model, tmp_path, monkeypatch):
+    """A pinned -b larger than the regression sample budget must shrink the
+    minibatch, not zero out the accumulation loop (which would solve a
+    singular system and write NaN latent directions into the cache)."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    inst = InstrumentedModel(model)
+    model.use_z()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                 estimator="ipca", components=3, n=600, batch_size=16384)
+    path = get_or_compute(cfg, inst)
+    data = np.load(path)
+    assert np.all(np.isfinite(data["lat_comp"]))
+    assert np.all(np.isfinite(data["lat_mean"]))
+    assert np.allclose(np.linalg.norm(data["lat_comp"].reshape(3, -1), axis=-1),
+                       1.0, atol=1e-5)
+
+
+def test_corrupt_component_cache_recomputes(model, tmp_path, monkeypatch):
+    """A corrupt npz at the cache path (interrupted write) must recompute,
+    not be returned to callers that will crash on np.load."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    inst = InstrumentedModel(model)
+    model.use_w()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
+                 estimator="ipca", components=4, n=1500, use_w=True,
+                 batch_size=128)
+    cache = tmp_path / "cache" / "components"
+    cache.mkdir(parents=True)
+    bad = cache / component_cache_name(cfg)
+    bad.write_bytes(b"PK\x03\x04 truncated zip junk")
+    path = get_or_compute(cfg, inst)
+    assert path == bad
+    data = np.load(path)                       # now a real npz
+    assert data["act_comp"].shape == (4, 1, 512)
+    assert not list(cache.glob("*.tmp.npz"))   # atomic write left no temp
+    model.use_z()

@@ -223,3 +223,34 @@ def test_tally_cache_roundtrip(inst, tmp_path):
                  cache_provenance={**prov, "n": 32})
     np.testing.assert_allclose(r1["iou_matrix"], r5["iou_matrix"],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_corrupt_cache_recomputes(inst, tmp_path):
+    """A truncated/corrupt cache npz (e.g. Ctrl-C mid-write of an older,
+    non-atomic writer) must signal recompute, not crash with BadZipFile."""
+    from ganspace_tpu.dissection.dissect import (
+        _load_tally_cache, collect_stats_and_cond_quantiles,
+        load_stats_cache, save_stats_cache,
+    )
+
+    prov = {"model": "tiny", "layer": "convs.0", "n": 16}
+    p = tmp_path / "stats_cache.npz"
+
+    # not-a-zip garbage
+    p.write_bytes(b"\x00garbage not a zip")
+    assert load_stats_cache(p, prov) == (None, None)
+    assert _load_tally_cache(p, prov, np.zeros(4, np.float32)) is None
+
+    # truncated but zip-magic-prefixed file (what an interrupted write makes)
+    stats, cond = collect_stats_and_cond_quantiles(
+        inst, "convs.0", ColorSegmenter(), n_samples=16, batch=8, seed=2)
+    save_stats_cache(p, stats, cond, prov)
+    whole = p.read_bytes()
+    p.write_bytes(whole[: len(whole) // 2])
+    assert load_stats_cache(p, prov) == (None, None)
+
+    # atomic write: no .tmp sibling survives a successful save
+    save_stats_cache(p, stats, cond, prov)
+    assert not list(tmp_path.glob("*.tmp.npz"))
+    s2, c2 = load_stats_cache(p, prov)
+    assert s2 is not None and c2 is not None
