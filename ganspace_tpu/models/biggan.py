@@ -496,9 +496,14 @@ class BigGAN(BaseGenerator):
             from ganspace_tpu.models import checkpoints as _ckpt
             rel = f"biggan-deep-{resolution}/pytorch_model.bin"
             found = _ckpt.find_checkpoint(rel)
+            tf_found = None if found is not None else _ckpt.find_checkpoint(
+                f"biggan-deep-{resolution}/tf_weights.npz")
             if found is not None:
                 from ganspace_tpu.models.torch_import import import_biggan
                 params = import_biggan(found)
+            elif tf_found is not None:  # TF-Hub variable dump, converted here
+                from ganspace_tpu.models.tf_import import import_biggan_tf
+                params = import_biggan_tf(tf_found, cfg=self.cfg)
             else:
                 _ckpt.note_random_init(f"BigGAN-{resolution}", rel)
                 params = init_params(self.cfg, init_seed)

@@ -13,6 +13,13 @@ Expected layout (identical to the reference):
       stylegan/stylegan_<class>_<res>.pt        (lernapparat format)
       progan/<class>_lsun.pth                   (GANDissect format)
       biggan-deep-<res>/pytorch_model.bin       (HuggingFace format)
+
+TF-era originals are also accepted and converted on the fly, without a
+TensorFlow runtime (see ``tf_import.py``):
+      stylegan/stylegan_<class>_<res>.pkl            (NVlabs dnnlib pickle)
+      stylegan/karras2019stylegan-<class>-<res>x<res>.pkl
+      progan/<class>_lsun.pkl                        (karras2018 tfutil pickle)
+      biggan-deep-<res>/tf_weights.npz               (TF-Hub variable dump)
 """
 
 from __future__ import annotations

@@ -163,7 +163,13 @@ class ProGAN(BaseGenerator):
             from ganspace_tpu.models import checkpoints as _ckpt
             rel = f"progan/{self.outclass}_lsun.pth"
             found = _ckpt.find_checkpoint(rel)
-            if found is not None:
+            if found is None:  # TF-era karras2018 pickle, converted on the fly
+                found = _ckpt.find_checkpoint(f"progan/{self.outclass}_lsun.pkl")
+            if found is not None and found.suffix == ".pkl":
+                from ganspace_tpu.models.tf_import import import_progan_tf
+                params, sizes = import_progan_tf(found)
+                cfg = ProGANConfig(sizes)
+            elif found is not None:
                 from ganspace_tpu.models.torch_import import import_progan
                 params, sizes = import_progan(found)
                 cfg = ProGANConfig(sizes)

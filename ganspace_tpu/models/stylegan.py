@@ -401,7 +401,18 @@ class StyleGAN(BaseGenerator):
             from ganspace_tpu.models import checkpoints as _ckpt
             rel = f"stylegan/stylegan_{self.outclass}_{self.resolution}.pt"
             found = _ckpt.find_checkpoint(rel)
-            if found is not None:
+            if found is None:  # TF-era NVlabs pickle, converted on the fly
+                for tf_rel in (
+                        f"stylegan/stylegan_{self.outclass}_{self.resolution}.pkl",
+                        f"stylegan/karras2019stylegan-{self.outclass}-"
+                        f"{self.resolution}x{self.resolution}.pkl"):
+                    found = _ckpt.find_checkpoint(tf_rel)
+                    if found is not None:
+                        break
+            if found is not None and found.suffix == ".pkl":
+                from ganspace_tpu.models.tf_import import import_stylegan_tf
+                params = import_stylegan_tf(found)
+            elif found is not None:
                 from ganspace_tpu.models.torch_import import import_stylegan
                 params = import_stylegan(found)
             else:

@@ -126,6 +126,10 @@ def import_progan(path_or_dict) -> Tuple[Dict[str, np.ndarray], Tuple[int, ...]]
     state = _load_state(path_or_dict)
     if "state_dict" in state:
         state = state["state_dict"]
+    if any(re.fullmatch(r"features\.\d+\.conv\.weight", k) for k in state):
+        # "old pytorch" naming (reference proggan.py:271-298)
+        from ganspace_tpu.models.tf_import import import_progan_old_pt
+        return import_progan_old_pt(state)
     params = {k: _to_np(v) for k, v in state.items()}
 
     # Infer the feature-depth schedule (reference proggan.py
