@@ -526,10 +526,15 @@ class BigGAN(BaseGenerator):
         return v
 
     def is_valid_class(self, class_id) -> bool:
+        """Any of the 1000 ImageNet classes by index, name, or WNID
+        (reference ``wrappers.py:581-587`` + WordNet resolution in
+        ``pytorch_pretrained_biggan/utils.py:174-216``, embedded offline in
+        ``imagenet_classes.py``)."""
+        from ganspace_tpu.models import imagenet_classes
         if isinstance(class_id, int):
             return class_id < self.cfg.num_classes
         if isinstance(class_id, str):
-            return class_id.replace(" ", "_").lower() in CLASS_ALIASES
+            return imagenet_classes.is_valid(class_id, aliases=CLASS_ALIASES)
         raise RuntimeError(f"Unknown class identifier {class_id}")
 
     def set_output_class(self, class_id):
@@ -539,16 +544,12 @@ class BigGAN(BaseGenerator):
             self.v_class = jnp.asarray(self._one_hot(int(class_id)))
             self.outclass = f"class{class_id}"
         elif isinstance(class_id, str):
+            from ganspace_tpu.models import imagenet_classes
             key = class_id.replace(" ", "_").lower()
-            m = re.fullmatch(r"class(\d+)", key)
-            if m:
-                idx = int(m.group(1))
-            elif key in CLASS_ALIASES:
-                idx = CLASS_ALIASES[key]
-            else:
-                raise RuntimeError(
-                    f"Unknown class name '{class_id}' (offline WordNet: use an "
-                    f"integer id, 'classNNN', or one of {sorted(CLASS_ALIASES)})")
+            try:
+                idx = imagenet_classes.resolve(key, aliases=CLASS_ALIASES)
+            except KeyError as e:
+                raise RuntimeError(str(e)) from None
             self.outclass = key
             self.v_class = jnp.asarray(self._one_hot(idx))
         else:
