@@ -117,7 +117,11 @@ def main(args=None):
     n_comp = data["act_comp"].shape[0]
     data.close()
 
-    max_batch = args.batch_size or get_max_batch_size(inst, layer_name=layer_key)
+    # Rendering runs the FULL forward (image-sized activations), not the
+    # partial-to-tap the analyzed sizing models — keep the output-size
+    # heuristic here.
+    max_batch = args.batch_size or get_max_batch_size(inst, layer_name=layer_key,
+                                                      analyze=False)
     print("Batch size:", max_batch)
     print(f"[{timestamp()}] Creating visualizations")
 

@@ -113,15 +113,157 @@ def _record_fused_acts(key: str) -> None:
         pass  # best-effort: losing the sentinel only costs the heuristic
 
 
-def get_max_batch_size(inst: InstrumentedModel, device=None, layer_name=None) -> int:
-    """Static batch-size rule replacing the reference's CUDA VRAM probe.
+#: Device-kind -> HBM bytes (per chip).  memory_stats() is empty on some
+#: plugin backends (axon), so the table is the fallback behind it.
+_HBM_BY_KIND = {
+    "TPU v2": 8 << 30, "TPU v3": 16 << 30, "TPU v4": 32 << 30,
+    "TPU v5 lite": 16 << 30, "TPU v5e": 16 << 30, "TPU v5": 95 << 30,
+    "TPU v5p": 95 << 30, "TPU v6 lite": 32 << 30, "TPU v6e": 32 << 30,
+}
 
-    The dominant per-sample footprint of a partial forward is bounded by a
-    few times the largest feature map up to the tap; we size the minibatch
-    so that stays within a fixed HBM budget, clamp to [4, 4096], and round
-    to a power of two for stable jit cache reuse.
+
+def _hbm_bytes() -> int:
+    env = os.environ.get("GANSPACE_HBM_BYTES")
+    if env:
+        return int(env)
+    import jax
+    dev = jax.devices()[0]
+    stats = {}
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        pass
+    if stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    kind = getattr(dev, "device_kind", "")
+    for prefix, size in sorted(_HBM_BY_KIND.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return size
+    return 16 << 30
+
+
+def _autotune_registry() -> Optional[str]:
+    import jax
+    cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if not cache_dir:
+        return None
+    return os.path.join(cache_dir, "ganspace_autotune_b.json")
+
+
+def _registry_get(path: Optional[str], key: str):
+    import json
+    if path is None or not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _registry_put(path: Optional[str], key: str, value) -> None:
+    import json
+    if path is None:
+        return
+    try:
+        entries = {}
+        if os.path.isfile(path):
+            with open(path) as f:
+                entries = json.load(f)
+        entries[key] = value
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, path)
+    except (OSError, ValueError):
+        pass
+
+
+def _analyzed_batch_size(model, layer_name: str) -> Optional[int]:
+    """Exact batch sizing from XLA's compiled memory analysis.
+
+    Lowers the pure tap function (weights as operands) at a probe batch,
+    reads ``Executable.memory_analysis().peak_memory_in_bytes``, and scales
+    the activation footprint linearly to fill ``GANSPACE_HBM_FRACTION``
+    (default 0.4) of the chip's HBM — the analog of the reference's
+    "largest batch under 50% of VRAM" CUDA probe (``decomposition.py:57-74``)
+    but exact and probe-free at runtime: one AOT compile per workload, its
+    result memoized in a registry beside the persistent compile cache.
+    Returns None (caller falls back to the heuristic) for models without a
+    pure tap path or when lowering fails.
+    """
+    if os.environ.get("GANSPACE_AUTOTUNE_B", "1") == "0":
+        return None
+    try:
+        fp = model.pure_acts_fn_p(layer_name)
+    except Exception:
+        return None
+    if fp is None:
+        return None
+    import jax
+
+    fn, pack = fp
+    frac = float(os.environ.get("GANSPACE_HBM_FRACTION", 0.4))
+    hbm = _hbm_bytes()
+    from ganspace_tpu.ops.precision import synth_dtype_name
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    key = "|".join([getattr(model, "name", model.model_name), layer_name,
+                    str(synth_dtype_name()), kind, f"hbm{hbm}", f"f{frac}"])
+    reg = _autotune_registry()
+    cached = _registry_get(reg, key)
+    if cached:
+        return int(cached)
+
+    dim = model.get_latent_dims()
+    params_bytes = sum(np.prod(x.shape) * x.dtype.itemsize
+                       for x in jax.tree.leaves(pack))
+    b_probe = 32
+    try:
+        pack_s = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), pack)
+        lat_s = jax.ShapeDtypeStruct((b_probe, dim), jnp.float32)
+        out_s = jax.eval_shape(fn, pack_s, lat_s)
+        compiled = jax.jit(fn).lower(pack_s, lat_s).compile()
+        peak = int(compiled.memory_analysis().peak_memory_in_bytes)
+    except Exception as e:
+        print(f"batch autotune: memory analysis unavailable ({e!r}); "
+              f"using heuristic")
+        return None
+    # Peak counts arguments (params) + batch-scaled activations on TPU;
+    # XLA:CPU's analysis omits argument/output buffers, so floor the
+    # per-sample cost at two copies of the tap activation row itself
+    # (the feature map + its flattened view).
+    act_bytes = max(peak - params_bytes, peak // 8, 1)
+    row_bytes = int(np.prod(out_s.shape[1:])) * out_s.dtype.itemsize
+    per_sample = max(act_bytes / b_probe, 2 * row_bytes)
+    b = int((frac * hbm - params_bytes) / per_sample)
+    b = max(4, min(4096, b))
+    b = 1 << (b.bit_length() - 1)
+    print(f"batch autotune: peak {peak / 1e9:.2f} GB @ b={b_probe} "
+          f"(params {params_bytes / 1e9:.2f} GB) -> B={b} "
+          f"(~{(params_bytes + b * per_sample) / 1e9:.1f} GB of "
+          f"{frac:.0%} x {hbm >> 30} GB HBM)")
+    _registry_put(reg, key, b)
+    return b
+
+
+def get_max_batch_size(inst: InstrumentedModel, device=None, layer_name=None,
+                       analyze: bool = True) -> int:
+    """Batch sizing replacing the reference's CUDA VRAM probe.
+
+    Primary path: exact per-signature HBM accounting from XLA's compiled
+    memory analysis (``_analyzed_batch_size``).  Fallback (no pure tap
+    path / analysis unavailable): bound the per-sample footprint by a few
+    times the largest feature map up to the tap and size the minibatch to a
+    fixed budget.  Both clamp to [4, 4096] and round to a power of two for
+    stable jit cache reuse.
     """
     model = inst.model
+    if analyze and layer_name is not None:
+        analyzed = _analyzed_batch_size(model, layer_name)
+        if analyzed is not None:
+            return analyzed
     if layer_name is not None and inst.feature_shape.get(layer_name) is not None:
         feat_elems = int(np.prod(inst.feature_shape[layer_name][1:]))
     else:
@@ -184,17 +326,19 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
         return (g + mm(coords.T, coords), r + mm(coords.T, zf),
                 z_sum + jnp.sum(zf, axis=0))
 
+    # Serialize collective programs ONLY on emulated meshes: there, async
+    # dispatch stacks many in-flight all-reduces and the N virtual devices
+    # (sharing few cores) starve the rendezvous of live threads — XLA:CPU
+    # aborts after its 40 s timeout.  On real TPU meshes the runtime
+    # pipelines collectives fine, and a per-batch sync would forfeit the
+    # async-dispatch overlap between synthesis and reduction.
+    emulated = mesh is not None and mesh.devices.flat[0].platform == "cpu"
     for _ in range(n_samp // batch):
         z = shard_batch(model.sample_latent(batch), mesh)
         model.partial_forward(z, layer)
         act = inst.retained_features()[layer].reshape(batch, -1)
         g, r, z_sum = accumulate(g, r, z_sum, act, jnp.asarray(z))
-        if mesh is not None:
-            # Serialize collective programs: async dispatch otherwise stacks
-            # many in-flight all-reduces, and on emulated meshes (N virtual
-            # devices sharing few cores) queued device programs starve the
-            # rendezvous of live threads — XLA:CPU aborts after its 40 s
-            # timeout.  One sync per batch is noise next to the synthesis.
+        if emulated:
             _jax.block_until_ready(g)
 
     # M^T = (A^T A)^-1 A^T Z ; rows of M^T are the latent-space directions.
@@ -385,7 +529,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
              and model._gaussian_latent_dim() is not None)
     # Fused ACTIVATION stream: generation + synthesis-to-tap + sketch update
     # scanned in chunk-sized units (models exposing a pure tap function).
-    acts_fn = None if samples_are_latents else model.pure_acts_fn(layer_key)
+    # Weights ride as scan-program operands (pure_acts_fn_p), not baked
+    # constants — see models/base.py.
+    acts_fp = None if samples_are_latents else model.pure_acts_fn_p(layer_key)
     streamable = (getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
                   or getattr(transformer, "_use_nystrom", lambda d: False)(sample_dims))
     # GANSPACE_FUSED_ACTS: 1=on, 0=off, auto (default) = on only when the
@@ -401,7 +547,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     fused_on = (_fused_acts_cached(fused_key) if fused_env == "auto"
                 else fused_env == "1")
     fused_acts = (fused_on
-                  and acts_fn is not None and device_rng and streamable
+                  and acts_fp is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")
                   and model._gaussian_latent_dim() is not None
                   and batch >= config.components)
@@ -490,12 +636,13 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         import jax as _jax
         seed0 = config.seed or SEED_SAMPLING
         dim = model._gaussian_latent_dim()
+        acts_pure, acts_pack = acts_fp
 
-        def block_fn(k):
+        def block_fn(pack, k):
             z = _jax.random.normal(k, (batch, dim), jnp.float32)
             if batch_sh is not None:
                 z = _jax.lax.with_sharding_constraint(z, batch_sh)
-            a = acts_fn(model._latents_from_gaussian(z))
+            a = acts_pure(pack, model._latents_from_gaussian(z))
             if feat_sh is not None:
                 # batch-sharded synthesis -> feature-sharded estimator
                 # (all-to-all over ICI, inside the same compiled program)
@@ -507,12 +654,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
               f"of {batch}", flush=True)
         try:
-            if not transformer.fit_stream(block_fn, n_stream_blocks, key0):
+            if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
+                                          consts=acts_pack):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
             # jitted (not eager): eager op-by-op synthesis on a mesh risks
             # XLA's 40 s collective-rendezvous timeout under compile load.
-            x_block = _jax.jit(block_fn)(_jax.random.fold_in(key0, 0))
+            x_block = _jax.jit(block_fn)(acts_pack,
+                                         _jax.random.fold_in(key0, 0))
             # The scan program is now in the persistent compile cache:
             # future runs of this exact workload may auto-enable the
             # fused path (GANSPACE_FUSED_ACTS=auto).

@@ -426,11 +426,18 @@ class IPCAEstimator:
         self.n_samples_seen_ += k * n
         return True
 
-    def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16) -> bool:
+    def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16,
+                   consts=None) -> bool:
         """Fused fit over a key-derived block stream.
 
         ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
         synthesis up to the tap).  Block ``i`` uses ``fold_in(key, i)``.
+        With ``consts`` (a pytree of model weights) the signature is
+        ``block_fn(consts, key)`` and the weights enter the scanned program
+        as OPERANDS — closure-captured weights would be baked into the
+        module as constants, re-serialized on every trace (22 s for
+        StyleGAN2-1024) and bloating the persistent-cache entry by the full
+        parameter size.
         Each scanned chunk runs ``chunk`` blocks of synthesis + update in ONE
         dispatch; the tail reuses the eager per-block path.  Only the
         moments/nystrom tiers stream this way (their updates are
@@ -439,13 +446,15 @@ class IPCAEstimator:
         """
         if n_blocks <= 0:
             return True
+        if consts is None:
+            consts, block_fn = (), (lambda _c, k, _fn=block_fn: _fn(k))
         # Shape-only probe: initialize the tier state WITHOUT running the
         # first block eagerly — eager synthesis executes op-by-op, and on a
         # meshed run each tiny op is its own collective program (measured:
         # XLA's 40 s cross-device rendezvous can time out under compile
         # load, aborting the process).  Everything streams through the
         # jitted scans below instead.
-        shape = jax.eval_shape(block_fn, jax.random.fold_in(key, 0))
+        shape = jax.eval_shape(block_fn, consts, jax.random.fold_in(key, 0))
         nb, d = shape.shape
         if nb < self.n_components:
             print(f"\nIPCA error: n_samples={nb} < "
@@ -458,9 +467,9 @@ class IPCAEstimator:
         tier = "moments" if self._moments is not None else "nystrom"
 
         @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, omega, i0, *, k):
+        def scan_chunk(state, omega, i0, consts, *, k):
             def body(carry, i):
-                x = block_fn(jax.random.fold_in(key, i0 + i))
+                x = block_fn(consts, jax.random.fold_in(key, i0 + i))
                 if tier == "moments":
                     return _moments_update(carry, x), None
                 return _nystrom_update(carry, x, omega), None
@@ -476,10 +485,10 @@ class IPCAEstimator:
                 k = min(chunk, n_blocks - i)
                 if tier == "moments":
                     self._moments = scan_chunk(self._moments, 0, jnp.int32(i),
-                                               k=k)
+                                               consts, k=k)
                 else:
                     self._nystrom = scan_chunk(self._nystrom, self._omega,
-                                               jnp.int32(i), k=k)
+                                               jnp.int32(i), consts, k=k)
                 self.n_samples_seen_ += k * nb
                 i += k
 

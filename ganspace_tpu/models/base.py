@@ -214,11 +214,27 @@ class BaseGenerator(ABC):
     def set_conditional_state(self, z, c):
         return z
 
+    def pure_acts_fn_p(self, layer_name: str):
+        """``(fn, pack)`` where ``fn(pack, latents) -> activations [n, -1]``
+        is the pure tap function with its weights as an EXPLICIT pytree
+        argument, or None when the model has no pure path.
+
+        Passing weights as operands (not closure constants) matters on TPU:
+        baked constants get re-serialized into MLIR on every trace and blow
+        up persistent-cache entries (measured on StyleGAN2-1024: 22 s
+        trace->MLIR + a 168 MB cache entry with baked params vs sub-second
+        and ~10 MB with explicit operands)."""
+        return None
+
     def pure_acts_fn(self, layer_name: str):
         """Pure ``fn(latents) -> activations [n, -1]`` at the tap, traceable
         inside an outer jit/scan, or None when the model has no pure path
         (the decomposition then uses the instrumented per-batch loop)."""
-        return None
+        fp = self.pure_acts_fn_p(layer_name)
+        if fp is None:
+            return None
+        fn, pack = fp
+        return lambda lat: fn(pack, lat)
 
     # -- threaded pre-sampling ------------------------------------------------
     def _gaussian_latent_dim(self) -> Optional[int]:

@@ -610,18 +610,20 @@ class BigGAN(BaseGenerator):
             return int(m.group(1)) + 1
         return n_modules
 
-    def pure_acts_fn(self, layer_name: str):
-        """Pure tap function for the fused decomposition stream.  Closes
-        over the CURRENT class vector — rebuild after set_output_class."""
+    def pure_acts_fn_p(self, layer_name: str):
+        """Pure tap function (weights as explicit operands) for the fused
+        decomposition stream and the batch autotuner.  The pack snapshots
+        the CURRENT class vector — rebuild after set_output_class."""
         tap = self.resolve_tap(layer_name)
-        params, cfg, v_class = self.params, self.cfg, self.v_class
+        cfg = self.cfg
         trunc = float(self.truncation)
         n_run = self._n_layers_for(layer_name)
         s2d_tail = self._s2d
         from ganspace_tpu.ops.precision import synth_dtype_name
         act_dtype = synth_dtype_name()
 
-        def fn(z):
+        def fn(pack, z):
+            params, v_class = pack
             zs = tuple([z] * cfg.n_latents)
             onehot = jnp.broadcast_to(v_class, (z.shape[0], cfg.num_classes))
             _, retained = synthesize(params, zs, onehot, {}, cfg=cfg,
@@ -629,7 +631,7 @@ class BigGAN(BaseGenerator):
                                      retain=(tap,), stop_at=tap,
                                      s2d_tail=s2d_tail, act_dtype=act_dtype)
             return retained[tap].reshape(z.shape[0], -1)
-        return fn
+        return fn, (self.params, self.v_class)
 
     def _run(self, x, stop_at, layer_name=None):
         zs = x if isinstance(x, list) else self.cfg.n_latents * [x]

@@ -134,18 +134,19 @@ class GANZooModel(BaseGenerator):
     def set_conditional_state(self, z, c):
         return jnp.concatenate([z[:, :-self.cfg.cond_dim], c], axis=1)
 
-    def pure_acts_fn(self, layer_name: str):
-        """Pure tap function for the fused decomposition stream."""
+    def pure_acts_fn_p(self, layer_name: str):
+        """Pure tap function (weights as explicit operands) for the fused
+        decomposition stream and the batch autotuner."""
         tap = self.resolve_tap(layer_name)
         if tap == "output":
             return None          # full forward needed; use the generic loop
-        params, cfg = self.params, self.cfg
+        cfg = self.cfg
 
-        def fn(z):
+        def fn(params, z):
             _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
                                      stop_at=tap)
             return retained[tap].reshape(z.shape[0], -1)
-        return fn
+        return fn, self.params
 
     def _run(self, x, stop_at):
         if isinstance(x, list):

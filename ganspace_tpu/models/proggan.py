@@ -199,21 +199,22 @@ class ProGAN(BaseGenerator):
     def _gaussian_latent_dim(self):
         return self.cfg.sizes[0]
 
-    def pure_acts_fn(self, layer_name: str):
-        """Pure tap function for the fused decomposition stream."""
+    def pure_acts_fn_p(self, layer_name: str):
+        """Pure tap function (weights as explicit operands) for the fused
+        decomposition stream and the batch autotuner."""
         tap = self.resolve_tap(layer_name)
-        params, cfg = self.params, self.cfg
+        cfg = self.cfg
 
         s2d_tail = self._s2d
         from ganspace_tpu.ops.precision import synth_dtype_name
         act_dtype = synth_dtype_name()
 
-        def fn(z):
+        def fn(params, z):
             _, retained = synthesize(params, z, {}, cfg=cfg, retain=(tap,),
                                      stop_at=tap, s2d_tail=s2d_tail,
                                      act_dtype=act_dtype)
             return retained[tap].reshape(z.shape[0], -1)
-        return fn
+        return fn, self.params
 
     def _run(self, x, stop_at):
         if isinstance(x, list):

@@ -489,22 +489,24 @@ class StyleGAN(BaseGenerator):
     def _latents_from_gaussian(self, z):
         return self._map_to_w(z) if self.w_primary else z
 
-    def pure_acts_fn(self, layer_name: str):
-        """Pure tap function for the fused decomposition stream."""
+    def pure_acts_fn_p(self, layer_name: str):
+        """Pure tap function (weights as explicit operands) for the fused
+        decomposition stream and the batch autotuner."""
         tap = self.resolve_tap(layer_name)
-        params, consts, cfg = self.params, self.consts, self.cfg
+        cfg = self.cfg
         input_is_w = self.w_primary
         s2d_tail = self._s2d
         from ganspace_tpu.ops.precision import synth_dtype_name
         act_dtype = synth_dtype_name()
 
-        def fn(lat):
+        def fn(pack, lat):
+            params, consts = pack
             _, retained = synthesize(params, consts, (lat,), {}, cfg=cfg,
                                      input_is_w=input_is_w, retain=(tap,),
                                      stop_at=tap, s2d_tail=s2d_tail,
                                      act_dtype=act_dtype)
             return retained[tap].reshape(lat.shape[0], -1)
-        return fn
+        return fn, (self.params, self.consts)
 
     def _run(self, x, stop_at):
         styles = tuple(jnp.asarray(s) for s in (x if isinstance(x, list) else [x]))

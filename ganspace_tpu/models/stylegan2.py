@@ -447,24 +447,26 @@ class StyleGAN2(BaseGenerator):
     def _latents_from_gaussian(self, z):
         return self._map_to_w(z) if self.w_primary else z
 
-    def pure_acts_fn(self, layer_name: str):
-        """Pure ``fn(latents [n, w_dim]) -> activations [n, -1]`` at the tap
-        — traceable inside an outer jit/scan (no instrumentation, no edits).
-        Used by the decomposition's fused activation stream."""
+    def pure_acts_fn_p(self, layer_name: str):
+        """Pure ``fn(pack, latents [n, w_dim]) -> activations [n, -1]`` at
+        the tap — traceable inside an outer jit/scan (no instrumentation, no
+        edits), weights as explicit operands.  Used by the decomposition's
+        fused activation stream and the batch autotuner."""
         tap = self.resolve_tap(layer_name)
-        params, consts, cfg = self.params, self.consts, self.cfg
+        cfg = self.cfg
         input_is_w, trunc = self.w_primary, float(self.truncation)
 
         s2d_tail = self._s2d
         act_dtype = synth_dtype_name()
 
-        def fn(lat):
+        def fn(pack, lat):
+            params, consts = pack
             _, retained = synthesize(
                 params, consts, (lat,), {}, cfg=cfg, input_is_w=input_is_w,
                 inject_index=None, truncation=trunc, retain=(tap,),
                 stop_at=tap, s2d_tail=s2d_tail, act_dtype=act_dtype)
             return retained[tap].reshape(lat.shape[0], -1)
-        return fn
+        return fn, (self.params, self.consts)
 
     # -- execution ----------------------------------------------------------
     def _run(self, x, stop_at: Optional[str]):
