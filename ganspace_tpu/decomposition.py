@@ -534,18 +534,24 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     acts_fp = None if samples_are_latents else model.pure_acts_fn_p(layer_key)
     streamable = (getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
                   or getattr(transformer, "_use_nystrom", lambda d: False)(sample_dims))
-    # GANSPACE_FUSED_ACTS: 1=on, 0=off, auto (default) = on only when the
-    # fused scan program is already in the persistent compile cache.  The
-    # fused stream saves ~20ms dispatch per block but costs one scan-wrapped
-    # synthesis compile (minutes on remotely-attached chips; measured
-    # 109s grouped vs 174s fused cold on a 50k conv-tap run, identical
-    # results) — so it pays exactly when that compile is a disk hit.
+    # GANSPACE_FUSED_ACTS: 1=on, 0=off, auto (default) = on when the fused
+    # scan program is already in the persistent compile cache, OR when the
+    # run is big enough to amortize compiling it once
+    # (GANSPACE_FUSED_ACTS_MIN_N, default 20k samples).  The fused stream
+    # saves ~20ms dispatch per block but costs one scan-wrapped synthesis
+    # compile (minutes on remotely-attached chips; measured 109s grouped vs
+    # 174s fused cold on a 50k conv-tap run, identical results) — after the
+    # first big run records the key, every later run gets the fused path as
+    # a pure disk hit.
     fused_env = os.environ.get("GANSPACE_FUSED_ACTS", "auto")
+    fused_min_n = int(os.environ.get("GANSPACE_FUSED_ACTS_MIN_N", 20_000))
     fused_key = "|".join([config.model, str(config.output_class), layer_key,
                           f"b{batch}", f"D{sample_dims}",
                           transformer.get_param_str()])
-    fused_on = (_fused_acts_cached(fused_key) if fused_env == "auto"
-                else fused_env == "1")
+    fused_on = (fused_env == "1"
+                or (fused_env == "auto"
+                    and (_fused_acts_cached(fused_key)
+                         or n_total >= fused_min_n)))
     fused_acts = (fused_on
                   and acts_fp is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")

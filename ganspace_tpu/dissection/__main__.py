@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--features mode (reference --segments)")
     p.add_argument("--outdir", default="out/dissect")
     p.add_argument("--samples", type=int, default=256)
+    p.add_argument("--sample-seed", type=int, default=None, metavar="SEED",
+                   help="classifier mode: dissect a seeded-shuffle random "
+                        "subset of --samples dataset items instead of the "
+                        "first --samples (reference FixedRandomSubsetSampler"
+                        ", netdissect/sampler.py:45)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--quantile", type=_strfloat, default=0.995,
@@ -241,10 +246,15 @@ def _dissect_classifier_cli(args, outroot: Path) -> int:
             else outroot / display.replace("/", "_")
         say(f"dissecting {args.features}[{layer or 'features'}] "
             f"vs {args.broden} -> {outdir}")
+        sampler = None
+        if args.sample_seed is not None:
+            from ganspace_tpu.dissection.sampler import FixedRandomSubsetSampler
+            sampler = FixedRandomSubsetSampler(ds, end=args.samples,
+                                               seed=args.sample_seed)
         report = dissect_classifier(
             features_fn, ds, ds.labels, categories=categories,
             batch=args.batch, level_quantile=lq, limit=args.samples,
-            workers=args.workers)
+            workers=args.workers, sampler=sampler)
         if layer:
             report["layer"] = display
         if args.netname:

@@ -45,13 +45,18 @@ def _loader_workers() -> int:
     return min(8, os.cpu_count() or 1)
 
 
-def _iter_items(dataset, n: int, workers: Optional[int] = None):
-    """Yield ``dataset[0..n)`` in order, decoding up to 2x``workers`` items
-    ahead on a thread pool (bounded, so huge datasets never pile up in RAM).
-    Worker exceptions surface at the yield point for the failing index."""
+def _iter_items(dataset, n: int, workers: Optional[int] = None,
+                indices=None):
+    """Yield ``dataset[0..n)`` (or ``dataset[i] for i in indices[:n]`` when a
+    sampler's index sequence is given) in order, decoding up to 2x``workers``
+    items ahead on a thread pool (bounded, so huge datasets never pile up in
+    RAM).  Worker exceptions surface at the yield point for the failing
+    index."""
+    idx = list(range(n)) if indices is None else list(indices)[:n]
+    n = len(idx)
     w = _loader_workers() if workers is None else max(1, int(workers))
     if w <= 1 or n <= 1:
-        for i in range(n):
+        for i in idx:
             yield dataset[i]
         return
     from concurrent.futures import ThreadPoolExecutor
@@ -59,12 +64,12 @@ def _iter_items(dataset, n: int, workers: Optional[int] = None):
     with ThreadPoolExecutor(w) as pool:
         depth = min(2 * w, n)
         futures = deque(pool.submit(dataset.__getitem__, i)
-                        for i in range(depth))
+                        for i in idx[:depth])
         next_i = depth
         while futures:
             item = futures.popleft().result()
             if next_i < n:
-                futures.append(pool.submit(dataset.__getitem__, next_i))
+                futures.append(pool.submit(dataset.__getitem__, idx[next_i]))
                 next_i += 1
             yield item
 
@@ -146,13 +151,16 @@ class BrodenDataset:
         return img, seg, rec
 
     def batches(self, batch_size: int, limit: Optional[int] = None,
-                workers: Optional[int] = None
+                workers: Optional[int] = None, sampler=None
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield stacked (images [B,3,H,W], segs [B,C,H,W]) batches; images
         in a batch must share a resolution (broden is fixed-size per split).
-        Items decode on a prefetching thread pool (see :func:`_iter_items`)."""
-        n = len(self) if limit is None else min(limit, len(self))
-        it = _iter_items(self, n, workers)
+        Items decode on a prefetching thread pool (see :func:`_iter_items`).
+        ``sampler``: an index sequence (e.g. ``FixedRandomSubsetSampler``)
+        selecting WHICH items, in which order; ``limit`` then caps it."""
+        avail = len(self) if sampler is None else len(sampler)
+        n = avail if limit is None else min(limit, avail)
+        it = _iter_items(self, n, workers, indices=sampler)
         while items := list(islice(it, batch_size)):
             yield (np.stack([it_[0] for it_ in items]),
                    np.stack([it_[1] for it_ in items]))
@@ -283,10 +291,11 @@ class ParallelImageFolders:
         return tuple(arrs)
 
     def batches(self, batch_size: int, limit: Optional[int] = None,
-                workers: Optional[int] = None
+                workers: Optional[int] = None, sampler=None
                 ) -> Iterator[Tuple[np.ndarray, ...]]:
-        n = len(self) if limit is None else min(limit, len(self))
-        it = _iter_items(self, n, workers)
+        avail = len(self) if sampler is None else len(sampler)
+        n = avail if limit is None else min(limit, avail)
+        it = _iter_items(self, n, workers, indices=sampler)
         while items := list(islice(it, batch_size)):
             yield tuple(np.stack([it_[j] for it_ in items])
                         for j in range(len(items[0])))
@@ -385,8 +394,9 @@ class MultiSegmentDataset:
         return img, segout, bincount
 
     def batches(self, batch_size: int, limit: Optional[int] = None,
-                workers: Optional[int] = None):
-        n = len(self) if limit is None else min(limit, len(self))
-        it = _iter_items(self, n, workers)
+                workers: Optional[int] = None, sampler=None):
+        avail = len(self) if sampler is None else len(sampler)
+        n = avail if limit is None else min(limit, avail)
+        it = _iter_items(self, n, workers, indices=sampler)
         while items := list(islice(it, batch_size)):
             yield tuple(np.stack([it_[j] for it_ in items]) for j in range(3))

@@ -30,7 +30,7 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
                        *, categories: Optional[Sequence[str]] = None,
                        batch: int = 16, level_quantile: float = 0.995,
                        samplesize: int = 1024, limit: Optional[int] = None,
-                       workers: Optional[int] = None) -> Dict:
+                       workers: Optional[int] = None, sampler=None) -> Dict:
     """``features_fn(images [B,3,H,W]) -> activations [B,U,h,w]``;
     ``dataset`` yields (images, seg [B,C,H,W]) via ``.batches`` (broden).
 
@@ -46,7 +46,7 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
     # reference segdata.py returns the bincount as a third element).
     rq: Optional[RunningQuantile] = None
     n_images = 0
-    for images, *_ in dataset.batches(batch, limit=limit, workers=workers):
+    for images, *_ in dataset.batches(batch, limit=limit, workers=workers, sampler=sampler):
         act = jnp.asarray(features_fn(jnp.asarray(images)))
         if act.ndim == 2:
             act = act[:, :, None, None]
@@ -77,7 +77,7 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
         seg_count = seg_count + jnp.sum(onehot, axis=(0, 1, 2))
         return inter, act_count, seg_count
 
-    for images, seg, *_ in dataset.batches(batch, limit=limit,
+    for images, seg, *_ in dataset.batches(batch, limit=limit, sampler=sampler,
                                             workers=workers):
         act = jnp.asarray(features_fn(jnp.asarray(images)))
         if act.ndim == 2:
@@ -118,10 +118,11 @@ def dissect_classifier(features_fn: Callable, dataset, labels: Sequence[str],
 
 def segment_dataset(segmenter, dataset, *, batch: int = 16,
                     limit: Optional[int] = None,
-                    workers: Optional[int] = None) -> List[np.ndarray]:
+                    workers: Optional[int] = None,
+                    sampler=None) -> List[np.ndarray]:
     """Image-only mode: segment every dataset image; returns label maps."""
     out: List[np.ndarray] = []
-    for images, *_ in dataset.batches(batch, limit=limit, workers=workers):
+    for images, *_ in dataset.batches(batch, limit=limit, workers=workers, sampler=sampler):
         seg = np.asarray(segmenter.segment_batch(jnp.asarray(images)))
         out.extend(list(seg))
     return out
