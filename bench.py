@@ -113,6 +113,16 @@ def main():
     if os.environ.get("GANSPACE_BENCH_PARITY", "1") == "1":
         parity = _bench_parity(inst.model)
 
+    # Leg #4: the big-D conv-tap decomposition — the production hard case
+    # (SURVEY.md §5 long-context: streaming D~1e5 activations).  Z-space
+    # StyleGAN2-1024 tapped at convs.2 (D = 512*16*16 = 131072, Nystrom
+    # sketch + refine tier), full get_or_compute pipeline incl. the fused
+    # regression sweep.  Cold includes any scan compiles (disk-cached
+    # after the first ever run); steady is the recurring cost.
+    convtap = {}
+    if os.environ.get("GANSPACE_BENCH_CONVTAP", "1") == "1":
+        convtap = _bench_convtap(n_chips)
+
     sps = n / steady_s
     sps_chip = sps / n_chips
     baseline_sps_chip = 1_000_000 / 60.0 / 8.0  # north-star v5p-8 target
@@ -126,11 +136,52 @@ def main():
         "warmup_s": round(warmup_s, 1),
         **img_s,
         **parity,
+        **convtap,
     }
     print(json.dumps(result))
     print(f"# cold {cold_s:.1f}s / steady {steady_s:.1f}s for n={n} on "
           f"{n_chips} chip(s); warmup {warmup_s:.1f}s; {img_s}",
           file=sys.stderr)
+
+
+def _bench_convtap(n_chips: int) -> dict:
+    """Big-D conv-tap decomposition throughput (production activation-space
+    path: device-RNG fused fit stream, Nystrom+refine, fused regression,
+    npz write).  Reports steady samples/s/chip plus the cold/steady split."""
+    import tempfile
+
+    from ganspace_tpu.config import Config
+    from ganspace_tpu.decomposition import get_or_compute
+    from ganspace_tpu.models import get_instrumented_model
+
+    n = int(os.environ.get("GANSPACE_BENCH_CONVTAP_N", 50_000))
+    with tempfile.TemporaryDirectory() as tmp:
+        prev = os.environ.get("GANSPACE_OUTPUT_DIR")
+        os.environ["GANSPACE_OUTPUT_DIR"] = tmp
+        try:
+            cfg = Config(model="StyleGAN2", output_class="ffhq",
+                         layer="convs.2", estimator="ipca", components=80,
+                         n=n)
+            inst = get_instrumented_model(cfg, use_w=False)
+            inst.model.use_z()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                path = get_or_compute(cfg, inst, force_recompute=True)
+                runs.append(time.perf_counter() - t0)
+            with np.load(path) as d:
+                assert d["act_comp"].shape == (80, 1, 512, 16, 16)
+                d_dim = int(np.prod(d["act_comp"].shape[1:]))
+        finally:
+            if prev is None:
+                os.environ.pop("GANSPACE_OUTPUT_DIR", None)
+            else:
+                os.environ["GANSPACE_OUTPUT_DIR"] = prev
+    cold_s, steady_s = runs[0], min(runs)
+    return {"convtap_samples_s_chip": round(n / steady_s / n_chips, 1),
+            "convtap_cold_s": round(cold_s, 2),
+            "convtap_steady_s": round(steady_s, 2),
+            "convtap_D": d_dim, "convtap_n": n}
 
 
 def _bench_parity(model, n: int = 20_000, c: int = 10) -> dict:

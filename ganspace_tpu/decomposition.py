@@ -316,30 +316,75 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
 
     import jax as _jax
 
-    @_jax.jit
-    def accumulate(g, r, z_sum, act, z):
-        # One program per batch (project + three reductions): on a mesh the
-        # whole step is a single collective program instead of six eager
-        # ops, each its own cross-device rendezvous.
-        coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
-        zf = z.reshape(z.shape[0], -1)
-        return (g + mm(coords.T, coords), r + mm(coords.T, zf),
-                z_sum + jnp.sum(zf, axis=0))
+    # Fused scanned regression: generation (device RNG) + synthesis-to-tap +
+    # projection + normal-equation update in chunk-sized scan dispatches —
+    # the regression analog of the fit stream.  Falls back to the eager
+    # per-batch loop for models without a pure tap path or under
+    # GANSPACE_DEVICE_RNG=0 (bit-exact host draws).
+    fp = None
+    if os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
+        try:
+            fp = model.pure_acts_fn_p(layer)
+        except Exception:
+            fp = None
+    dim = model._gaussian_latent_dim() if fp is not None else None
+    if dim is not None:
+        from functools import partial as _partial
+        fn, pack = fp
+        key0 = _jax.random.PRNGKey(SEED_LINREG)
+        batch_sh = batch_sharding(mesh) if mesh is not None else None
 
-    # Serialize collective programs ONLY on emulated meshes: there, async
-    # dispatch stacks many in-flight all-reduces and the N virtual devices
-    # (sharing few cores) starve the rendezvous of live threads — XLA:CPU
-    # aborts after its 40 s timeout.  On real TPU meshes the runtime
-    # pipelines collectives fine, and a per-batch sync would forfeit the
-    # async-dispatch overlap between synthesis and reduction.
-    emulated = mesh is not None and mesh.devices.flat[0].platform == "cpu"
-    for _ in range(n_samp // batch):
-        z = shard_batch(model.sample_latent(batch), mesh)
-        model.partial_forward(z, layer)
-        act = inst.retained_features()[layer].reshape(batch, -1)
-        g, r, z_sum = accumulate(g, r, z_sum, act, jnp.asarray(z))
-        if emulated:
-            _jax.block_until_ready(g)
+        @_partial(_jax.jit, static_argnames=("k",))
+        def scan_pass(carry, i0, pack, comp_flat, mean, stdev, *, k):
+            def body(c, i):
+                gg, rr, zs = c
+                zg = _jax.random.normal(_jax.random.fold_in(key0, i0 + i),
+                                        (batch, dim), jnp.float32)
+                if batch_sh is not None:
+                    zg = _jax.lax.with_sharding_constraint(zg, batch_sh)
+                lat = model._latents_from_gaussian(zg)
+                a = fn(pack, lat)
+                coords = mm(a - mean[None, :], comp_flat.T) / stdev[None, :]
+                zf = lat.reshape(lat.shape[0], -1)
+                return (gg + mm(coords.T, coords), rr + mm(coords.T, zf),
+                        zs + jnp.sum(zf, axis=0)), None
+            carry, _ = _jax.lax.scan(body, carry, jnp.arange(k))
+            return carry
+
+        chunk = 16
+        n_blocks = n_samp // batch
+        carry, i = (g, r, z_sum), 0
+        while i < n_blocks:
+            k = min(chunk, n_blocks - i)
+            carry = scan_pass(carry, jnp.int32(i), pack, comp_flat,
+                              mean.reshape(-1), stdev, k=k)
+            i += k
+        g, r, z_sum = carry
+    else:
+        @_jax.jit
+        def accumulate(g, r, z_sum, act, z):
+            # One program per batch (project + three reductions): on a mesh
+            # the whole step is a single collective program instead of six
+            # eager ops, each its own cross-device rendezvous.
+            coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
+            zf = z.reshape(z.shape[0], -1)
+            return (g + mm(coords.T, coords), r + mm(coords.T, zf),
+                    z_sum + jnp.sum(zf, axis=0))
+
+        # Serialize collective programs ONLY on emulated meshes: there,
+        # async dispatch stacks many in-flight all-reduces and the N virtual
+        # devices (sharing few cores) starve the rendezvous of live threads
+        # — XLA:CPU aborts after its 40 s timeout.  On real TPU meshes the
+        # runtime pipelines collectives fine, and a per-batch sync would
+        # forfeit the async-dispatch overlap of synthesis and reduction.
+        emulated = mesh is not None and mesh.devices.flat[0].platform == "cpu"
+        for _ in range(n_samp // batch):
+            z = shard_batch(model.sample_latent(batch), mesh)
+            model.partial_forward(z, layer)
+            act = inst.retained_features()[layer].reshape(batch, -1)
+            g, r, z_sum = accumulate(g, r, z_sum, act, jnp.asarray(z))
+            if emulated:
+                _jax.block_until_ready(g)
 
     # M^T = (A^T A)^-1 A^T Z ; rows of M^T are the latent-space directions.
     m_t = np.asarray(jnp.linalg.solve(g, r))
