@@ -77,6 +77,35 @@ class ParamCache:
         return dirty
 
 
+class FrameCache:
+    """Bounded LRU of rendered uint8 frames keyed by edit-state digest."""
+
+    def __init__(self, capacity: int = 64):
+        from collections import OrderedDict
+        self._d = OrderedDict()
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        frame = self._d.get(key)
+        if frame is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return frame
+
+    def put(self, key, frame) -> None:
+        self._d[key] = frame
+        self._d.move_to_end(key)
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+
 class Session:
     def __init__(self, args: Config, n_sliders: int = 70,
                  preview_size: Optional[int] = None):
@@ -100,6 +129,23 @@ class Session:
         self.edit_layer_start = 0
         self.edit_layer_end = self.model.get_max_latents()  # exclusive
         self.img = None
+
+        # Speculative frame queue (SURVEY §7(e)): rendered frames are
+        # memoized by edit-state digest, and an idle worker pre-renders the
+        # NEIGHBORING positions of the last-moved slider (the UI quantizes
+        # drags to 0.1 steps, so the next drag position is predictable) —
+        # through a slow relay the perceived latency of a cache hit is
+        # encode+transfer only, no device round trip.
+        self.lock = threading.RLock()
+        self.frame_cache = FrameCache()
+        self.speculate_step = 0.1            # the web UI's slider step
+        self.speculate_neighbors = (1, -1, 2, -2)
+        self._prev_sliders = None
+        self._last_moved: Optional[int] = None
+        self._spec_gen = 0
+        self._spec_event = threading.Event()
+        self._spec_stop = threading.Event()
+        self._spec_thread: Optional[threading.Thread] = None
 
         if args.inputs:
             self.load_named_components(args.inputs, args.output_class)
@@ -233,16 +279,56 @@ class Session:
     # -- rendering -----------------------------------------------------------
     def render(self, force=False) -> np.ndarray:
         """Recompute the image if any edit parameter changed
-        (reference ``on_draw``, ``interactive.py:412-477``)."""
-        c = self.components
-        latent_start, latent_end = self.edit_layer_start, self.edit_layer_end
-        dirty = self.cache.update(coords=self.sliders.copy(),
-                                  comp=self.state.component_class,
-                                  mode=self.mode, z=np.asarray(self.state.z),
-                                  s=latent_start, e=latent_end)
-        if not (dirty or force) and self.img is not None:
-            return self.img
+        (reference ``on_draw``, ``interactive.py:412-477``); serves a
+        speculatively pre-rendered frame when one matches."""
+        with self.lock:
+            latent_start, latent_end = self.edit_layer_start, self.edit_layer_end
+            dirty = self.cache.update(coords=self.sliders.copy(),
+                                      comp=self.state.component_class,
+                                      mode=self.mode,
+                                      z=np.asarray(self.state.z),
+                                      s=latent_start, e=latent_end)
+            if dirty and self._prev_sliders is not None:
+                changed = np.nonzero(self.sliders != self._prev_sliders)[0]
+                if len(changed) == 1:
+                    self._last_moved = int(changed[0])
+            self._prev_sliders = self.sliders.copy()
+            if not (dirty or force) and self.img is not None:
+                return self.img
+            key = self._frame_key(self.sliders)
+            if not force:
+                hit = self.frame_cache.get(key)
+                if hit is not None:
+                    self.img = hit
+                    self._poke_speculation()
+                    return hit
+            img = self._compute_frame(self.sliders, latent_start, latent_end)
+            self.frame_cache.put(key, img)
+            self.img = img
+            self._poke_speculation()
+            return img
 
+    def _frame_key(self, sliders) -> bytes:
+        """Digest of everything a frame depends on.  Slider values round to
+        1e-5 so a speculated grid position and the UI's float of the same
+        position share a key."""
+        import hashlib
+        h = hashlib.sha1()
+        h.update(np.round(np.asarray(sliders, np.float64), 5).tobytes())
+        h.update(np.asarray(self.state.z, np.float32).tobytes())
+        for off in (self.state.lat_slider_offset, self.state.act_slider_offset):
+            if isinstance(off, (np.ndarray, jnp.ndarray)):
+                h.update(np.asarray(off, np.float32).tobytes())
+            else:
+                h.update(str(off).encode())
+        h.update(f"{self.mode}|{self.edit_layer_start}|{self.edit_layer_end}|"
+                 f"{self.truncation}|{self.state.component_class}|"
+                 f"{self.use_named_latents}|{self.preview_size}".encode())
+        return h.digest()
+
+    def _compute_frame(self, sliders, latent_start, latent_end) -> np.ndarray:
+        """The device render for an explicit slider vector (no caching)."""
+        c = self.components
         z_base = self.state.z - self.state.lat_slider_offset
         n_latent = self.model.get_max_latents()
         z_deltas = [0.0] * n_latent
@@ -257,7 +343,7 @@ class Session:
                 "Cannot mix latent spaces (for now)"
 
         for ci in range(self.n_sliders):
-            coord = float(self.sliders[ci])
+            coord = float(sliders[ci])
             if coord == 0:
                 continue
             edit_mode = c.types[ci] if self.use_named_latents else self.mode
@@ -290,8 +376,69 @@ class Session:
         # uint8 HWC, 4x less readback than float32 NCHW (at 1024px the
         # readback, not synthesis, dominates frame latency).
         u8 = _frame_u8(img, max_hw=self.preview_size)
-        self.img = np.asarray(u8, dtype=np.uint8)
-        return self.img
+        return np.asarray(u8, dtype=np.uint8)
+
+    # -- speculative frame queue --------------------------------------------
+    def start_speculation(self) -> None:
+        """Start the idle pre-render worker (used by ``serve``)."""
+        if self._spec_thread is not None:
+            return
+        self._spec_stop.clear()
+        self._spec_thread = threading.Thread(target=self._speculate_loop,
+                                             daemon=True,
+                                             name="ganspace-speculate")
+        self._spec_thread.start()
+
+    def stop_speculation(self) -> None:
+        if self._spec_thread is None:
+            return
+        self._spec_stop.set()
+        self._spec_event.set()
+        self._spec_thread.join(timeout=5)
+        self._spec_thread = None
+
+    def _poke_speculation(self) -> None:
+        self._spec_gen += 1
+        self._spec_event.set()
+
+    def _speculate_once(self, gen: Optional[int] = None) -> int:
+        """Pre-render the neighboring positions of the last-moved slider;
+        returns how many frames were added.  Aborts between neighbors when
+        a newer interaction supersedes ``gen``."""
+        moved = self._last_moved
+        if moved is None:
+            return 0
+        base = self.sliders.copy()
+        s, e = self.edit_layer_start, self.edit_layer_end
+        added = 0
+        for step in self.speculate_neighbors:
+            if gen is not None and (self._spec_gen != gen
+                                    or self._spec_stop.is_set()):
+                break
+            trial = base.copy()
+            trial[moved] = np.float32(
+                round(float(base[moved]) + step * self.speculate_step, 5))
+            with self.lock:
+                if gen is not None and self._spec_gen != gen:
+                    break
+                key = self._frame_key(trial)
+                if self.frame_cache._d.get(key) is not None:
+                    continue
+                self.frame_cache.put(key, self._compute_frame(trial, s, e))
+                added += 1
+        return added
+
+    def _speculate_loop(self) -> None:
+        import time as _t
+        while not self._spec_stop.is_set():
+            if not self._spec_event.wait(timeout=0.5):
+                continue
+            self._spec_event.clear()
+            gen = self._spec_gen
+            _t.sleep(0.02)           # let a drag burst settle
+            if self._spec_gen != gen or self._spec_stop.is_set():
+                continue
+            self._speculate_once(gen)
 
     def render_np(self) -> np.ndarray:
         """[H, W*B, 3] uint8 tile of the current batch."""
@@ -321,6 +468,26 @@ class Session:
         self.sliders[0] = 0.0
         ms = lambda xs: 1e3 * float(np.median(xs))  # noqa: E731
         return ms(synth), ms(read), ms(total)
+
+    def time_frame_speculative(self, iters: int = 9):
+        """Median frame latency when the idle worker pre-rendered the next
+        slider position (the SURVEY §7(e) perceived-latency companion to
+        :meth:`time_frame`): a hit skips the device round trip entirely."""
+        import time as _t
+        self.render(force=True)
+        hit_ms = []
+        for i in range(iters):
+            self.sliders[0] = np.float32(round(0.1 * (i + 1), 5))
+            self.render()                 # the drag lands here...
+            self._last_moved = 0
+            self._speculate_once()        # ...idle worker fills neighbors
+            self.sliders[0] = np.float32(round(0.1 * (i + 2), 5))
+            t0 = _t.perf_counter()
+            self.render()
+            hit_ms.append(_t.perf_counter() - t0)
+        self.sliders[0] = 0.0
+        self.render()
+        return 1e3 * float(np.median(hit_ms))
 
     # -- export --------------------------------------------------------------
     def export_direction(self, idx: int, name: str, sigma_range: float = 2.0,
@@ -428,7 +595,7 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
 
     from PIL import Image
 
-    lock = threading.Lock()
+    lock = session.lock
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -525,9 +692,13 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
 def serve(session: Session, host: str = "127.0.0.1", port: int = 8080):
     """Serve the session as a single-page web UI (blocks)."""
     server = make_server(session, host, port)
+    session.start_speculation()
     print(f"ganspace-tpu interactive viewer at "
           f"http://{host}:{server.server_address[1]}/")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        session.stop_speculation()
 
 
 def apply_preview_precision(args) -> None:

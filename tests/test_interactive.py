@@ -189,3 +189,58 @@ def test_viewer_http_endpoints(session):
     finally:
         server.shutdown()
         session.sliders[:] = 0.0
+
+
+def test_speculative_frame_cache(session):
+    """Pre-rendered neighbor frames are served from the cache: same pixels,
+    no second device render for the same edit state."""
+    s = session
+    s.frame_cache._d.clear()
+    s.sliders[:] = 0
+    s.sliders[0] = np.float32(0.1)
+    first = s.render(force=True).copy()
+    assert len(s.frame_cache) >= 1
+
+    # idle worker pre-renders the neighbors of the moved slider
+    s._last_moved = 0
+    added = s._speculate_once()
+    assert added >= 2   # +-1, +-2 steps (minus any already-cached)
+
+    # moving to the speculated position is a cache hit with identical pixels
+    hits_before = s.frame_cache.hits
+    s.sliders[0] = np.float32(0.2)
+    frame_fast = s.render()
+    assert s.frame_cache.hits == hits_before + 1
+    s.frame_cache._d.clear()
+    s.cache.update(coords=None)   # dirty so render recomputes
+    frame_slow = s.render(force=True)
+    np.testing.assert_array_equal(frame_fast, frame_slow)
+    assert not np.array_equal(first, frame_fast)  # a real different frame
+
+    # returning to the base position also hits (it was cached on render)
+    s.sliders[0] = np.float32(0.1)
+
+
+def test_speculation_thread_lifecycle(session):
+    s = session
+    s.start_speculation()
+    assert s._spec_thread is not None and s._spec_thread.is_alive()
+    s.sliders[0] = np.float32(0.3)
+    s.render(force=True)
+    import time
+    deadline = time.time() + 10
+    while time.time() < deadline and len(s.frame_cache) < 3:
+        time.sleep(0.1)
+    s.stop_speculation()
+    assert s._spec_thread is None
+    assert len(s.frame_cache) >= 3   # worker filled neighbors
+
+    s.sliders[0] = 0.0
+    s.render()
+
+
+def test_time_frame_speculative(session):
+    fast_ms = session.time_frame_speculative(iters=3)
+    synth_ms, read_ms, total_ms = session.time_frame(iters=3)
+    # a cache hit must be much cheaper than a full device frame
+    assert fast_ms < max(1.0, 0.5 * total_ms)
