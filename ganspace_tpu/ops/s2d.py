@@ -251,7 +251,11 @@ def modulated_conv3x3_blocks(x_blk, weight, styles, *, demodulate=True):
     scale = 1.0 / math.sqrt(c * weight.shape[2] * weight.shape[3])
     w = scale * weight
     x = scale_phase_channels(x_blk, styles)
-    y = _conv(x, conv3x3_block_kernel(w), padding=((1, 1), (1, 1)))
+    from ganspace_tpu.ops.pallas import blockconv
+    if blockconv.enabled() and blockconv.supported(c):
+        y = blockconv.conv3x3_blocks_pallas(x, w)
+    else:
+        y = _conv(x, conv3x3_block_kernel(w), padding=((1, 1), (1, 1)))
     if demodulate:
         y = scale_phase_channels(y, _demod_scales(w, styles.astype(w.dtype)))
     return y
@@ -377,7 +381,16 @@ def nearestup_conv_blocks(x, w, *, pixel_input=False):
 
 
 def conv3x3_blocks(x_blk, w):
-    """Plain stride-1 3x3 correlation (pad 1) in block space."""
+    """Plain stride-1 3x3 correlation (pad 1) in block space.
+
+    ``GANSPACE_PALLAS_CONV=1`` routes supported shapes through the
+    experimental exact-im2col Pallas kernel (``ops/pallas/blockconv``) —
+    measured 2 orders of magnitude SLOWER on v5e (lane-granular phase
+    extraction runs on the VPU; see docs/PERFORMANCE.md), kept for
+    evaluation on other TPU generations/toolchains."""
+    from ganspace_tpu.ops.pallas import blockconv
+    if blockconv.enabled() and blockconv.supported(x_blk.shape[-1] // 4):
+        return blockconv.conv3x3_blocks_pallas(x_blk, w)
     return _conv(x_blk, conv3x3_block_kernel(w), padding=((1, 1), (1, 1)))
 
 
