@@ -145,6 +145,7 @@ class Session:
         self._spec_gen = 0
         self._spec_event = threading.Event()
         self._spec_stop = threading.Event()
+        self._user_waiting = threading.Event()
         self._spec_thread: Optional[threading.Thread] = None
 
         if args.inputs:
@@ -404,16 +405,19 @@ class Session:
     def _speculate_once(self, gen: Optional[int] = None) -> int:
         """Pre-render the neighboring positions of the last-moved slider;
         returns how many frames were added.  Aborts between neighbors when
-        a newer interaction supersedes ``gen``."""
+        a newer interaction supersedes ``gen`` or a user request is waiting
+        on the lock (worst case the user waits for ONE in-flight neighbor
+        render).  All frame-state reads happen under the lock so the cache
+        key and the rendered frame always agree."""
         moved = self._last_moved
         if moved is None:
             return 0
         base = self.sliders.copy()
-        s, e = self.edit_layer_start, self.edit_layer_end
         added = 0
         for step in self.speculate_neighbors:
             if gen is not None and (self._spec_gen != gen
-                                    or self._spec_stop.is_set()):
+                                    or self._spec_stop.is_set()
+                                    or self._user_waiting.is_set()):
                 break
             trial = base.copy()
             trial[moved] = np.float32(
@@ -421,6 +425,9 @@ class Session:
             with self.lock:
                 if gen is not None and self._spec_gen != gen:
                     break
+                # read the edit window INSIDE the lock: the key digests the
+                # live window, so the frame must be rendered with the same
+                s, e = self.edit_layer_start, self.edit_layer_end
                 key = self._frame_key(trial)
                 if self.frame_cache._d.get(key) is not None:
                     continue
@@ -618,8 +625,12 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
                     outclass=str(session.model.outclass))
                 self._send(200, page.encode())
             elif url.path == "/frame.jpg":
-                with lock:
-                    frame = session.render_np()
+                session._user_waiting.set()
+                try:
+                    with lock:
+                        frame = session.render_np()
+                finally:
+                    session._user_waiting.clear()
                 buf = io.BytesIO()
                 Image.fromarray(frame).save(buf, format="JPEG", quality=92)
                 self._send(200, buf.getvalue(), "image/jpeg")

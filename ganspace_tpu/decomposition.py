@@ -142,6 +142,9 @@ def _hbm_bytes() -> int:
     return 16 << 30
 
 
+_AUTOTUNE_MEMO: dict = {}
+
+
 def _autotune_registry() -> Optional[str]:
     import jax
     cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
@@ -210,9 +213,12 @@ def _analyzed_batch_size(model, layer_name: str) -> Optional[int]:
     kind = getattr(jax.devices()[0], "device_kind", "unknown")
     key = "|".join([getattr(model, "name", model.model_name), layer_name,
                     str(synth_dtype_name()), kind, f"hbm{hbm}", f"f{frac}"])
+    if key in _AUTOTUNE_MEMO:          # in-process memo: the registry file
+        return _AUTOTUNE_MEMO[key]     # may be absent (no compile cache dir)
     reg = _autotune_registry()
     cached = _registry_get(reg, key)
     if cached:
+        _AUTOTUNE_MEMO[key] = int(cached)
         return int(cached)
 
     dim = model.get_latent_dims()
@@ -244,6 +250,7 @@ def _analyzed_batch_size(model, layer_name: str) -> Optional[int]:
           f"(params {params_bytes / 1e9:.2f} GB) -> B={b} "
           f"(~{(params_bytes + b * per_sample) / 1e9:.1f} GB of "
           f"{frac:.0%} x {hbm >> 30} GB HBM)")
+    _AUTOTUNE_MEMO[key] = b
     _registry_put(reg, key, b)
     return b
 
@@ -321,29 +328,42 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     # the regression analog of the fit stream.  Falls back to the eager
     # per-batch loop for models without a pure tap path or under
     # GANSPACE_DEVICE_RNG=0 (bit-exact host draws).
+    # Same amortization policy as the fused fit stream: the scan-wrapped
+    # synthesis compile only pays off above GANSPACE_FUSED_ACTS_MIN_N
+    # samples (afterwards it's a persistent-cache disk hit either way);
+    # small runs keep the eager loop that reuses partial_forward's
+    # already-compiled program.
+    fused_env = os.environ.get("GANSPACE_FUSED_ACTS", "auto")
+    fused_min_n = int(os.environ.get("GANSPACE_FUSED_ACTS_MIN_N", 20_000))
+    want_fused = (fused_env == "1"
+                  or (fused_env == "auto" and n_samp >= fused_min_n))
     fp = None
-    if os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
+    if want_fused and os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
         try:
-            fp = model.pure_acts_fn_p(layer)
+            fp = model.gaussian_acts_fn_p(layer)
         except Exception:
             fp = None
     dim = model._gaussian_latent_dim() if fp is not None else None
     if dim is not None:
         from functools import partial as _partial
         fn, pack = fp
+        lfn, lpack = model.latents_from_gaussian_p()
         key0 = _jax.random.PRNGKey(SEED_LINREG)
         batch_sh = batch_sharding(mesh) if mesh is not None else None
 
         @_partial(_jax.jit, static_argnames=("k",))
-        def scan_pass(carry, i0, pack, comp_flat, mean, stdev, *, k):
+        def scan_pass(carry, i0, pack, lpack, comp_flat, mean, stdev, *, k):
             def body(c, i):
                 gg, rr, zs = c
                 zg = _jax.random.normal(_jax.random.fold_in(key0, i0 + i),
                                         (batch, dim), jnp.float32)
                 if batch_sh is not None:
                     zg = _jax.lax.with_sharding_constraint(zg, batch_sh)
-                lat = model._latents_from_gaussian(zg)
-                a = fn(pack, lat)
+                # regression targets the model's primary latent space; the
+                # transform's weights ride as operands (lpack), and its
+                # duplicate inside fn is CSE'd by XLA
+                lat = lfn(lpack, zg)
+                a = fn(pack, zg)
                 coords = mm(a - mean[None, :], comp_flat.T) / stdev[None, :]
                 zf = lat.reshape(lat.shape[0], -1)
                 return (gg + mm(coords.T, coords), rr + mm(coords.T, zf),
@@ -356,7 +376,7 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
         carry, i = (g, r, z_sum), 0
         while i < n_blocks:
             k = min(chunk, n_blocks - i)
-            carry = scan_pass(carry, jnp.int32(i), pack, comp_flat,
+            carry = scan_pass(carry, jnp.int32(i), pack, lpack, comp_flat,
                               mean.reshape(-1), stdev, k=k)
             i += k
         g, r, z_sum = carry
@@ -687,13 +707,13 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         import jax as _jax
         seed0 = config.seed or SEED_SAMPLING
         dim = model._gaussian_latent_dim()
-        acts_pure, acts_pack = acts_fp
+        acts_pure, acts_pack = model.gaussian_acts_fn_p(layer_key)
 
         def block_fn(pack, k):
             z = _jax.random.normal(k, (batch, dim), jnp.float32)
             if batch_sh is not None:
                 z = _jax.lax.with_sharding_constraint(z, batch_sh)
-            a = acts_pure(pack, model._latents_from_gaussian(z))
+            a = acts_pure(pack, z)
             if feat_sh is not None:
                 # batch-sharded synthesis -> feature-sharded estimator
                 # (all-to-all over ICI, inside the same compiled program)

@@ -236,6 +236,33 @@ class BaseGenerator(ABC):
         fn, pack = fp
         return lambda lat: fn(pack, lat)
 
+    def latents_from_gaussian_p(self):
+        """``(fn, pack)`` with ``fn(pack, gauss) -> primary-space latents``,
+        transform weights as operands (None when the model has no gaussian
+        stream).  Identity for Z-primary models; W-primary models override
+        with the pack-parameterized mapping network."""
+        if self._gaussian_latent_dim() is None:
+            return None
+        return (lambda pack, z: z), ()
+
+    def gaussian_acts_fn_p(self, layer_name: str):
+        """``(fn, pack)`` with ``fn(pack, gauss) -> activations [n, -1]``:
+        the RAW-gaussian-input variant of ``pure_acts_fn_p`` (latent
+        transform included, its weights as operands too).  Default covers
+        models whose gaussian->latent transform is the identity; W-primary
+        models override so the mapping network's weights ride in the pack
+        instead of being baked into scanned programs as constants."""
+        if self._gaussian_latent_dim() is None:
+            return None
+        fp = self.pure_acts_fn_p(layer_name)
+        if fp is None:
+            return None
+        fn, pack = fp
+
+        def gfn(pack, z):
+            return fn(pack, self._latents_from_gaussian(z))
+        return gfn, pack
+
     # -- threaded pre-sampling ------------------------------------------------
     def _gaussian_latent_dim(self) -> Optional[int]:
         """Raw host-gaussian dim when ``sample_latent`` is 'global-stream

@@ -447,6 +447,28 @@ class StyleGAN2(BaseGenerator):
     def _latents_from_gaussian(self, z):
         return self._map_to_w(z) if self.w_primary else z
 
+    def latents_from_gaussian_p(self):
+        if not self.w_primary:
+            return (lambda pack, z: z), ()
+        n_mlp = self.cfg.n_mlp
+        return (lambda params, z: _mapping(params, z, n_mlp)), self.params
+
+    def gaussian_acts_fn_p(self, layer_name: str):
+        """Raw-gaussian tap function with the mapping network's weights in
+        the pack (see models/base.py) — nothing bakes into scanned programs."""
+        fp = self.pure_acts_fn_p(layer_name)
+        if fp is None:
+            return None
+        fn, pack = fp
+        if not self.w_primary:
+            return fn, pack
+        n_mlp = self.cfg.n_mlp
+
+        def gfn(pack, z):
+            params, _ = pack
+            return fn(pack, _mapping(params, z, n_mlp))
+        return gfn, pack
+
     def pure_acts_fn_p(self, layer_name: str):
         """Pure ``fn(pack, latents [n, w_dim]) -> activations [n, -1]`` at
         the tap — traceable inside an outer jit/scan (no instrumentation, no

@@ -178,9 +178,15 @@ def import_stylegan_tf(src) -> Dict[str, np.ndarray]:
     params: Dict[str, np.ndarray] = {}
     for tf_name, value in _tf_vars(src).items():
         key = _sg1_key(tf_name)
-        if ("torgb_lod" in key or key in ("lod", "dlatent_avg")
-                or key.startswith("noise")):
-            continue  # fixed noise inputs / sampling-time state, rebuilt locally
+        # Fixed noise inputs / sampling-time state, rebuilt locally.  They
+        # live either at network scope ('lod', 'noise0') or inside the
+        # G_synthesis component scope ('g_synthesis.blocks.noise0') — match
+        # on the LEAF name so the per-channel noise WEIGHTS
+        # ('...top_epi.noise.weight') are kept.
+        leaf = key.rsplit(".", 1)[-1]
+        if ("torgb_lod" in key or leaf in ("lod", "dlatent_avg")
+                or leaf.startswith("noise")):
+            continue
         v = _f32(value)
         if key.endswith(".weight"):
             if v.ndim == 2:

@@ -50,9 +50,11 @@ def enabled() -> bool:
 
 
 def supported(c: int) -> bool:
-    """4C must fill whole 128-lane registers (phase extraction is a lane
-    rotation; DMA and matmul tiles need full lanes)."""
-    return (4 * c) % 128 == 0
+    """4C must fill whole 128-lane registers, and C must pack registers
+    evenly: the lane assembly needs either whole-register channel groups
+    (C % 128 == 0) or an integral number of groups per register
+    (128 % C == 0).  Covers the tail stages this layout serves (C=32, 64)."""
+    return (4 * c) % 128 == 0 and (c % 128 == 0 or 128 % c == 0)
 
 
 @functools.lru_cache(maxsize=None)

@@ -46,7 +46,9 @@ def test_patch_kernel_flop_count():
 
 
 def test_supported_shapes():
-    assert supported(32) and supported(64) and supported(96)
+    assert supported(32) and supported(64) and supported(128)
+    # 4C%128==0 alone is not enough: C must also pack registers evenly
+    assert not supported(96) and not supported(160)
     assert not supported(8) and not supported(48)
 
 

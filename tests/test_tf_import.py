@@ -130,6 +130,10 @@ def test_stylegan_tf_pickle_roundtrip(monkeypatch, tmp_path):
            # LOD>0 heads and fixed noise inputs must be dropped
            "ToRGB_lod1/weight": np.zeros((1, 1, 3, 8), np.float32),
            "noise0": np.zeros((1, 1, 4, 4), np.float32)}
+    # real pickles keep noise inputs + lod INSIDE the synthesis component
+    synthesis = dict(synthesis)
+    synthesis["noise3"] = np.zeros((1, 1, 8, 8), np.float32)
+    synthesis["lod"] = np.float32(0.0)
     gs = Network(_network_state(
         "Gs", own, components={
             "mapping": Network(_network_state("G_mapping", mapping)),
