@@ -337,33 +337,32 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     fused_min_n = int(os.environ.get("GANSPACE_FUSED_ACTS_MIN_N", 20_000))
     want_fused = (fused_env == "1"
                   or (fused_env == "auto" and n_samp >= fused_min_n))
-    fp = None
+    fp = lat_fp = None
     if want_fused and os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
         try:
-            fp = model.gaussian_acts_fn_p(layer)
+            fp = model.pure_acts_fn_p(layer)
+            lat_fp = model.device_latents_fn_p()
         except Exception:
-            fp = None
-    dim = model._gaussian_latent_dim() if fp is not None else None
-    if dim is not None:
+            fp = lat_fp = None
+    if fp is not None and lat_fp is not None:
         from functools import partial as _partial
         fn, pack = fp
-        lfn, lpack = model.latents_from_gaussian_p()
+        lat_fn, lat_pack = lat_fp
         key0 = _jax.random.PRNGKey(SEED_LINREG)
         batch_sh = batch_sharding(mesh) if mesh is not None else None
 
         @_partial(_jax.jit, static_argnames=("k",))
-        def scan_pass(carry, i0, pack, lpack, comp_flat, mean, stdev, *, k):
+        def scan_pass(carry, i0, pack, lat_pack, comp_flat, mean, stdev, *, k):
             def body(c, i):
                 gg, rr, zs = c
-                zg = _jax.random.normal(_jax.random.fold_in(key0, i0 + i),
-                                        (batch, dim), jnp.float32)
+                # the model draws its own primary-space latents in-trace
+                # (gaussian+mapping, truncnorm, ...), transform weights as
+                # operands; the same latents feed synthesis AND the target
+                lat = lat_fn(lat_pack, _jax.random.fold_in(key0, i0 + i),
+                             batch)
                 if batch_sh is not None:
-                    zg = _jax.lax.with_sharding_constraint(zg, batch_sh)
-                # regression targets the model's primary latent space; the
-                # transform's weights ride as operands (lpack), and its
-                # duplicate inside fn is CSE'd by XLA
-                lat = lfn(lpack, zg)
-                a = fn(pack, zg)
+                    lat = _jax.lax.with_sharding_constraint(lat, batch_sh)
+                a = fn(pack, lat)
                 coords = mm(a - mean[None, :], comp_flat.T) / stdev[None, :]
                 zf = lat.reshape(lat.shape[0], -1)
                 return (gg + mm(coords.T, coords), rr + mm(coords.T, zf),
@@ -376,7 +375,7 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
         carry, i = (g, r, z_sum), 0
         while i < n_blocks:
             k = min(chunk, n_blocks - i)
-            carry = scan_pass(carry, jnp.int32(i), pack, lpack, comp_flat,
+            carry = scan_pass(carry, jnp.int32(i), pack, lat_pack, comp_flat,
                               mean.reshape(-1), stdev, k=k)
             i += k
         g, r, z_sum = carry
@@ -620,7 +619,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     fused_acts = (fused_on
                   and acts_fp is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")
-                  and model._gaussian_latent_dim() is not None
+                  and model.device_latents_fn_p() is not None
                   and batch >= config.components)
     latent_chunks = []
     host_latents = None if (on_device or fused or fused_acts) else np.zeros(
@@ -706,14 +705,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     elif fused_acts:
         import jax as _jax
         seed0 = config.seed or SEED_SAMPLING
-        dim = model._gaussian_latent_dim()
-        acts_pure, acts_pack = model.gaussian_acts_fn_p(layer_key)
+        acts_pure, acts_pack = acts_fp
+        lat_fn, lat_pack = model.device_latents_fn_p()
+        stream_pack = (lat_pack, acts_pack)
 
         def block_fn(pack, k):
-            z = _jax.random.normal(k, (batch, dim), jnp.float32)
+            lpk, apk = pack
+            # primary-space latents drawn in-trace by the model (gaussian +
+            # mapping for W models, truncnorm for BigGAN), weights as operands
+            lat = lat_fn(lpk, k, batch)
             if batch_sh is not None:
-                z = _jax.lax.with_sharding_constraint(z, batch_sh)
-            a = acts_pure(pack, z)
+                lat = _jax.lax.with_sharding_constraint(lat, batch_sh)
+            a = acts_pure(apk, lat)
             if feat_sh is not None:
                 # batch-sharded synthesis -> feature-sharded estimator
                 # (all-to-all over ICI, inside the same compiled program)
@@ -726,12 +729,12 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
               f"of {batch}", flush=True)
         try:
             if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
-                                          consts=acts_pack):
+                                          consts=stream_pack):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
             # jitted (not eager): eager op-by-op synthesis on a mesh risks
             # XLA's 40 s collective-rendezvous timeout under compile load.
-            x_block = _jax.jit(block_fn)(acts_pack,
+            x_block = _jax.jit(block_fn)(stream_pack,
                                          _jax.random.fold_in(key0, 0))
             # The scan program is now in the persistent compile cache:
             # future runs of this exact workload may auto-enable the

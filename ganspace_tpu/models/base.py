@@ -245,23 +245,25 @@ class BaseGenerator(ABC):
             return None
         return (lambda pack, z: z), ()
 
-    def gaussian_acts_fn_p(self, layer_name: str):
-        """``(fn, pack)`` with ``fn(pack, gauss) -> activations [n, -1]``:
-        the RAW-gaussian-input variant of ``pure_acts_fn_p`` (latent
-        transform included, its weights as operands too).  Default covers
-        models whose gaussian->latent transform is the identity; W-primary
-        models override so the mapping network's weights ride in the pack
-        instead of being baked into scanned programs as constants."""
-        if self._gaussian_latent_dim() is None:
+    def device_latents_fn_p(self):
+        """``(fn, pack)`` with ``fn(pack, key, n) -> latents [n, ...]`` in
+        the PRIMARY latent space, traceable inside jit/scan with any
+        transform weights as operands (``pack``).  None when the model has
+        no in-trace sampler.  This is what the fused decomposition streams
+        and the scanned regression draw from — the default composes the
+        gaussian draw with ``latents_from_gaussian_p``; models with
+        non-gaussian latents (BigGAN truncnorm) override."""
+        dim = self._gaussian_latent_dim()
+        if dim is None:
             return None
-        fp = self.pure_acts_fn_p(layer_name)
-        if fp is None:
+        lf = self.latents_from_gaussian_p()
+        if lf is None:
             return None
-        fn, pack = fp
+        lfn, lpack = lf
 
-        def gfn(pack, z):
-            return fn(pack, self._latents_from_gaussian(z))
-        return gfn, pack
+        def fn(pack, key, n):
+            return lfn(pack, jax.random.normal(key, (n, dim), jnp.float32))
+        return fn, lpack
 
     # -- threaded pre-sampling ------------------------------------------------
     def _gaussian_latent_dim(self) -> Optional[int]:

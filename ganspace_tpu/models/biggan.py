@@ -571,6 +571,17 @@ class BigGAN(BaseGenerator):
         return jnp.asarray(sampling.truncated_latents(
             n_samples, self.cfg.z_dim, truncation or self.truncation, seed))
 
+    def device_latents_fn_p(self):
+        """In-trace truncnorm sampler (scipy truncnorm(-2,2)*truncation
+        distributionally — reference ``utils.py:21-33``): lets BigGAN ride
+        the fused decomposition/regression scans like the gaussian models."""
+        dim, trunc = self.cfg.z_dim, float(self.truncation)
+
+        def fn(pack, key, n):
+            return trunc * jax.random.truncated_normal(
+                key, -2.0, 2.0, (n, dim), jnp.float32)
+        return fn, ()
+
     def sample_latents_device(self, n_batches, batch_size, seed,
                               sharding=None):
         """Device truncnorm stream (scipy truncnorm(-2,2) distributionally).

@@ -494,21 +494,6 @@ class StyleGAN(BaseGenerator):
             return (lambda pack, z: z), ()
         return (lambda params, z: mapping_forward(params, z)), self.params
 
-    def gaussian_acts_fn_p(self, layer_name: str):
-        """Raw-gaussian tap function with the mapping network's weights in
-        the pack (see models/base.py) — nothing bakes into scanned programs."""
-        fp = self.pure_acts_fn_p(layer_name)
-        if fp is None:
-            return None
-        fn, pack = fp
-        if not self.w_primary:
-            return fn, pack
-
-        def gfn(pack, z):
-            params, _ = pack
-            return fn(pack, mapping_forward(params, z))
-        return gfn, pack
-
     def pure_acts_fn_p(self, layer_name: str):
         """Pure tap function (weights as explicit operands) for the fused
         decomposition stream and the batch autotuner."""

@@ -453,22 +453,6 @@ class StyleGAN2(BaseGenerator):
         n_mlp = self.cfg.n_mlp
         return (lambda params, z: _mapping(params, z, n_mlp)), self.params
 
-    def gaussian_acts_fn_p(self, layer_name: str):
-        """Raw-gaussian tap function with the mapping network's weights in
-        the pack (see models/base.py) — nothing bakes into scanned programs."""
-        fp = self.pure_acts_fn_p(layer_name)
-        if fp is None:
-            return None
-        fn, pack = fp
-        if not self.w_primary:
-            return fn, pack
-        n_mlp = self.cfg.n_mlp
-
-        def gfn(pack, z):
-            params, _ = pack
-            return fn(pack, _mapping(params, z, n_mlp))
-        return gfn, pack
-
     def pure_acts_fn_p(self, layer_name: str):
         """Pure ``fn(pack, latents [n, w_dim]) -> activations [n, -1]`` at
         the tap — traceable inside an outer jit/scan (no instrumentation, no

@@ -361,3 +361,34 @@ def test_corrupt_component_cache_recomputes(model, tmp_path, monkeypatch):
     assert data["act_comp"].shape == (4, 1, 512)
     assert not list(cache.glob("*.tmp.npz"))   # atomic write left no temp
     model.use_z()
+
+
+def test_biggan_fused_stream(tmp_path, monkeypatch):
+    """BigGAN rides the fused activation stream via its in-trace truncnorm
+    sampler (device_latents_fn_p): forced on, the full pipeline (fit ->
+    regression -> cache) produces orthonormal components."""
+    from helpers import tiny_biggan
+    from ganspace_tpu.models.base import InstrumentedModel
+    from ganspace_tpu.models import annotate_model_shapes
+
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_FUSED_ACTS", "1")
+    model = tiny_biggan()
+    assert model.device_latents_fn_p() is not None
+    inst = InstrumentedModel(model)
+    annotate_model_shapes(inst, ["generator.gen_z"])
+    cfg = Config(model="BigGAN-128", output_class="husky",
+                 layer="generator.gen_z", estimator="ipca", components=6,
+                 n=512, batch_size=128)
+    import ganspace_tpu.models as models_mod
+    monkeypatch.setattr(models_mod, "get_model",
+                        lambda *a, **k: model, raising=False)
+    path = get_or_compute(cfg, inst, force_recompute=True)
+    with np.load(path) as d:
+        comp = d["act_comp"].reshape(6, -1)
+        assert np.all(np.isfinite(comp))
+        gram = comp @ comp.T
+        assert np.allclose(gram, np.eye(6), atol=1e-3)
+        assert d["lat_comp"].shape[-1] == model.cfg.z_dim
+        # truncnorm draws: latents bounded by 2*truncation
+        assert float(np.abs(d["lat_mean"]).max()) < 2.0
