@@ -412,6 +412,43 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     return z_comp, z_mean
 
 
+def regression_from_moments(comp_np, mean_np, stdev_np, reg):
+    """Closed-form latent regression from cross-moments accumulated INSIDE
+    the fit sweeps (``IPCAEstimator.fit_stream(with_reg=True)``) — zero
+    extra synthesis.
+
+    The normal equations are ``G M = R`` with ``G = sum coords coords^T``
+    and ``R = sum coords z^T``, ``coords_i = diag(1/sigma) C (a_i - mu)``
+    (reference ``decomposition.py:77-139`` solves the same system via host
+    gelsd over a third sampling sweep).  ``R`` follows exactly from the raw
+    moments: ``R = diag(1/sigma) C (sum a z^T - mu sum z^T)``.  For ``G`` we
+    use the estimator's own model, ``G = (n-1) I``: EXACT for the moments
+    tier (its components are exact eigenvectors of the accumulated scatter,
+    with stdev^2 = eigenvalue/(n-1), so cross-terms vanish), and consistent
+    to the sketch accuracy (>0.995 per-component cosine post-refine) for the
+    Nystrom tier.  Since ``_compute`` row-normalizes ``z_comp`` right after,
+    the diagonal scale cancels entirely — only (tiny) off-diagonal mixing
+    distinguishes this from the exact solve (measured in
+    tests/test_fused_linreg.py)."""
+    xz, z_sum, n_reg = reg
+    print(f"Regression from fused cross-moments ({n_reg} samples, "
+          f"no extra sweep)", flush=True)
+    comp = jnp.asarray(comp_np, jnp.float32).reshape(comp_np.shape[0], -1)
+    mean = jnp.asarray(mean_np, jnp.float32).reshape(-1)
+    stdev = jnp.asarray(stdev_np, jnp.float32)
+    r = (mm(comp, xz)
+         - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
+    z_comp = np.asarray(r) / max(float(n_reg) - 1.0, 1.0)
+    z_mean = np.asarray(z_sum)[None, :] / max(float(n_reg), 1.0)
+    # Same orthonormality sanity check as regression()
+    m = np.asarray(comp_np).reshape(comp.shape[0], -1)
+    m = m @ m.T
+    if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
+        print(f"WARNING: Computed basis is not orthonormal "
+              f"(determinant={np.linalg.det(m)})")
+    return z_comp, z_mean
+
+
 def regression(comp, mean, stdev, inst, config):
     # Sanity check: verify orthonormality (reference decomposition.py:141-148)
     m = np.dot(comp, comp.T)
@@ -609,9 +646,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # a pure disk hit.
     fused_env = os.environ.get("GANSPACE_FUSED_ACTS", "auto")
     fused_min_n = int(os.environ.get("GANSPACE_FUSED_ACTS_MIN_N", 20_000))
+    # "reg2" token: the scan program carries the regression cross-moments
+    # (fused linreg), so sentinels recorded for the old program shape must
+    # not claim its compile is cached.
     fused_key = "|".join([config.model, str(config.output_class), layer_key,
                           f"b{batch}", f"D{sample_dims}",
-                          transformer.get_param_str()])
+                          transformer.get_param_str(),
+                          "reg2" if os.environ.get("GANSPACE_FUSED_LINREG",
+                                                   "1") == "1" else "reg0"])
     fused_on = (fused_env == "1"
                 or (fused_env == "auto"
                     and (_fused_acts_cached(fused_key)
@@ -708,6 +750,12 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         acts_pure, acts_pack = acts_fp
         lat_fn, lat_pack = model.device_latents_fn_p()
         stream_pack = (lat_pack, acts_pack)
+        # Piggyback the latent regression's raw cross-moments (sum x z^T,
+        # sum z) on the fit sweeps: the same latents already feed synthesis,
+        # so the regression's own synthesis sweep (a full third pass over
+        # max(10k, n) samples) disappears.  GANSPACE_FUSED_LINREG=0 restores
+        # the separate sweep (reference-style fresh SEED_LINREG samples).
+        want_reg = os.environ.get("GANSPACE_FUSED_LINREG", "1") == "1"
 
         def block_fn(pack, k):
             lpk, apk = pack
@@ -721,21 +769,27 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                 # batch-sharded synthesis -> feature-sharded estimator
                 # (all-to-all over ICI, inside the same compiled program)
                 a = _jax.lax.with_sharding_constraint(a, feat_sh)
+            if want_reg:
+                return a, lat.reshape(lat.shape[0], -1)
             return a
 
         n_stream_blocks = -(-n_total // batch)
         key0 = _jax.random.PRNGKey(seed0)
         print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
-              f"of {batch}", flush=True)
+              f"of {batch}" + (" (+regression moments)" if want_reg else ""),
+              flush=True)
         try:
             if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
-                                          consts=stream_pack):
+                                          consts=stream_pack,
+                                          with_reg=want_reg):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
             # jitted (not eager): eager op-by-op synthesis on a mesh risks
             # XLA's 40 s collective-rendezvous timeout under compile load.
             x_block = _jax.jit(block_fn)(stream_pack,
                                          _jax.random.fold_in(key0, 0))
+            if want_reg:
+                x_block = x_block[0]
             # The scan program is now in the persistent compile cache:
             # future runs of this exact workload may auto-enable the
             # fused path (GANSPACE_FUSED_ACTS=auto).
@@ -879,11 +933,19 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         and x_stdev.shape[0] == config.components, "Invalid shape"
 
     # 'Activations' are really latents in a secondary latent space
+    fused_linreg_used = False
     if samples_are_latents:
         z_comp = np.array(x_comp)
         z_global_mean = np.array(x_global_mean)
     else:
-        z_comp, z_global_mean = regression(x_comp, x_global_mean, x_stdev, inst, config)
+        reg = getattr(transformer, "reg_moments", lambda: None)()
+        if reg is not None:
+            fused_linreg_used = True
+            z_comp, z_global_mean = regression_from_moments(
+                x_comp, x_global_mean, x_stdev, reg)
+        else:
+            z_comp, z_global_mean = regression(x_comp, x_global_mean,
+                                               x_stdev, inst, config)
 
     z_comp = z_comp / np.linalg.norm(z_comp, axis=-1, keepdims=True)
 
@@ -920,6 +982,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "device_rng": device_rng_used,
         "dtype": getattr(config, "dtype", None) or "float32",
         "mesh": dict(mesh.shape) if mesh is not None else None,
+        "fused_linreg": fused_linreg_used,
     })
     # Atomic write (temp + rename): an interrupt mid-savez must never leave
     # a truncated zip at the cache path get_or_compute would blindly reuse.

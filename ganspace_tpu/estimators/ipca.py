@@ -241,6 +241,9 @@ class IPCAEstimator:
         self._omega: Optional[jnp.ndarray] = None
         self._refined = False
         self._pre_refine = None  # first-pass snapshot while a refine runs
+        # Regression cross-moments piggybacked on the fit sweeps
+        # (fit_stream with_reg=True): (sum x z^T [D, zdim], sum z [zdim], n).
+        self._reg = None
         self._sharding = feature_sharding
         assert mode in ("auto", "sklearn", "moments", "nystrom")
         self.mode = mode
@@ -315,13 +318,21 @@ class IPCAEstimator:
         # Snapshot the completed first-pass sketch so an interrupted refine
         # sweep can fall back to it (abort_refine) instead of saving a
         # strictly-worse partial second pass.
-        self._pre_refine = (self._nystrom, self._omega, self.n_samples_seen_)
+        self._pre_refine = (self._nystrom, self._omega, self.n_samples_seen_,
+                            self._reg)
         self._omega = _nystrom_range(self._nystrom, self._omega)
         self._nystrom = _NystromState(
             jnp.asarray(0.0),
             self._placed(jnp.zeros((d,), jnp.float32)),
             jnp.asarray(0.0),
             self._placed_rows(jnp.zeros((d, l), jnp.float32)))
+        if self._reg is not None:
+            # The refine pass streams the SAME key-derived samples: restart
+            # the cross-moment accumulation so it isn't double-counted (the
+            # refine-pass accumulation replaces the first pass's, which is
+            # equal in exact arithmetic).
+            xz, zs, _ = self._reg
+            self._reg = (jnp.zeros_like(xz), jnp.zeros_like(zs), 0)
         self.n_samples_seen_ = 0
         self._refined = True
         return True
@@ -334,7 +345,7 @@ class IPCAEstimator:
         snap = getattr(self, "_pre_refine", None)
         if snap is None:
             return
-        self._nystrom, self._omega, self.n_samples_seen_ = snap
+        self._nystrom, self._omega, self.n_samples_seen_, self._reg = snap
         self._pre_refine = None
         self._refined = False
 
@@ -427,7 +438,7 @@ class IPCAEstimator:
         return True
 
     def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16,
-                   consts=None) -> bool:
+                   consts=None, with_reg: bool = False) -> bool:
         """Fused fit over a key-derived block stream.
 
         ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
@@ -443,6 +454,15 @@ class IPCAEstimator:
         moments/nystrom tiers stream this way (their updates are
         order-independent); the sklearn-mirror tier returns False and the
         caller falls back to the batched loop.
+
+        ``with_reg=True`` changes the block contract to
+        ``block_fn(consts, key) -> (x [nb, D], z [nb, zdim])`` and
+        additionally accumulates the latent-regression cross-moments
+        ``sum x z^T`` / ``sum z`` inside the SAME scan — the raw moments the
+        latent regression needs (reference ``decomposition.py:77-139``),
+        making its separate synthesis sweep unnecessary (read them back via
+        ``reg_moments``).  Raw moments are component-independent, so they
+        are exact no matter what estimate the tier finally produces.
         """
         if n_blocks <= 0:
             return True
@@ -455,6 +475,8 @@ class IPCAEstimator:
         # load, aborting the process).  Everything streams through the
         # jitted scans below instead.
         shape = jax.eval_shape(block_fn, consts, jax.random.fold_in(key, 0))
+        if with_reg:
+            shape, z_shape = shape
         nb, d = shape.shape
         if nb < self.n_components:
             print(f"\nIPCA error: n_samples={nb} < "
@@ -463,18 +485,27 @@ class IPCAEstimator:
         self._maybe_init_tier(d)
         if self._moments is None and self._nystrom is None:
             return False                      # sklearn tier: no fused stream
+        if with_reg and self._reg is None:
+            self._reg = (self._placed_rows(
+                jnp.zeros((d, z_shape.shape[1]), jnp.float32)),
+                jnp.zeros((z_shape.shape[1],), jnp.float32), 0)
 
         tier = "moments" if self._moments is not None else "nystrom"
 
         @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, omega, i0, consts, *, k):
+        def scan_chunk(state, reg, omega, i0, consts, *, k):
             def body(carry, i):
-                x = block_fn(consts, jax.random.fold_in(key, i0 + i))
-                if tier == "moments":
-                    return _moments_update(carry, x), None
-                return _nystrom_update(carry, x, omega), None
-            state, _ = jax.lax.scan(body, state, jnp.arange(k))
-            return state
+                st, (rxz, rzs) = carry
+                out = block_fn(consts, jax.random.fold_in(key, i0 + i))
+                x, z = out if with_reg else (out, None)
+                new = (_moments_update(st, x) if tier == "moments"
+                       else _nystrom_update(st, x, omega))
+                if with_reg:
+                    rxz = rxz + mm(x.T, z)
+                    rzs = rzs + jnp.sum(z, axis=0)
+                return (new, (rxz, rzs)), None
+            (state, reg), _ = jax.lax.scan(body, (state, reg), jnp.arange(k))
+            return state, reg
 
         def run_pass() -> None:
             # Full chunks share one scan program; the tail gets its own
@@ -483,12 +514,17 @@ class IPCAEstimator:
             i = 0
             while i < n_blocks:
                 k = min(chunk, n_blocks - i)
+                reg_in = (self._reg[:2] if with_reg
+                          else (jnp.zeros((), jnp.float32),) * 2)
                 if tier == "moments":
-                    self._moments = scan_chunk(self._moments, 0, jnp.int32(i),
-                                               consts, k=k)
+                    self._moments, reg_out = scan_chunk(
+                        self._moments, reg_in, 0, jnp.int32(i), consts, k=k)
                 else:
-                    self._nystrom = scan_chunk(self._nystrom, self._omega,
-                                               jnp.int32(i), consts, k=k)
+                    self._nystrom, reg_out = scan_chunk(
+                        self._nystrom, reg_in, self._omega, jnp.int32(i),
+                        consts, k=k)
+                if with_reg:
+                    self._reg = (*reg_out, self._reg[2] + k * nb)
                 self.n_samples_seen_ += k * nb
                 i += k
 
@@ -497,6 +533,15 @@ class IPCAEstimator:
         if self._nystrom is not None and self.begin_refine():
             run_pass()
         return True
+
+    def reg_moments(self):
+        """Latent-regression cross-moments accumulated by
+        ``fit_stream(with_reg=True)``: ``(sum x z^T [D, zdim],
+        sum z [zdim], n)`` over the last completed pass's samples —
+        or None when no fused stream carried them."""
+        if self._reg is None or self._reg[2] == 0:
+            return None
+        return self._reg
 
     def fit(self, x):
         x = np.asarray(x)
