@@ -116,9 +116,11 @@ def main():
     # Leg #4: the big-D conv-tap decomposition — the production hard case
     # (SURVEY.md §5 long-context: streaming D~1e5 activations).  Z-space
     # StyleGAN2-1024 tapped at convs.2 (D = 512*16*16 = 131072, Nystrom
-    # sketch + refine tier), full get_or_compute pipeline incl. the fused
-    # regression sweep.  Cold includes any scan compiles (disk-cached
-    # after the first ever run); steady is the recurring cost.
+    # sketch + refine tier), full get_or_compute pipeline; the latent
+    # regression solves from cross-moments carried by the fit sweeps
+    # (fused linreg — no third synthesis pass).  Cold includes any scan
+    # compiles (disk-cached after the first ever run); steady is the
+    # recurring cost.
     convtap = {}
     if os.environ.get("GANSPACE_BENCH_CONVTAP", "1") == "1":
         convtap = _bench_convtap(n_chips)
