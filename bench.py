@@ -174,6 +174,36 @@ def _bench_convtap(n_chips: int) -> dict:
             with np.load(path) as d:
                 assert d["act_comp"].shape == (80, 1, 512, 16, 16)
                 d_dim = int(np.prod(d["act_comp"].shape[1:]))
+                comp_f32 = d["act_comp"].reshape(80, -1)
+
+            # bf16-datapath variant (--dtype bfloat16): synthesis sweeps on
+            # the MXU's native bf16, estimator statistics still accumulate
+            # at HIGHEST (estimators/utils.mm floor).  Reports throughput
+            # plus component cosine vs the f32 leg — the measured quality
+            # cost of the fast sampling mode.
+            bf16 = {}
+            if os.environ.get("GANSPACE_BENCH_CONVTAP_BF16", "1") == "1":
+                cfg_bf = Config(model="StyleGAN2", output_class="ffhq",
+                                layer="convs.2", estimator="ipca",
+                                components=80, n=n, dtype="bfloat16")
+                runs_bf = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    path_bf = get_or_compute(cfg_bf, inst,
+                                             force_recompute=True)
+                    runs_bf.append(time.perf_counter() - t0)
+                with np.load(path_bf) as d:
+                    comp_bf = d["act_comp"].reshape(80, -1)
+                cos = np.abs(np.sum(comp_f32 * comp_bf, axis=1))
+                steady_bf = min(runs_bf)
+                bf16 = {
+                    "convtap_bf16_samples_s_chip":
+                        round(n / steady_bf / n_chips, 1),
+                    "convtap_bf16_steady_s": round(steady_bf, 2),
+                    "convtap_bf16_cold_s": round(runs_bf[0], 2),
+                    "convtap_bf16_min_cos": round(float(cos.min()), 4),
+                    "convtap_bf16_mean_cos": round(float(cos.mean()), 4),
+                }
         finally:
             if prev is None:
                 os.environ.pop("GANSPACE_OUTPUT_DIR", None)
@@ -183,7 +213,7 @@ def _bench_convtap(n_chips: int) -> dict:
     return {"convtap_samples_s_chip": round(n / steady_s / n_chips, 1),
             "convtap_cold_s": round(cold_s, 2),
             "convtap_steady_s": round(steady_s, 2),
-            "convtap_D": d_dim, "convtap_n": n}
+            "convtap_D": d_dim, "convtap_n": n, **bf16}
 
 
 def _bench_parity(model, n: int = 20_000, c: int = 10) -> dict:

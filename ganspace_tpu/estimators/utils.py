@@ -3,13 +3,18 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-from ganspace_tpu.ops.precision import get_precision
+from jax import lax
 
 
 def mm(a, b):
-    """Precision-pinned matmul (see ``ops/precision.py``)."""
-    return jnp.matmul(a, b, precision=get_precision())
+    """Matmul pinned to the estimator floor precision.
+
+    Statistics always accumulate in true f32 (``Precision.HIGHEST``) even
+    when the ambient policy is the bf16 MXU datapath: ``--dtype bfloat16``
+    speeds up *synthesis* sweeps, but moment/sketch accumulation and the
+    final solves stay full-precision so component quality degrades only by
+    the (tiny) activation rounding, never by the statistics math itself."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
 def svd_flip_vt(vt: jnp.ndarray) -> jnp.ndarray:

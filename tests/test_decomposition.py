@@ -392,3 +392,31 @@ def test_biggan_fused_stream(tmp_path, monkeypatch):
         assert d["lat_comp"].shape[-1] == model.cfg.z_dim
         # truncnorm draws: latents bounded by 2*truncation
         assert float(np.abs(d["lat_mean"]).max()) < 2.0
+
+
+def test_bf16_dtype_activation_path(model, tmp_path, monkeypatch):
+    """--dtype bfloat16 runs the synthesis sweeps on the bf16 datapath while
+    the estimator floor (estimators/utils.mm) keeps statistics at HIGHEST:
+    the pipeline must produce a separately-tagged cache whose components
+    agree with the f32 run (exactly equal on CPU, where DEFAULT precision
+    is still true f32 — the tag + provenance + plumbing are what's CPU-
+    testable; the real quality delta is measured on hardware by the bench's
+    convtap_bf16_min_cos leg)."""
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_FUSED_ACTS", "1")
+    inst = InstrumentedModel(model)
+    model.use_z()
+    kw = dict(model="StyleGAN2", output_class="ffhq", layer="conv1",
+              estimator="ipca", components=3, n=512, batch_size=128)
+    p32 = get_or_compute(Config(**kw), inst, force_recompute=True)
+    pbf = get_or_compute(Config(**kw, dtype="bfloat16"), inst,
+                         force_recompute=True)
+    assert pbf != p32 and pbf.name.endswith("_bf16.npz")
+    with np.load(p32) as a, np.load(pbf, allow_pickle=True) as b:
+        c32 = a["act_comp"].reshape(3, -1)
+        cbf = b["act_comp"].reshape(3, -1)
+        cos = np.abs(np.sum(c32 * cbf, axis=1))
+        assert np.all(cos > 0.999), cos
+        meta = json.loads(bytes(b["_meta"].item()).decode())
+        assert meta["dtype"] == "bfloat16"
+        assert meta["fused_linreg"] is True
