@@ -182,10 +182,18 @@ def main(args=None):
                     make_mp4(frames, 5, outdir_comp /
                              f"{get_edit_name(edit_mode)}_sigma{sigma}_comp{c}.mp4")
 
-    # Summary grid, random directions with the PC stdevs (visualize.py:268-279)
-    rand_act = jnp.asarray(get_random_dirs(n_comp, int(np.prod(sample_shape)))
+    # Summary grid, random directions with the PC stdevs (visualize.py:268-279).
+    # Device-RNG runs (the default) draw them on device — same fixed seed,
+    # same stream the decomposition's random_stdevs baselines used; see
+    # sampling.random_directions_device.
+    if os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
+        from ganspace_tpu.sampling import random_directions_device
+        _dirs = random_directions_device
+    else:
+        _dirs = get_random_dirs
+    rand_act = jnp.asarray(_dirs(n_comp, int(np.prod(sample_shape)))
                            .reshape(-1, *sample_shape))
-    rand_z = jnp.asarray(get_random_dirs(n_comp, int(np.prod(inst.input_shape)))
+    rand_z = jnp.asarray(_dirs(n_comp, int(np.prod(inst.input_shape)))
                          .reshape(-1, *latent_shape))
     for edit_mode in edit_modes:
         rows = make_grid(inst, layer_key, t.Z_global_mean, t.Z_global_mean,

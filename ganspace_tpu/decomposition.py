@@ -52,6 +52,7 @@ from ganspace_tpu.sampling import (
     SEED_LINREG,
     SEED_SAMPLING,
     random_directions,
+    random_directions_device,
 )
 
 #: --dtype flag -> matmul/conv precision policy (ops/precision.py): float32
@@ -440,9 +441,10 @@ def regression_from_moments(comp_np, mean_np, stdev_np, reg):
          - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
     z_comp = np.asarray(r) / max(float(n_reg) - 1.0, 1.0)
     z_mean = np.asarray(z_sum)[None, :] / max(float(n_reg), 1.0)
-    # Same orthonormality sanity check as regression()
-    m = np.asarray(comp_np).reshape(comp.shape[0], -1)
-    m = m @ m.T
+    # Same orthonormality sanity check as regression(), contracted on
+    # device (a host [c, D] gram costs ~1 s single-core at D=131k; the
+    # device one reads back c*c floats).
+    m = np.asarray(mm(comp, comp.T))
     if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
         print(f"WARNING: Computed basis is not orthonormal "
               f"(determinant={np.linalg.det(m)})")
@@ -925,7 +927,16 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             x_block = jnp.zeros((1, sample_dims), jnp.float32)
         x_data = jnp.asarray(x_block) - jnp.asarray(x_global_mean)
 
-    x_comp, x_stdev, x_var_ratio = transformer.get_components()
+    # Keep the components ON DEVICE when the estimator can: for conv taps
+    # they are c*D-sized ([80, 131072] = 42 MB), and the downstream consumers
+    # (regression solve, projections) are device math — only the final npz
+    # write needs a host copy, which is started asynchronously here so the
+    # transfer overlaps the remaining post-fit compute.
+    try:
+        x_comp, x_stdev, x_var_ratio = transformer.get_components(device=True)
+    except TypeError:                 # estimators without the device path
+        x_comp, x_stdev, x_var_ratio = transformer.get_components()
+    getattr(x_comp, "copy_to_host_async", lambda: None)()
 
     assert x_comp.shape[1] == sample_dims \
         and x_comp.shape[0] == config.components \
@@ -951,7 +962,15 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
     # Random-direction stdev baselines (reference decomposition.py:310-316);
     # the projection contracts over D on device, only [c] stdevs read back.
-    random_dirs = get_random_dirs(config.components, np.prod(sample_shape))
+    # Device-RNG runs also DRAW the directions on device (same fixed seed,
+    # threefry stream): the host path costs ~1.3 s of RandomState generation
+    # plus a c*D upload for big-D taps.
+    if device_rng_used:
+        random_dirs = random_directions_device(config.components,
+                                               int(np.prod(sample_shape)))
+    else:
+        random_dirs = get_random_dirs(config.components,
+                                      np.prod(sample_shape))
     n_rand_samples = min(5000, x_data.shape[0])
     x_stdev_random = np.asarray(jnp.std(
         mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),

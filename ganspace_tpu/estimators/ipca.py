@@ -563,22 +563,27 @@ class IPCAEstimator:
     def components_(self) -> np.ndarray:
         return self.get_components()[0]
 
-    def get_components(self):
+    def get_components(self, device: bool = False):
+        """Final (components [c, D], stdev [c], var_ratio [c]).
+
+        ``device=True`` keeps the [c, D] components as a device array —
+        for big-D taps that's tens of MB the caller may never need on the
+        host (regression/projections are device math); the stdev/var_ratio
+        vectors come back as numpy either way."""
         # Consuming the estimate finalizes any completed refine pass: the
         # fallback snapshot must not outlive it (abort_refine would
         # otherwise revert a GOOD refined state later).
         self._pre_refine = None
+        out = lambda c: jnp.asarray(c) if device else np.asarray(c)  # noqa: E731
         if self._moments is not None:
             comp, stdev, var_ratio = _moments_finish(
                 self._moments, n_components=self.n_components)
-            return (np.asarray(comp), np.asarray(stdev),
-                    np.asarray(var_ratio))
+            return out(comp), np.asarray(stdev), np.asarray(var_ratio)
         if self._nystrom is not None:
             comp, stdev, var_ratio, _ = _nystrom_finish(
                 self._nystrom, self._omega, n_components=self.n_components)
-            return (np.asarray(comp), np.asarray(stdev),
-                    np.asarray(var_ratio))
+            return out(comp), np.asarray(stdev), np.asarray(var_ratio)
         stdev = np.sqrt(np.asarray(self._state.explained_variance))  # already sorted
         var_ratio = np.asarray(self._state.explained_variance_ratio)
         # PCA outputs are normalized
-        return np.asarray(self._state.components), stdev, var_ratio
+        return out(self._state.components), stdev, var_ratio

@@ -129,3 +129,22 @@ def random_directions(components: int, dimensions: int) -> np.ndarray:
     dirs = gen.normal(size=(components, dimensions))
     dirs /= np.sqrt(np.sum(dirs ** 2, axis=1, keepdims=True))
     return dirs.astype(np.float32)
+
+
+def random_directions_device(components: int, dimensions: int):
+    """Device-resident unit-norm baseline directions.
+
+    Same role as :func:`random_directions` but drawn by the device PRNG
+    (threefry keyed on the same ``SEED_RANDOM_DIRS`` — deterministic across
+    processes/hosts like the host stream, different values).  For big-D
+    conv taps the host path costs ~1.3 s of single-core ``RandomState``
+    generation plus a D*c-sized host->device upload (~2 s for D=131k
+    through a relay); this is microseconds and zero transfer.  Used
+    whenever the run is already on device-RNG provenance
+    (``GANSPACE_DEVICE_RNG=1``, the default); host-RNG runs keep the
+    bit-exact reference stream."""
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(SEED_RANDOM_DIRS)
+    dirs = jax.random.normal(key, (components, dimensions), jnp.float32)
+    return dirs / jnp.sqrt(jnp.sum(dirs ** 2, axis=1, keepdims=True))
