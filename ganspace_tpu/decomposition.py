@@ -936,7 +936,6 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         x_comp, x_stdev, x_var_ratio = transformer.get_components(device=True)
     except TypeError:                 # estimators without the device path
         x_comp, x_stdev, x_var_ratio = transformer.get_components()
-    getattr(x_comp, "copy_to_host_async", lambda: None)()
 
     assert x_comp.shape[1] == sample_dims \
         and x_comp.shape[0] == config.components \
@@ -975,6 +974,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     x_stdev_random = np.asarray(jnp.std(
         mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),
         axis=1))
+    # Start the big component download only now: every device-math consumer
+    # above has run, so the c*D DMA (~2 s for D=131k through a relay, which
+    # serializes queued device programs behind it) can stream while the
+    # host-side reshapes/savez prep below proceed.
+    getattr(x_comp, "copy_to_host_async", lambda: None)()
 
     # Inflate back to proper shapes (for easier broadcasting)
     x_comp = np.array(x_comp).reshape(-1, *sample_shape)
