@@ -115,6 +115,14 @@ def main(args=None):
     )
     x_var_ratio = data["var_ratio"]
     n_comp = data["act_comp"].shape[0]
+    cache_device_rng = None
+    if "_meta" in data.files:
+        import json as _json
+        try:
+            cache_device_rng = _json.loads(
+                bytes(data["_meta"].item()).decode()).get("device_rng")
+        except (ValueError, AttributeError):
+            pass
     data.close()
 
     # Rendering runs the FULL forward (image-sized activations), not the
@@ -183,10 +191,14 @@ def main(args=None):
                              f"{get_edit_name(edit_mode)}_sigma{sigma}_comp{c}.mp4")
 
     # Summary grid, random directions with the PC stdevs (visualize.py:268-279).
-    # Device-RNG runs (the default) draw them on device — same fixed seed,
-    # same stream the decomposition's random_stdevs baselines used; see
-    # sampling.random_directions_device.
-    if os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1":
+    # Pick the SAME stream the decomposition's random_stdevs baselines used:
+    # the cache's recorded provenance decides (a device-RNG-env run can still
+    # fall back to host draws when the model has no device sampler, and the
+    # cache may predate the current env) — env is only the tiebreak for
+    # meta-less caches.  See sampling.random_directions_device.
+    use_device_dirs = cache_device_rng if cache_device_rng is not None \
+        else os.environ.get("GANSPACE_DEVICE_RNG", "1") == "1"
+    if use_device_dirs:
         from ganspace_tpu.sampling import random_directions_device
         _dirs = random_directions_device
     else:

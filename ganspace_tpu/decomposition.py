@@ -441,22 +441,22 @@ def regression_from_moments(comp_np, mean_np, stdev_np, reg):
          - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
     z_comp = np.asarray(r) / max(float(n_reg) - 1.0, 1.0)
     z_mean = np.asarray(z_sum)[None, :] / max(float(n_reg), 1.0)
-    # Same orthonormality sanity check as regression(), contracted on
-    # device (a host [c, D] gram costs ~1 s single-core at D=131k; the
-    # device one reads back c*c floats).
-    m = np.asarray(mm(comp, comp.T))
-    if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
-        print(f"WARNING: Computed basis is not orthonormal "
-              f"(determinant={np.linalg.det(m)})")
+    _warn_if_not_orthonormal(comp)
     return z_comp, z_mean
 
 
-def regression(comp, mean, stdev, inst, config):
-    # Sanity check: verify orthonormality (reference decomposition.py:141-148)
-    m = np.dot(comp, comp.T)
+def _warn_if_not_orthonormal(comp) -> None:
+    """Reference decomposition.py:141-148's sanity check, contracted on
+    device (a host [c, D] gram costs ~1 s single-core at D=131k; the device
+    one reads back c*c floats — and never forces the components to host)."""
+    m = np.asarray(mm(jnp.asarray(comp), jnp.asarray(comp).T))
     if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
-        det = np.linalg.det(m)
-        print(f"WARNING: Computed basis is not orthonormal (determinant={det})")
+        print(f"WARNING: Computed basis is not orthonormal "
+              f"(determinant={np.linalg.det(m)})")
+
+
+def regression(comp, mean, stdev, inst, config):
+    _warn_if_not_orthonormal(comp)
     return linreg_lstsq(comp, mean, stdev, inst, config)
 
 
@@ -650,10 +650,13 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     fused_min_n = int(os.environ.get("GANSPACE_FUSED_ACTS_MIN_N", 20_000))
     # "reg2" token: the scan program carries the regression cross-moments
     # (fused linreg), so sentinels recorded for the old program shape must
-    # not claim its compile is cached.
+    # not claim its compile is cached.  The dtype token matters the same
+    # way: --dtype bakes the matmul precision into every traced op, so an
+    # f32 sentinel says nothing about the bf16 program's compile cost.
     fused_key = "|".join([config.model, str(config.output_class), layer_key,
                           f"b{batch}", f"D{sample_dims}",
                           transformer.get_param_str(),
+                          getattr(config, "dtype", None) or "float32",
                           "reg2" if os.environ.get("GANSPACE_FUSED_LINREG",
                                                    "1") == "1" else "reg0"])
     fused_on = (fused_env == "1"
@@ -974,13 +977,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     x_stdev_random = np.asarray(jnp.std(
         mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),
         axis=1))
-    # Start the big component download only now: every device-math consumer
-    # above has run, so the c*D DMA (~2 s for D=131k through a relay, which
-    # serializes queued device programs behind it) can stream while the
-    # host-side reshapes/savez prep below proceed.
-    getattr(x_comp, "copy_to_host_async", lambda: None)()
 
-    # Inflate back to proper shapes (for easier broadcasting)
+    # Inflate back to proper shapes (for easier broadcasting).  The c*D
+    # component DMA happens HERE, after every device-math consumer above —
+    # issued any earlier it serializes queued device programs behind a ~2 s
+    # relay transfer (measured: the regression solve stalled 0.3 -> 2.1 s).
     x_comp = np.array(x_comp).reshape(-1, *sample_shape)
     x_global_mean = np.array(x_global_mean).reshape(sample_shape)
     z_comp = z_comp.reshape(-1, *input_shape)

@@ -170,7 +170,7 @@ def test_fused_linreg_opt_out(tmp_path, monkeypatch):
     assert meta["fused_linreg"] is False
 
 
-def test_abort_refine_restores_reg_moments():
+def test_abort_refine_restores_reg_moments(monkeypatch):
     """abort_refine must restore the first-pass cross-moments along with the
     sketch (an interrupted refine otherwise leaves zeroed/partial moments
     that would silently produce a garbage lat_comp in the partial save)."""
@@ -182,17 +182,14 @@ def test_abort_refine_restores_reg_moments():
         return jnp.tanh(z @ w), z
 
     key = jax.random.PRNGKey(3)
-    est = IPCAEstimator(c, mode="nystrom")
-    # manual first pass through the same machinery fit_stream uses
-    assert est.fit_stream(block_fn, 0, key, with_reg=True) is True  # no-op
+    # a zero-block stream is a no-op, not an error
+    assert IPCAEstimator(c, mode="nystrom").fit_stream(
+        block_fn, 0, key, with_reg=True) is True
     est2 = IPCAEstimator(c, mode="nystrom")
     # run only the first pass by disabling refine, then arm/abort manually
-    import os
-    os.environ["GANSPACE_IPCA_REFINE"] = "0"
-    try:
-        assert est2.fit_stream(block_fn, 6, key, chunk=4, with_reg=True)
-    finally:
-        os.environ.pop("GANSPACE_IPCA_REFINE")
+    monkeypatch.setenv("GANSPACE_IPCA_REFINE", "0")
+    assert est2.fit_stream(block_fn, 6, key, chunk=4, with_reg=True)
+    monkeypatch.delenv("GANSPACE_IPCA_REFINE")   # re-arm for begin_refine
     xz0, zs0, n0 = est2.reg_moments()
     assert est2.begin_refine()
     xz1, zs1, n1 = est2._reg
