@@ -420,3 +420,33 @@ def test_bf16_dtype_activation_path(model, tmp_path, monkeypatch):
         meta = json.loads(bytes(b["_meta"].item()).decode())
         assert meta["dtype"] == "bfloat16"
         assert meta["fused_linreg"] is True
+
+
+def test_fused_sentinel_keyed_by_dtype(model, tmp_path, monkeypatch, capsys):
+    """An f32 run's fused-scan sentinel must NOT auto-enable the fused path
+    for the same workload under --dtype bfloat16: the precision is baked
+    into the traced program, so the bf16 scan is a different XLA program
+    with its own (minutes-scale cold) compile."""
+    import jax
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    old = getattr(jax.config, "jax_compilation_cache_dir", None)
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cc"))
+    try:
+        inst = InstrumentedModel(model)
+        model.use_z()
+        kw = dict(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                  estimator="ipca", components=3, n=512, batch_size=128)
+        # Forced f32 run records the sentinel for its key
+        monkeypatch.setenv("GANSPACE_FUSED_ACTS", "1")
+        get_or_compute(Config(**kw), inst, force_recompute=True)
+        capsys.readouterr()
+        # auto + same dtype + small n: sentinel hit -> fused ON
+        monkeypatch.setenv("GANSPACE_FUSED_ACTS", "auto")
+        get_or_compute(Config(**kw), inst, force_recompute=True)
+        assert "fused activation stream" in capsys.readouterr().out
+        # auto + bf16 + small n: different program, no sentinel -> batched
+        get_or_compute(Config(**kw, dtype="bfloat16"), inst,
+                       force_recompute=True)
+        assert "fused activation stream" not in capsys.readouterr().out
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
