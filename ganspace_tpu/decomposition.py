@@ -33,6 +33,7 @@ from pathlib import Path
 from typing import Optional
 
 import numpy as np
+import jax as _jax
 import jax.numpy as jnp
 
 from ganspace_tpu.config import Config
@@ -437,19 +438,32 @@ def regression_from_moments(comp_np, mean_np, stdev_np, reg):
     comp = jnp.asarray(comp_np, jnp.float32).reshape(comp_np.shape[0], -1)
     mean = jnp.asarray(mean_np, jnp.float32).reshape(-1)
     stdev = jnp.asarray(stdev_np, jnp.float32)
-    r = (mm(comp, xz)
-         - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
+    r, gram = _reg_solve(comp, mean, stdev, xz, z_sum)
     z_comp = np.asarray(r) / max(float(n_reg) - 1.0, 1.0)
     z_mean = np.asarray(z_sum)[None, :] / max(float(n_reg), 1.0)
-    _warn_if_not_orthonormal(comp)
+    _warn_if_not_orthonormal_gram(np.asarray(gram))
     return z_comp, z_mean
+
+
+@_jax.jit
+def _reg_solve(comp, mean, stdev, xz, z_sum):
+    """One program for the whole closed-form solve (+ the gram for the
+    orthonormality check): each eager op costs a dispatch round trip
+    (~30 ms through a relay), and there are six of them here."""
+    r = (mm(comp, xz)
+         - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
+    return r, mm(comp, comp.T)
 
 
 def _warn_if_not_orthonormal(comp) -> None:
     """Reference decomposition.py:141-148's sanity check, contracted on
     device (a host [c, D] gram costs ~1 s single-core at D=131k; the device
     one reads back c*c floats — and never forces the components to host)."""
-    m = np.asarray(mm(jnp.asarray(comp), jnp.asarray(comp).T))
+    _warn_if_not_orthonormal_gram(
+        np.asarray(mm(jnp.asarray(comp), jnp.asarray(comp).T)))
+
+
+def _warn_if_not_orthonormal_gram(m: np.ndarray) -> None:
     if not np.allclose(m, np.identity(m.shape[0]), atol=1e-3):
         print(f"WARNING: Computed basis is not orthonormal "
               f"(determinant={np.linalg.det(m)})")
