@@ -493,11 +493,10 @@ class BigGAN(BaseGenerator):
         self.resolution = self.cfg.output_dim
         self.truncation = truncation
         if params is None:
+            # Local HF .bin, TF-Hub dump, or s3 download-on-miss
+            # (wrappers.py:537-560 + pytorch_pretrained_biggan/model.py).
             from ganspace_tpu.models import checkpoints as _ckpt
-            rel = f"biggan-deep-{resolution}/pytorch_model.bin"
-            found = _ckpt.find_checkpoint(rel)
-            tf_found = None if found is not None else _ckpt.find_checkpoint(
-                f"biggan-deep-{resolution}/tf_weights.npz")
+            found, tf_found, rel = _ckpt.locate_biggan(resolution)
             if found is not None:
                 from ganspace_tpu.models.torch_import import import_biggan
                 params = import_biggan(found)

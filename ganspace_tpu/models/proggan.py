@@ -160,11 +160,10 @@ class ProGAN(BaseGenerator):
             raise ValueError(
                 f"Invalid LSUN class {self.outclass}, should be one of {VALID_CLASSES}")
         if cfg is None and params is None:
+            # Local .pth, TF-era .pkl, or GANDissect download-on-miss
+            # (wrappers.py:484-491).
             from ganspace_tpu.models import checkpoints as _ckpt
-            rel = f"progan/{self.outclass}_lsun.pth"
-            found = _ckpt.find_checkpoint(rel)
-            if found is None:  # TF-era karras2018 pickle, converted on the fly
-                found = _ckpt.find_checkpoint(f"progan/{self.outclass}_lsun.pkl")
+            found, rel = _ckpt.locate_progan(self.outclass)
             if found is not None and found.suffix == ".pkl":
                 from ganspace_tpu.models.tf_import import import_progan_tf
                 params, sizes = import_progan_tf(found)

@@ -398,17 +398,10 @@ class StyleGAN(BaseGenerator):
         self.name = f"StyleGAN-{self.outclass}"
         self.has_latent_residual = True
         if params is None:
+            # Local .pt, local TF pickle, or download-on-miss from the
+            # reference's torch/TF source tables (wrappers.py:311-345).
             from ganspace_tpu.models import checkpoints as _ckpt
-            rel = f"stylegan/stylegan_{self.outclass}_{self.resolution}.pt"
-            found = _ckpt.find_checkpoint(rel)
-            if found is None:  # TF-era NVlabs pickle, converted on the fly
-                for tf_rel in (
-                        f"stylegan/stylegan_{self.outclass}_{self.resolution}.pkl",
-                        f"stylegan/karras2019stylegan-{self.outclass}-"
-                        f"{self.resolution}x{self.resolution}.pkl"):
-                    found = _ckpt.find_checkpoint(tf_rel)
-                    if found is not None:
-                        break
+            found, rel = _ckpt.locate_stylegan(self.outclass, self.resolution)
             if found is not None and found.suffix == ".pkl":
                 from ganspace_tpu.models.tf_import import import_stylegan_tf
                 params = import_stylegan_tf(found)

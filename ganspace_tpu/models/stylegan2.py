@@ -371,11 +371,11 @@ class StyleGAN2(BaseGenerator):
         self.has_latent_residual = True
 
         if params is None:
-            # Reference checkpoint layout (wrappers.py:154-155); random init
-            # when absent (zero-egress environment).
+            # Reference checkpoint layout + download-on-miss
+            # (wrappers.py:138-161); random init when the file is absent and
+            # unfetchable (zero-egress environment).
             from ganspace_tpu.models import checkpoints as _ckpt
-            rel = f"stylegan2/stylegan2_{self.outclass}_{self.resolution}.pt"
-            found = _ckpt.find_checkpoint(rel)
+            found, rel = _ckpt.locate_stylegan2(self.outclass, self.resolution)
             if found is not None:
                 from ganspace_tpu.models.torch_import import import_stylegan2
                 params, latent_avg = import_stylegan2(found)

@@ -9,6 +9,10 @@ the platform is also forced through jax.config (which wins post-import).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic tests: never let a model constructor reach the network for a
+# missing checkpoint (download-on-miss is exercised against a monkeypatched
+# transport in test_download_wiring.py).
+os.environ["GANSPACE_AUTO_DOWNLOAD"] = "0"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
