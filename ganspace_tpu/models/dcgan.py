@@ -106,6 +106,17 @@ class GANZooModel(BaseGenerator):
     def __init__(self, model_name: str = "DCGAN", cfg: Optional[DCGANConfig] = None,
                  params: Optional[Dict[str, np.ndarray]] = None, init_seed: int = 0):
         super().__init__(model_name, "default")
+        if params is None and cfg is None:
+            # pytorch_GAN_zoo checkpoint (the torch.hub format the reference
+            # loads, wrappers.py:438-466): local file or download-on-miss,
+            # architecture inferred from the checkpoint itself.
+            from ganspace_tpu.models import checkpoints as _ckpt
+            found, rel = _ckpt.locate_ganzoo(model_name)
+            if found is not None:
+                from ganspace_tpu.models.torch_import import import_ganzoo_dcgan
+                params, cfg = import_ganzoo_dcgan(found)
+            else:
+                _ckpt.note_random_init(model_name, rel)
         self.cfg = cfg or DCGANConfig()
         self.resolution = self.cfg.resolution
         self.name = model_name

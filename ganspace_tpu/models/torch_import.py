@@ -143,3 +143,70 @@ def import_progan(path_or_dict) -> Tuple[Dict[str, np.ndarray], Tuple[int, ...]]
     for i in range(3, n_layers + 1, 2):
         sizes.append(params[f"layer{i}.conv.weight"].shape[0])
     return params, tuple(sizes)
+
+
+# ---------------------------------------------------------------------------
+# GAN-zoo DCGAN (facebookresearch/pytorch_GAN_zoo hub format)
+# ---------------------------------------------------------------------------
+
+def import_ganzoo_dcgan(path_or_dict):
+    """-> (params, DCGANConfig).  Input: a ``pytorch_GAN_zoo`` checkpoint —
+    the full hub save dict (``{'config', 'netG', 'netD', ...}``) or the
+    generator state dict alone (the reference consumes these via
+    ``torch.hub.load('facebookresearch/pytorch_GAN_zoo:hub', ...)``,
+    ``models/wrappers.py:438-466``; its ``test()`` path runs ``netG``).
+
+    The mapping is ORDER-driven, not name-driven: the zoo GNet is a flat
+    transposed-conv trunk (format layer 1->4 px, 2x upsampling stages, RGB
+    outlayer) with eval-mode BatchNorm between stages — exactly our local
+    ``dcgan.synthesize`` graph — so modules are classified by their tensors
+    (4-d ``weight`` = ConvTranspose2d; ``running_mean`` present = BatchNorm)
+    and bound in state-dict insertion order (= module execution order),
+    which survives any renaming across zoo versions.
+    """
+    state = _load_state(path_or_dict)
+    for key in ("netG", "state_dict"):
+        if isinstance(state.get(key), dict):
+            state = state[key]
+            break
+
+    # Group leaves by module prefix, preserving insertion order.
+    modules: Dict[str, dict] = {}
+    for k, v in state.items():
+        prefix, _, leaf = k.rpartition(".")
+        modules.setdefault(prefix, {})[leaf] = v
+
+    params: Dict[str, np.ndarray] = {}
+    ci = -1
+    for prefix, leaves in modules.items():
+        if "running_mean" in leaves:                      # BatchNorm2d
+            if ci < 0:
+                raise ValueError(
+                    f"zoo DCGAN state dict: BatchNorm module {prefix!r} "
+                    f"precedes any transposed conv")
+            for src, dst in (("weight", "weight"), ("bias", "bias"),
+                             ("running_mean", "running_mean"),
+                             ("running_var", "running_var")):
+                params[f"bn{ci}.{dst}"] = _to_np(leaves[src])
+        elif "weight" in leaves and _to_np(leaves["weight"]).ndim == 4:
+            w = _to_np(leaves["weight"])                  # [in, out, k, k]
+            if w.shape[2:] != (4, 4):
+                raise ValueError(
+                    f"zoo DCGAN conv {prefix!r} has kernel {w.shape[2:]}, "
+                    f"expected (4, 4)")
+            ci += 1
+            params[f"deconv{ci}.weight"] = w
+            params[f"deconv{ci}.bias"] = (
+                _to_np(leaves["bias"]) if leaves.get("bias") is not None
+                else np.zeros((w.shape[1],), np.float32))
+    if ci < 1:
+        raise ValueError("zoo DCGAN state dict: fewer than two transposed "
+                         "convs found — not a GNet checkpoint?")
+
+    from ganspace_tpu.models.dcgan import DCGANConfig
+    z_total = params["deconv0.weight"].shape[0]
+    cond = 20 if z_total > 20 else 0   # last 20 dims (wrappers.py:457-461)
+    cfg = DCGANConfig(latent_dim=z_total - cond, cond_dim=cond,
+                      base_channels=params["deconv0.weight"].shape[1],
+                      resolution=4 * 2 ** ci)
+    return params, cfg

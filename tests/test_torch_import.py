@@ -117,6 +117,88 @@ def test_biggan_import_bakes_all_sn():
             assert np.array_equal(imported[k], v), k
 
 
+class _ZooGNet(nn.Module):
+    """Torch replica of pytorch_GAN_zoo's DCGAN GNet (format layer 1->4 px,
+    2x transposed-conv stages with BatchNorm+ReLU, tanh outlayer) — the
+    architecture the reference hub-loads (``wrappers.py:438-466``)."""
+
+    def __init__(self, dim_latent=32, dim_output=3, dim_g=8, depth=2):
+        super().__init__()
+        from collections import OrderedDict
+        curr = dim_g * 2 ** depth
+        self.formatLayer = nn.ConvTranspose2d(dim_latent, curr, 4, 1, 0,
+                                              bias=False)
+        seq = OrderedDict()
+        seq["batchNorm0"] = nn.BatchNorm2d(curr)
+        seq["relu0"] = nn.ReLU(True)
+        for i in range(depth):
+            seq[f"convTranspose{i + 1}"] = nn.ConvTranspose2d(
+                curr, curr // 2, 4, 2, 1, bias=False)
+            seq[f"batchNorm{i + 1}"] = nn.BatchNorm2d(curr // 2)
+            seq[f"relu{i + 1}"] = nn.ReLU(True)
+            curr //= 2
+        seq["outlayer"] = nn.ConvTranspose2d(dim_g, dim_output, 4, 2, 1,
+                                             bias=False)
+        self.main = nn.Sequential(seq)
+
+    def forward(self, z):
+        x = self.formatLayer(z.view(z.shape[0], -1, 1, 1))
+        return torch.tanh(self.main(x))
+
+
+def test_ganzoo_dcgan_import_torch_parity():
+    """Full-checkpoint zoo import: architecture inferred from the state
+    dict, synthesis matches the torch GNet eval forward."""
+    from ganspace_tpu.models.dcgan import GANZooModel
+    from ganspace_tpu.models.torch_import import import_ganzoo_dcgan
+
+    torch.manual_seed(3)
+    net = _ZooGNet(dim_latent=32, dim_g=8, depth=2)
+    # non-trivial eval-mode BN running stats
+    for m in net.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    ckpt = {"config": {"dimLatentVector": 32},
+            "netG": net.state_dict(), "netD": {}}
+    params, cfg = import_ganzoo_dcgan(ckpt)
+    assert cfg.z_total == 32 and cfg.cond_dim == 20
+    assert cfg.resolution == 32  # 4 * 2**(depth+1)
+
+    model = GANZooModel("DCGAN-test", cfg=cfg, params=params)
+    z = np.random.RandomState(0).randn(3, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = 0.5 * (net(torch.tensor(z)) + 1)   # reference forward remap
+    ours = np.asarray(model.forward(z))
+    assert np.abs(ours - ref.numpy()).max() < 1e-5
+
+    # conditioning slice contract (reference wrappers.py:457-461)
+    zc = model.sample_latent(2, seed=1)
+    c = model.get_conditional_state(zc)
+    assert c.shape == (2, 20)
+
+
+def test_ganzoo_dcgan_import_name_agnostic():
+    """The importer binds by module order/shape, not by key names."""
+    from ganspace_tpu.models.torch_import import import_ganzoo_dcgan
+
+    rs = np.random.RandomState(1)
+    state = {
+        "g.first.weight": torch.tensor(rs.randn(24, 16, 4, 4), dtype=torch.float32),
+        "g.norm.weight": torch.ones(16), "g.norm.bias": torch.zeros(16),
+        "g.norm.running_mean": torch.zeros(16),
+        "g.norm.running_var": torch.ones(16),
+        "g.norm.num_batches_tracked": torch.tensor(0),
+        "g.last.weight": torch.tensor(rs.randn(16, 3, 4, 4), dtype=torch.float32),
+    }
+    params, cfg = import_ganzoo_dcgan(state)
+    assert set(params) >= {"deconv0.weight", "bn0.running_mean",
+                           "deconv1.weight"}
+    assert cfg.z_total == 24 and cfg.resolution == 8
+
+
 def test_progan_import_infers_sizes():
     from ganspace_tpu.models.proggan import ProGANConfig, init_params
 
