@@ -248,8 +248,41 @@ def _analyzed_batch_size(model, layer_name: str) -> Optional[int]:
     b = int((frac * hbm - params_bytes) / per_sample)
     b = max(4, min(4096, b))
     b = 1 << (b.bit_length() - 1)
+
+    def footprint_at(bb: int) -> Optional[int]:
+        """Whole-program footprint analyzed at batch ``bb``: XLA's peak plus
+        any argument/output buffers the backend's analysis omits (XLA:CPU
+        reports those as zero; on TPU the max() terms vanish)."""
+        try:
+            lat_b = jax.ShapeDtypeStruct((bb, dim), jnp.float32)
+            out_b = jax.eval_shape(fn, pack_s, lat_b)
+            ma = jax.jit(fn).lower(pack_s, lat_b).compile().memory_analysis()
+            out_bytes = int(np.prod(out_b.shape)) * out_b.dtype.itemsize
+            return (int(ma.peak_memory_in_bytes)
+                    + max(0, params_bytes - int(ma.argument_size_in_bytes))
+                    + max(0, out_bytes - int(ma.output_size_in_bytes)))
+        except Exception as e:
+            print(f"batch autotune: confirm lowering failed at b={bb} "
+                  f"({e!r}); keeping the extrapolated size")
+            return None
+
+    # Confirm the extrapolation at the CHOSEN size: XLA's fusion/remat
+    # choices can change with batch, so peak(B) != (B/32) * peak(32) in
+    # general.  One more AOT lowering per workload (the confirmed value is
+    # memoized below, and the lowering itself lands in the persistent
+    # compile cache); halve until the analyzed footprint of THAT program
+    # fits the budget.
+    budget = frac * hbm
+    while b > 4:
+        confirmed = footprint_at(b)
+        if confirmed is None or confirmed <= budget:
+            break
+        print(f"batch autotune: confirm at B={b} analyzed "
+              f"{confirmed / 1e9:.2f} GB > budget {budget / 1e9:.2f} GB; "
+              f"halving")
+        b //= 2
     print(f"batch autotune: peak {peak / 1e9:.2f} GB @ b={b_probe} "
-          f"(params {params_bytes / 1e9:.2f} GB) -> B={b} "
+          f"(params {params_bytes / 1e9:.2f} GB) -> B={b} confirmed "
           f"(~{(params_bytes + b * per_sample) / 1e9:.1f} GB of "
           f"{frac:.0%} x {hbm >> 30} GB HBM)")
     _AUTOTUNE_MEMO[key] = b

@@ -100,6 +100,38 @@ def test_production_flow_uses_analysis(monkeypatch):
     assert b_h >= 4
 
 
+def test_confirm_shrinks_superlinear_extrapolation(monkeypatch):
+    """VERDICT r3 item 8's done-criterion: a workload whose memory grows
+    superlinearly in batch — the b=32 linear extrapolation overshoots the
+    budget, and the confirm lowering at the chosen size must catch it and
+    shrink until the ANALYZED footprint fits."""
+    hbm = 64 << 20  # 64 MB
+    monkeypatch.setenv("GANSPACE_HBM_BYTES", str(hbm))
+    monkeypatch.setenv("GANSPACE_HBM_FRACTION", "0.4")
+
+    class QuadModel:
+        """Output is [b, b]: footprint ~ b^2, so per-sample cost measured at
+        b=32 wildly underestimates the cost at the extrapolated batch."""
+        name = "quad-test"
+        model_name = "quad-test"
+
+        def get_latent_dims(self):
+            return 64
+
+        def pure_acts_fn_p(self, layer_name):
+            def fn(pack, z):
+                return jnp.dot(z, z.T) + pack["bias"]
+            return fn, {"bias": np.zeros((), np.float32)}
+
+    b = _analyzed_batch_size(QuadModel(), "any")
+    assert b is not None
+    budget = 0.4 * hbm
+    # linear extrapolation would have chosen the 4096 clamp (32 KB probe
+    # footprint): the confirmed batch must actually fit
+    assert b < 4096
+    assert b * b * 4 <= budget * 1.25, (b, budget)
+
+
 def test_hbm_bytes_env_override(monkeypatch):
     monkeypatch.setenv("GANSPACE_HBM_BYTES", "123456789")
     assert _hbm_bytes() == 123456789
