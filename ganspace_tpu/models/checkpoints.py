@@ -137,16 +137,18 @@ def find_or_download(relative: str, url: Optional[str] = None,
     if interactive is None:
         interactive = sys.stdin.isatty()
     try:
-        print(f"Downloading {url}\n  -> {dest}", flush=True)
+        print(f"Downloading {url}\n  -> {dest}", file=sys.stderr, flush=True)
         return download_ckpt(url, dest, interactive=interactive)
     except DownloadUnavailable as e:
-        print(f"Download unavailable: {e}", flush=True)
+        print(f"Download unavailable: {e}", file=sys.stderr, flush=True)
         return None
 
 
 def note_random_init(name: str, relative: str) -> None:
+    # stderr: a diagnostic, not program output — CLI stdout contracts
+    # (e.g. the dissection CLI's --quiet) must stay clean.
     print(f"[{name}] no checkpoint at {checkpoint_root() / relative}; "
-          f"using seeded random initialization")
+          f"using seeded random initialization", file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
