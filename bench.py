@@ -24,6 +24,23 @@ import time
 import numpy as np
 
 
+def _reps(default: int = 5) -> int:
+    """Repetitions for the timed legs.  Median-of-N (N>=5 by default) with
+    p10/p90 spread fields: the tunneled chip's dispatch latency has a
+    measured 2-3x run-to-run band under external load, so best-of-2 made
+    round-over-round deltas unattributable (VERDICT r3 weak #1)."""
+    return max(2, int(os.environ.get("GANSPACE_BENCH_REPS", default)))
+
+
+def _spread(runs, prefix: str) -> dict:
+    """Median/p10/p90 seconds for a list of per-run wall times."""
+    r = np.asarray(runs, np.float64)
+    return {f"{prefix}_median_s": round(float(np.median(r)), 2),
+            f"{prefix}_p10_s": round(float(np.percentile(r, 10)), 2),
+            f"{prefix}_p90_s": round(float(np.percentile(r, 90)), 2),
+            f"{prefix}_runs": len(runs)}
+
+
 def main():
     n = int(os.environ.get("GANSPACE_BENCH_N", 1_000_000))
     import jax
@@ -74,16 +91,20 @@ def main():
         jax.block_until_ready(warm_est._moments or warm_est._state)
         warmup_s = time.perf_counter() - t_warm
 
-        # Two timed runs: run 1 is the COLD number (fresh dispatch queues,
-        # any residual compiles), run 2 the steady state.  The tunneled
-        # chip's dispatch latency has ~3x run-to-run variance under external
-        # load; the minimum is the pipeline's own steady-state throughput.
+        # Median-of-N timed runs: run 1 is the COLD number (fresh dispatch
+        # queues, any residual compiles); the headline uses the MEDIAN of
+        # the remaining runs so it's robust to the relay's 2-3x external
+        # load band, with p10/p90 recorded so real regressions are
+        # distinguishable from relay weather.  min is kept as the
+        # steady-state floor (round <=3 comparability).
         runs = []
-        for _ in range(2):
+        for _ in range(_reps()):
             t0 = time.perf_counter()
             path = get_or_compute(cfg, inst, force_recompute=True)
             runs.append(time.perf_counter() - t0)
         cold_s, steady_s = runs[0], min(runs)
+        wpca_spread = _spread(runs[1:], "wpca")
+        median_s = wpca_spread["wpca_median_s"]
 
         data = np.load(path)
         assert data["act_comp"].shape[0] == 80
@@ -125,8 +146,9 @@ def main():
     if os.environ.get("GANSPACE_BENCH_CONVTAP", "1") == "1":
         convtap = _bench_convtap(n_chips)
 
-    sps = n / steady_s
-    sps_chip = sps / n_chips
+    # Headline = MEDIAN-based throughput (r4+; rounds <=3 reported min —
+    # compare those against wpca_steady_s, not value).
+    sps_chip = n / median_s / n_chips
     baseline_sps_chip = 1_000_000 / 60.0 / 8.0  # north-star v5p-8 target
     result = {
         "metric": "latent samples/sec/chip (sample+mapping+IPCA, n=%d)" % n,
@@ -135,15 +157,16 @@ def main():
         "vs_baseline": round(sps_chip / baseline_sps_chip, 3),
         "wpca_cold_s": round(cold_s, 2),
         "wpca_steady_s": round(steady_s, 2),
+        **wpca_spread,
         "warmup_s": round(warmup_s, 1),
         **img_s,
         **parity,
         **convtap,
     }
     print(json.dumps(result))
-    print(f"# cold {cold_s:.1f}s / steady {steady_s:.1f}s for n={n} on "
-          f"{n_chips} chip(s); warmup {warmup_s:.1f}s; {img_s}",
-          file=sys.stderr)
+    print(f"# cold {cold_s:.1f}s / median {median_s:.1f}s / best "
+          f"{steady_s:.1f}s for n={n} on {n_chips} chip(s); warmup "
+          f"{warmup_s:.1f}s; {img_s}", file=sys.stderr)
 
 
 def _bench_convtap(n_chips: int) -> dict:
@@ -167,7 +190,7 @@ def _bench_convtap(n_chips: int) -> dict:
             inst = get_instrumented_model(cfg, use_w=False)
             inst.model.use_z()
             runs = []
-            for _ in range(2):
+            for _ in range(_reps()):
                 t0 = time.perf_counter()
                 path = get_or_compute(cfg, inst, force_recompute=True)
                 runs.append(time.perf_counter() - t0)
@@ -175,6 +198,12 @@ def _bench_convtap(n_chips: int) -> dict:
                 assert d["act_comp"].shape == (80, 1, 512, 16, 16)
                 d_dim = int(np.prod(d["act_comp"].shape[1:]))
                 comp_f32 = d["act_comp"].reshape(80, -1)
+                meta = json.loads(d["_meta"].item().decode())
+            # Adaptive-refine decision on this (random-init, flat-spectrum)
+            # model — expected False: the policy keeps the load-bearing
+            # second sweep here and skips it only on decaying spectra
+            # (see the convtap_decay_* leg).
+            refine_skipped = meta.get("refine_skipped")
 
             # bf16-datapath variant (--dtype bfloat16): synthesis sweeps on
             # the MXU's native bf16, estimator statistics still accumulate
@@ -187,7 +216,7 @@ def _bench_convtap(n_chips: int) -> dict:
                                 layer="convs.2", estimator="ipca",
                                 components=80, n=n, dtype="bfloat16")
                 runs_bf = []
-                for _ in range(2):
+                for _ in range(_reps()):
                     t0 = time.perf_counter()
                     path_bf = get_or_compute(cfg_bf, inst,
                                              force_recompute=True)
@@ -195,12 +224,14 @@ def _bench_convtap(n_chips: int) -> dict:
                 with np.load(path_bf) as d:
                     comp_bf = d["act_comp"].reshape(80, -1)
                 cos = np.abs(np.sum(comp_f32 * comp_bf, axis=1))
-                steady_bf = min(runs_bf)
+                bf_spread = _spread(runs_bf[1:], "convtap_bf16")
                 bf16 = {
                     "convtap_bf16_samples_s_chip":
-                        round(n / steady_bf / n_chips, 1),
-                    "convtap_bf16_steady_s": round(steady_bf, 2),
+                        round(n / bf_spread["convtap_bf16_median_s"]
+                              / n_chips, 1),
+                    "convtap_bf16_steady_s": round(min(runs_bf), 2),
                     "convtap_bf16_cold_s": round(runs_bf[0], 2),
+                    **bf_spread,
                     "convtap_bf16_min_cos": round(float(cos.min()), 4),
                     "convtap_bf16_mean_cos": round(float(cos.mean()), 4),
                 }
@@ -210,10 +241,122 @@ def _bench_convtap(n_chips: int) -> dict:
             else:
                 os.environ["GANSPACE_OUTPUT_DIR"] = prev
     cold_s, steady_s = runs[0], min(runs)
-    return {"convtap_samples_s_chip": round(n / steady_s / n_chips, 1),
+    spread = _spread(runs[1:], "convtap")
+    decay = {}
+    if os.environ.get("GANSPACE_BENCH_CONVTAP_DECAY", "1") == "1":
+        decay = _bench_convtap_decay(inst.model, n_chips)
+    return {"convtap_samples_s_chip":
+                round(n / spread["convtap_median_s"] / n_chips, 1),
             "convtap_cold_s": round(cold_s, 2),
             "convtap_steady_s": round(steady_s, 2),
-            "convtap_D": d_dim, "convtap_n": n, **bf16}
+            **spread,
+            "convtap_refine_skipped": refine_skipped,
+            "convtap_D": d_dim, "convtap_n": n, **bf16, **decay}
+
+
+def _bench_convtap_decay(model, n_chips: int) -> dict:
+    """Decaying-spectrum conv-tap leg: the adaptive-refine skip path plus
+    the bf16 quality statement on realistic (decaying) spectra
+    (VERDICT r3 #1/#6).
+
+    Trained checkpoints have decaying tap spectra (unlike the random-init
+    plateau of the main leg); zero-egress, that regime is synthesized by
+    spectral shaping — the same convs.2 synthesis stream scaled per flat
+    feature index by r^i (r=0.96: ~4%/index eigengaps, sketch-resolvable).
+    Runs the production fused fit sweep (device RNG + synthesis + Nystrom
+    update in one scan) three ways:
+
+    * f32, REFINE=auto   -> policy must skip the second sweep (timed leg);
+    * f32, REFINE=always -> quality reference (one run);
+    * bf16 datapath, auto -> timed + min/mean cosine vs the f32 reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ganspace_tpu.estimators import get_estimator
+    from ganspace_tpu.ops.precision import synth_dtype
+
+    n = int(os.environ.get("GANSPACE_BENCH_CONVTAP_N", 50_000))
+    c = int(os.environ.get("GANSPACE_BENCH_DECAY_C", 80))
+    nb = int(os.environ.get("GANSPACE_BENCH_DECAY_NB", 4096))
+    tap = os.environ.get("GANSPACE_BENCH_CONVTAP_LAYER", "convs.2")
+    n_blocks = -(-n // nb)
+    fp = model.pure_acts_fn_p(tap)
+    if fp is None:
+        return {}
+    fn, pack = fp
+    zdim = model.get_latent_dims()
+    d_dim = jax.eval_shape(
+        fn, pack, jax.ShapeDtypeStruct((nb, zdim), jnp.float32)).shape[1]
+    # r=0.96/index: ~8%/index eigengaps and a sub-0.1% tail beyond the
+    # production sketch width (l=4c=320) — resolvable in one pass.  Tiny
+    # test shapes (small l) override via env to stay inside the same
+    # tail budget.
+    r = float(os.environ.get("GANSPACE_BENCH_DECAY_R", 0.96))
+    shaping = jnp.asarray((r ** np.arange(d_dim)).astype(np.float32))
+
+    def make_block_fn(acts_fn, dtype):
+        def block_fn(consts, key):
+            z = jax.random.normal(key, (nb, zdim), jnp.float32)
+            x = acts_fn(consts, z).astype(jnp.float32) * shaping
+            return x.astype(dtype)
+        return block_fn
+
+    def run(block_fn, consts, mode, reps):
+        os.environ["GANSPACE_IPCA_REFINE"] = mode
+        try:
+            times, est = [], None
+            for _ in range(reps):
+                est = get_estimator("ipca", c)
+                key = jax.random.PRNGKey(5)
+                t0 = time.perf_counter()
+                assert est.fit_stream(block_fn, n_blocks, key, consts=consts)
+                comp = est.get_components(device=True)[0]
+                jax.block_until_ready(comp)
+                times.append(time.perf_counter() - t0)
+            return times, np.asarray(comp), est
+        finally:
+            os.environ.pop("GANSPACE_IPCA_REFINE", None)
+
+    reps = _reps()
+    t_auto, comp_auto, est_auto = run(
+        make_block_fn(fn, jnp.float32), pack, "auto", reps)
+    t_ref, comp_ref, _ = run(make_block_fn(fn, jnp.float32), pack, "always", 1)
+    with synth_dtype("bfloat16"):
+        fn_bf, pack_bf = model.pure_acts_fn_p(tap)
+    t_bf, comp_bf, est_bf = run(
+        make_block_fn(fn_bf, jnp.bfloat16), pack_bf, "auto", reps)
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    cos_skip = np.abs(np.sum(unit(comp_auto) * unit(comp_ref), axis=1))
+    cos_bf = np.abs(np.sum(unit(comp_bf.astype(np.float32))
+                           * unit(comp_ref), axis=1))
+    spread = _spread(t_auto[1:] if len(t_auto) > 1 else t_auto,
+                     "convtap_decay")
+    bf_spread = _spread(t_bf[1:] if len(t_bf) > 1 else t_bf,
+                        "convtap_decay_bf16")
+    n_eff = n_blocks * nb   # the fused stream rounds up to whole blocks
+    return {
+        "convtap_decay_samples_s_chip":
+            round(n_eff / spread["convtap_decay_median_s"] / n_chips, 1),
+        **spread,
+        "convtap_decay_refine_skipped": bool(est_auto.refine_skipped),
+        "convtap_decay_refined_s": round(t_ref[0], 2),
+        # parity of the SKIPPED single-pass result vs the forced two-pass
+        # reference on this decaying spectrum — the >=0.99 claim, measured
+        # at production shape
+        "convtap_decay_skip_min_cos": round(float(cos_skip.min()), 4),
+        "convtap_decay_skip_mean_cos": round(float(cos_skip.mean()), 4),
+        "convtap_decay_bf16_samples_s_chip":
+            round(n_eff / bf_spread["convtap_decay_bf16_median_s"]
+                  / n_chips, 1),
+        **bf_spread,
+        "convtap_decay_bf16_refine_skipped": bool(est_bf.refine_skipped),
+        "convtap_decay_bf16_min_cos": round(float(cos_bf.min()), 4),
+        "convtap_decay_bf16_mean_cos": round(float(cos_bf.mean()), 4),
+    }
 
 
 def _bench_parity(model, n: int = 20_000, c: int = 10) -> dict:

@@ -943,10 +943,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # extra synthesis sweep buys a power iteration on the scatter — taking
     # the big-D streaming PCA from ~0.9 to >0.995 per-component cosine vs
     # exact (IPCAEstimator.begin_refine; the fused paths refine inside
-    # fit_stream, and the moments/sklearn tiers never need it).
+    # fit_stream, and the moments/sklearn tiers never need it).  The
+    # adaptive policy (should_refine) skips the whole sweep when the
+    # first-pass sketch is already resolved — decaying trained-checkpoint
+    # spectra typically qualify, random-init plateaus do not.
     if (not canceled and not (fused or fused_acts)
             and transformer.batch_support
             and hasattr(transformer, "begin_refine")
+            and getattr(transformer, "should_refine", lambda: True)()
             and transformer.begin_refine()):
         try:
             run_sweep("Refine pass",
@@ -1057,6 +1061,10 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "dtype": getattr(config, "dtype", None) or "float32",
         "mesh": dict(mesh.shape) if mesh is not None else None,
         "fused_linreg": fused_linreg_used,
+        # Adaptive-refine decision (sketch tier only; None elsewhere):
+        # True = the calibrated policy skipped the second data sweep.
+        "refine_skipped": getattr(transformer, "refine_skipped", None),
+        "refine_stats": getattr(transformer, "refine_stats", None),
     })
     # Atomic write (temp + rename): an interrupt mid-savez must never leave
     # a truncated zip at the cache path get_or_compute would blindly reuse.
@@ -1071,6 +1079,17 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     use_zlib = (force == "1") if force in ("0", "1") \
         else cache_bytes <= 8 * 1024 * 1024
     _savez = np.savez_compressed if use_zlib else np.savez
+    if getattr(config, "dtype", None) == "bfloat16":
+        # Measured quality bound for the bf16 datapath (bench convtap_bf16 /
+        # convtap_decay_bf16 legs): min per-component cosine vs the f32 run
+        # can dip to ~0.989 on flat (random-init) spectra; decaying trained
+        # spectra hold >=0.99.  The _bf16 filename tag keeps these out of
+        # f32 cache hits; warn so downstream quality-sensitive use is a
+        # conscious choice.
+        print("Note: bfloat16-datapath components (preview precision) — "
+              "per-component cosine vs float32 can dip to ~0.989 on "
+              "flat-spectrum models; re-run without --dtype bfloat16 for "
+              "analysis-grade components", file=sys.stderr)
     _savez(tmp_name, **{
         "act_comp": x_comp.astype(np.float32),
         "act_mean": x_global_mean.astype(np.float32),

@@ -136,6 +136,27 @@ def _nystrom_update(state: _NystromState, x: jnp.ndarray,
 
 
 @jax.jit
+def _nystrom_spectrum(state: _NystromState, omega: jnp.ndarray):
+    """(evals [l] desc, total) — the sketch's own eigenvalue estimates of the
+    centered scatter plus the EXACT centered energy, the inputs of the
+    adaptive-refine convergence statistics.  Same Nyström algebra as
+    ``_nystrom_finish`` but eigenvalues only: two [D, l] gemms + l x l
+    factorizations, negligible next to a data sweep."""
+    n = state.count
+    mu = state.s / n
+    y = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
+    m = mm(omega.T, y)
+    m = 0.5 * (m + m.T)
+    shift = 1e-6 * jnp.trace(m) / m.shape[0] + 1e-20
+    chol = jnp.linalg.cholesky(m + shift * jnp.eye(m.shape[0], dtype=m.dtype))
+    f = jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T  # [D, l]
+    g = mm(f.T, f)
+    evals = jnp.linalg.eigvalsh(g)[::-1]
+    total = state.sq - n * jnp.sum(jnp.square(mu))
+    return jnp.maximum(evals, 0.0), total
+
+
+@jax.jit
 def _nystrom_range(state: _NystromState, omega: jnp.ndarray) -> jnp.ndarray:
     """Orthonormal basis of the centered first-pass sketch, via tall-skinny
     Cholesky QR (two gemms + one l x l factorization — no [D, l] QR, so the
@@ -229,6 +250,17 @@ class IPCAEstimator:
     #: in HBM: 8192^2 f32 = 256 MB); beyond it, the sklearn-mirror updates.
     MOMENTS_MAX_D = 8192
 
+    #: Adaptive-refine policy thresholds, calibrated on a 40-case spectrum
+    #: sweep (flat / exp r∈[0.8,0.995] / power-law / plateau-at-cut /
+    #: noise-floor / degenerate-pair shapes x 3 seeds; docs/PERFORMANCE.md
+    #: "adaptive refine").  Every calibration case with single-pass
+    #: min-cosine >= 0.99 vs exact PCA had sketch_tail_frac <= 0.0099; every
+    #: failure had >= 0.0159 — except spectra with a plateau straddling the
+    #: component cut (tail_frac 0.0093, min-cos 0.91), which the eigengap
+    #: guard catches (plateau: rel gap 0.0024 vs >= 0.029 for all safe skips).
+    REFINE_TAIL_FRAC = 0.012
+    REFINE_MIN_GAP = 0.02
+
     def __init__(self, n_components: int, whiten: bool = False,
                  feature_sharding=None, mode: str = "auto"):
         self.n_components = n_components
@@ -241,6 +273,12 @@ class IPCAEstimator:
         self._omega: Optional[jnp.ndarray] = None
         self._refined = False
         self._pre_refine = None  # first-pass snapshot while a refine runs
+        #: Set by should_refine(): True when the adaptive policy (or an
+        #: explicit never) skipped the second sweep, False when a refine ran,
+        #: None while undecided / not applicable (moments & sklearn tiers).
+        self.refine_skipped = None
+        #: Convergence statistics the auto decision was made from.
+        self.refine_stats = None
         # Regression cross-moments piggybacked on the fit sweeps
         # (fit_stream with_reg=True): (sum x z^T [D, zdim], sum z [zdim], n).
         self._reg = None
@@ -300,6 +338,65 @@ class IPCAEstimator:
             x, NamedSharding(self._sharding.mesh,
                              P(*((axis,) + (None,) * (x.ndim - 1)))))
 
+    def sketch_convergence(self) -> Optional[dict]:
+        """Convergence statistics of the first-pass sketch, from its own
+        l x l spectrum (no extra data pass):
+
+        * ``sketch_tail_frac`` — centered energy NOT captured by the l-dim
+          sketch subspace, as a fraction of the exact total.  Measures how
+          much of the spectrum the sketch has resolved; a flat spectrum
+          leaves ~1-l/D unresolved, a fast-decaying one ~0.
+        * ``min_rel_gap_topc`` — smallest relative eigengap among the top-c
+          estimated eigenvalues; guards against plateaus straddling the
+          component cut, where subspace rotation error hides inside a tiny
+          tail fraction.
+
+        None when no sketch is live or it has seen no data."""
+        if self._nystrom is None or float(self._nystrom.count) == 0.0:
+            return None
+        evals, total = _nystrom_spectrum(self._nystrom, self._omega)
+        ev = np.maximum(np.asarray(evals, np.float64), 1e-30)
+        total = float(total)
+        c = min(self.n_components, len(ev))
+        return {
+            "sketch_tail_frac":
+                float(max(total - float(ev.sum()), 0.0) / max(total, 1e-30)),
+            "min_rel_gap_topc":
+                float(np.min(1.0 - ev[1:c] / ev[:c - 1])) if c > 1 else 1.0,
+        }
+
+    def should_refine(self) -> bool:
+        """Decide whether the sketch tier's second data pass is worth a full
+        extra synthesis sweep (``GANSPACE_IPCA_REFINE``: ``auto`` default /
+        ``1``/``always`` / ``0``/``never``).
+
+        ``auto`` skips the refine sweep only when the completed first-pass
+        sketch is already resolved: ``sketch_tail_frac <= 0.012`` AND
+        ``min_rel_gap_topc >= 0.02`` (thresholds calibrated so every skip in
+        the 40-case spectrum sweep keeps per-component min-cosine >= 0.99 vs
+        exact PCA — see REFINE_TAIL_FRAC above).  Real trained-checkpoint
+        conv-tap spectra decay and typically qualify; random-init plateau
+        spectra do not and keep the second pass.  Records the decision in
+        ``refine_skipped`` / ``refine_stats`` for provenance and bench."""
+        import os
+        mode = os.environ.get("GANSPACE_IPCA_REFINE", "auto").strip().lower()
+        if self._nystrom is None or self._refined:
+            return False
+        if mode in ("0", "never", "off", "false"):
+            self.refine_skipped = True
+            return False
+        if mode in ("1", "always", "on", "true"):
+            self.refine_skipped = False
+            return True
+        stats = self.sketch_convergence()
+        if stats is None:
+            return False
+        skip = (stats["sketch_tail_frac"] <= self.REFINE_TAIL_FRAC
+                and stats["min_rel_gap_topc"] >= self.REFINE_MIN_GAP)
+        self.refine_skipped = bool(skip)
+        self.refine_stats = stats
+        return not skip
+
     def begin_refine(self) -> bool:
         """Arm the sketch tier's second data pass (power iteration).
 
@@ -307,13 +404,18 @@ class IPCAEstimator:
         ``fit_partial`` will improve the estimate: the test matrix becomes
         the orthonormal range of the first-pass sketch and accumulation
         restarts.  Callers with regenerable streams (seeded latents — zero
-        storage cost, one extra synthesis sweep) should do so; the moments
-        and sklearn tiers never need it.  Disable with
-        ``GANSPACE_IPCA_REFINE=0`` to keep the single-pass sketch."""
+        storage cost, one extra synthesis sweep) should gate the sweep on
+        ``should_refine()`` — the adaptive policy that skips it when the
+        first-pass sketch is already converged; the moments and sklearn
+        tiers never need it.  ``GANSPACE_IPCA_REFINE=0`` forces the
+        single-pass sketch everywhere."""
         import os
+        mode = os.environ.get("GANSPACE_IPCA_REFINE", "auto").strip().lower()
         if (self._nystrom is None or self._refined
-                or os.environ.get("GANSPACE_IPCA_REFINE", "1") != "1"):
+                or mode in ("0", "never", "off", "false")):
             return False
+        if self.refine_skipped is None:
+            self.refine_skipped = False   # direct callers bypass the policy
         d, l = self._nystrom.y.shape
         # Snapshot the completed first-pass sketch so an interrupted refine
         # sweep can fall back to it (abort_refine) instead of saving a
@@ -348,6 +450,7 @@ class IPCAEstimator:
         self._nystrom, self._omega, self.n_samples_seen_, self._reg = snap
         self._pre_refine = None
         self._refined = False
+        self.refine_skipped = None   # the armed pass never completed
 
     def _maybe_init_tier(self, d: int) -> None:
         """Allocate the moments/sketch state on first contact with the
@@ -529,8 +632,13 @@ class IPCAEstimator:
                 i += k
 
         run_pass()
-        # Sketch tier: regenerable stream -> free power-iteration pass.
-        if self._nystrom is not None and self.begin_refine():
+        # Sketch tier: the key-derived stream is regenerable, so a second
+        # sweep buys a power iteration on the scatter — but only when the
+        # adaptive policy says the first-pass sketch isn't already resolved
+        # (should_refine; skipping saves the whole second synthesis sweep,
+        # ~1.4x end-to-end on decaying-spectrum conv taps).
+        if (self._nystrom is not None and self.should_refine()
+                and self.begin_refine()):
             run_pass()
         return True
 
