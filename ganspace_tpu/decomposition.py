@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime
 import os
 import sys
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -984,6 +985,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             x_block = jnp.zeros((1, sample_dims), jnp.float32)
         x_data = jnp.asarray(x_block) - jnp.asarray(x_global_mean)
 
+    # Opt-in phase trace (GANSPACE_PHASE_TRACE=1): wall-clock stamps around
+    # every post-fit boundary that costs a dispatch round trip or a
+    # host<->device transfer, printed to stderr at the end — the tool for
+    # attributing the gap between the steady time and the per-block device
+    # floor (docs/PERFORMANCE.md roofline row).
+    _stamps = [("fit_done", time.perf_counter())] \
+        if os.environ.get("GANSPACE_PHASE_TRACE") == "1" else None
+
+    def _stamp(label):
+        if _stamps is not None:
+            _stamps.append((label, time.perf_counter()))
+
     # Keep the components ON DEVICE when the estimator can: for conv taps
     # they are c*D-sized ([80, 131072] = 42 MB), and the downstream consumers
     # (regression solve, projections) are device math — only the final npz
@@ -993,6 +1006,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         x_comp, x_stdev, x_var_ratio = transformer.get_components(device=True)
     except TypeError:                 # estimators without the device path
         x_comp, x_stdev, x_var_ratio = transformer.get_components()
+    _stamp("get_components")
 
     assert x_comp.shape[1] == sample_dims \
         and x_comp.shape[0] == config.components \
@@ -1013,6 +1027,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         else:
             z_comp, z_global_mean = regression(x_comp, x_global_mean,
                                                x_stdev, inst, config)
+    _stamp("regression")
 
     z_comp = z_comp / np.linalg.norm(z_comp, axis=-1, keepdims=True)
 
@@ -1031,12 +1046,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     x_stdev_random = np.asarray(jnp.std(
         mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),
         axis=1))
+    _stamp("random_stdevs")
 
     # Inflate back to proper shapes (for easier broadcasting).  The c*D
     # component DMA happens HERE, after every device-math consumer above —
     # issued any earlier it serializes queued device programs behind a ~2 s
     # relay transfer (measured: the regression solve stalled 0.3 -> 2.1 s).
     x_comp = np.array(x_comp).reshape(-1, *sample_shape)
+    _stamp("component_dma")
     x_global_mean = np.array(x_global_mean).reshape(sample_shape)
     z_comp = z_comp.reshape(-1, *input_shape)
     z_global_mean = z_global_mean.reshape(input_shape)
@@ -1049,6 +1066,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         coords = mm(jnp.asarray(z_comp.reshape(-1, input_dims),
                                 jnp.float32), ws.T)
         lat_stdev = np.asarray(jnp.std(coords, axis=1))
+    _stamp("lat_stdev")
 
     os.makedirs(dump_name.parent, exist_ok=True)
     # Provenance sidecar key (reference keys stay untouched): the filename
@@ -1090,6 +1108,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
               "per-component cosine vs float32 can dip to ~0.989 on "
               "flat-spectrum models; re-run without --dtype bfloat16 for "
               "analysis-grade components", file=sys.stderr)
+    _stamp("save_prep")
     _savez(tmp_name, **{
         "act_comp": x_comp.astype(np.float32),
         "act_mean": x_global_mean.astype(np.float32),
@@ -1102,6 +1121,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "_meta": np.bytes_(meta.encode()),
     })
     os.replace(tmp_name, dump_name)
+    _stamp("npz_write")
+    if _stamps is not None:
+        t0, prev = _stamps[0][1], _stamps[0][1]
+        lines = []
+        for label, t in _stamps[1:]:
+            lines.append(f"  {label:18s} +{t - prev:7.3f}s (t={t - t0:7.3f})")
+            prev = t
+        print("post-fit phase trace:\n" + "\n".join(lines), file=sys.stderr)
 
     if canceled:
         sys.exit(1)
