@@ -524,6 +524,43 @@ def _partial_dump_name(dump_name: Path, config_n: int, n_fitted: int) -> Path:
         f"_n{config_n}", f"_n{n_fitted}", 1)
 
 
+def _stream_npz(path, small_arrays: dict, stream_key: str, dev_arr,
+                out_shape, chunks: int = 8) -> None:
+    """np.savez-compatible writer that pipelines the big-array DMA with the
+    zip write.
+
+    ``dev_arr`` (a [c, D] float device array) becomes the ``stream_key``
+    entry with logical shape ``out_shape`` (same row-major bytes — the
+    reshape is metadata-only).  Its rows are split into ``chunks`` slices
+    whose device->host copies are ALL initiated asynchronously up front, so
+    the relay moves chunk i+1 while the host CRCs and writes chunk i —
+    on a tunneled chip the 42 MB conv-tap component transfer (~35 MB/s
+    relay) and the uncompressed zip write (~70 MB/s disk) are the two
+    biggest post-fit costs, and this overlaps them.  np.load reads the
+    result identically to an np.savez file."""
+    import zipfile
+    from numpy.lib import format as npf
+
+    dev_arr = jnp.asarray(dev_arr, jnp.float32)
+    c = dev_arr.shape[0]
+    k = max(1, min(chunks, c))
+    bounds = [(i * c) // k for i in range(k + 1)]
+    slices = [dev_arr[b0:b1] for b0, b1 in zip(bounds, bounds[1:]) if b1 > b0]
+    for s in slices:
+        s.copy_to_host_async()
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
+        for name, arr in small_arrays.items():
+            with zf.open(name + ".npy", "w") as fp:
+                npf.write_array(fp, np.asarray(arr), allow_pickle=False)
+        with zf.open(stream_key + ".npy", "w", force_zip64=True) as fp:
+            npf.write_array_header_1_0(fp, {
+                "descr": "<f4", "fortran_order": False,
+                "shape": tuple(int(s) for s in out_shape)})
+            for s in slices:
+                host = np.ascontiguousarray(np.asarray(s), dtype=np.float32)
+                fp.write(memoryview(host).cast("B"))
+
+
 # ---------------------------------------------------------------------------
 # Main computation (reference decomposition.py:150-358)
 # ---------------------------------------------------------------------------
@@ -831,21 +868,35 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
         n_stream_blocks = -(-n_total // batch)
         key0 = _jax.random.PRNGKey(seed0)
+        # Ride the random-direction stdev baselines on the same scan: the
+        # projection moments cost one [nb, D]x[D, c] gemm per block
+        # (negligible next to synthesis) and make the post-fit extra
+        # synthesis block + 2 GB centering unnecessary (measured ~0.6 s of
+        # the conv-tap tail).  GANSPACE_FUSED_RAND=0 restores the separate
+        # 5000-sample baseline for A/B.
+        want_rand = os.environ.get("GANSPACE_FUSED_RAND", "1") == "1"
+        rdirs_dev = (random_directions_device(config.components, sample_dims)
+                     if want_rand else None)
         print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
               f"of {batch}" + (" (+regression moments)" if want_reg else ""),
               flush=True)
         try:
             if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
                                           consts=stream_pack,
-                                          with_reg=want_reg):
+                                          with_reg=want_reg,
+                                          rand_dirs=rdirs_dev):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
-            # jitted (not eager): eager op-by-op synthesis on a mesh risks
-            # XLA's 40 s collective-rendezvous timeout under compile load.
-            x_block = _jax.jit(block_fn)(stream_pack,
-                                         _jax.random.fold_in(key0, 0))
-            if want_reg:
-                x_block = x_block[0]
+            x_block = None
+            if getattr(transformer, "rand_moments", lambda: None)() is None:
+                # Baselines did not ride the scan: synthesize one block for
+                # them.  jitted (not eager): eager op-by-op synthesis on a
+                # mesh risks XLA's 40 s collective-rendezvous timeout under
+                # compile load.
+                x_block = _jax.jit(block_fn)(stream_pack,
+                                             _jax.random.fold_in(key0, 0))
+                if want_reg:
+                    x_block = x_block[0]
             # The scan program is now in the persistent compile cache:
             # future runs of this exact workload may auto-enable the
             # fused path (GANSPACE_FUSED_ACTS=auto).
@@ -1036,23 +1087,41 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # Device-RNG runs also DRAW the directions on device (same fixed seed,
     # threefry stream): the host path costs ~1.3 s of RandomState generation
     # plus a c*D upload for big-D taps.
-    if device_rng_used:
-        random_dirs = random_directions_device(config.components,
-                                               int(np.prod(sample_shape)))
+    rand_mom = (getattr(transformer, "rand_moments", lambda: None)()
+                if device_rng_used else None)
+    if rand_mom is not None:
+        # The projections' raw moments rode the fused fit scan (same
+        # threefry dirs, ALL n samples instead of a 5000-sample block);
+        # variance is shift-invariant, so centering by the global mean
+        # falls out: Var(R(x-mean)) == Var(Rx).
+        ps, ps2, n_r = rand_mom
+        x_stdev_random = np.asarray(jnp.sqrt(jnp.maximum(
+            ps2 / n_r - (ps / n_r) ** 2, 0.0)))
     else:
-        random_dirs = get_random_dirs(config.components,
-                                      np.prod(sample_shape))
-    n_rand_samples = min(5000, x_data.shape[0])
-    x_stdev_random = np.asarray(jnp.std(
-        mm(jnp.asarray(random_dirs), jnp.asarray(x_data[:n_rand_samples]).T),
-        axis=1))
+        if device_rng_used:
+            random_dirs = random_directions_device(config.components,
+                                                   int(np.prod(sample_shape)))
+        else:
+            random_dirs = get_random_dirs(config.components,
+                                          np.prod(sample_shape))
+        n_rand_samples = min(5000, x_data.shape[0])
+        x_stdev_random = np.asarray(jnp.std(
+            mm(jnp.asarray(random_dirs),
+               jnp.asarray(x_data[:n_rand_samples]).T),
+            axis=1))
     _stamp("random_stdevs")
 
     # Inflate back to proper shapes (for easier broadcasting).  The c*D
     # component DMA happens HERE, after every device-math consumer above —
     # issued any earlier it serializes queued device programs behind a ~2 s
     # relay transfer (measured: the regression solve stalled 0.3 -> 2.1 s).
-    x_comp = np.array(x_comp).reshape(-1, *sample_shape)
+    # Device-resident components are NOT copied back eagerly: the npz writer
+    # streams them chunk-by-chunk with async copies so the relay transfer
+    # overlaps the zip CRC+write (the two biggest post-fit costs; measured
+    # 1.3-1.7 s DMA + 0.6-1.0 s write sequential).
+    comp_is_device = not isinstance(x_comp, np.ndarray)
+    if not comp_is_device:
+        x_comp = np.array(x_comp).reshape(-1, *sample_shape)
     _stamp("component_dma")
     x_global_mean = np.array(x_global_mean).reshape(sample_shape)
     z_comp = z_comp.reshape(-1, *input_shape)
@@ -1092,7 +1161,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # near-incompressible (measured: 7.6 s of zlib to shave 7% off a
     # conv-tap cache), so big-D caches store uncompressed — np.load reads
     # both identically.  GANSPACE_CACHE_COMPRESS=1 forces zlib always.
-    cache_bytes = x_comp.nbytes + z_comp.nbytes + x_global_mean.nbytes
+    cache_bytes = 4 * x_comp.size + z_comp.nbytes + x_global_mean.nbytes
     force = os.environ.get("GANSPACE_CACHE_COMPRESS")
     use_zlib = (force == "1") if force in ("0", "1") \
         else cache_bytes <= 8 * 1024 * 1024
@@ -1109,8 +1178,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
               "flat-spectrum models; re-run without --dtype bfloat16 for "
               "analysis-grade components", file=sys.stderr)
     _stamp("save_prep")
-    _savez(tmp_name, **{
-        "act_comp": x_comp.astype(np.float32),
+    small_arrays = {
         "act_mean": x_global_mean.astype(np.float32),
         "act_stdev": np.asarray(x_stdev, np.float32),
         "lat_comp": z_comp.astype(np.float32),
@@ -1119,7 +1187,20 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "var_ratio": np.asarray(x_var_ratio, np.float32),
         "random_stdevs": x_stdev_random.astype(np.float32),
         "_meta": np.bytes_(meta.encode()),
-    })
+    }
+    wrote = False
+    if comp_is_device and not use_zlib:
+        try:
+            _stream_npz(tmp_name, small_arrays, "act_comp", x_comp,
+                        (x_comp.shape[0], *sample_shape))
+            wrote = True
+        except Exception as e:       # sharding/runtime corner: plain path
+            print(f"streamed npz write unavailable ({e}); "
+                  "falling back to buffered write", file=sys.stderr)
+    if not wrote:
+        if comp_is_device:
+            x_comp = np.array(x_comp).reshape(-1, *sample_shape)
+        _savez(tmp_name, act_comp=x_comp.astype(np.float32), **small_arrays)
     os.replace(tmp_name, dump_name)
     _stamp("npz_write")
     if _stamps is not None:

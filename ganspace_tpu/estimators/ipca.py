@@ -282,6 +282,12 @@ class IPCAEstimator:
         # Regression cross-moments piggybacked on the fit sweeps
         # (fit_stream with_reg=True): (sum x z^T [D, zdim], sum z [zdim], n).
         self._reg = None
+        # Random-projection moments piggybacked the same way
+        # (fit_stream rand_dirs=R [c, D]): (sum Rx [c], sum (Rx)^2 [c], n).
+        # Variance is shift-invariant, so the caller's centered random-
+        # direction stdev baselines fall out of these raw moments over the
+        # FULL stream — no extra synthesis block, no [nb, D] readback.
+        self._rand = None
         self._sharding = feature_sharding
         assert mode in ("auto", "sklearn", "moments", "nystrom")
         self.mode = mode
@@ -421,7 +427,7 @@ class IPCAEstimator:
         # sweep can fall back to it (abort_refine) instead of saving a
         # strictly-worse partial second pass.
         self._pre_refine = (self._nystrom, self._omega, self.n_samples_seen_,
-                            self._reg)
+                            self._reg, self._rand)
         self._omega = _nystrom_range(self._nystrom, self._omega)
         self._nystrom = _NystromState(
             jnp.asarray(0.0),
@@ -435,6 +441,11 @@ class IPCAEstimator:
             # equal in exact arithmetic).
             xz, zs, _ = self._reg
             self._reg = (jnp.zeros_like(xz), jnp.zeros_like(zs), 0)
+        if self._rand is not None:
+            # Same restart logic as _reg: the refine pass re-streams the
+            # identical key-derived samples.
+            ps, ps2, _ = self._rand
+            self._rand = (jnp.zeros_like(ps), jnp.zeros_like(ps2), 0)
         self.n_samples_seen_ = 0
         self._refined = True
         return True
@@ -447,7 +458,8 @@ class IPCAEstimator:
         snap = getattr(self, "_pre_refine", None)
         if snap is None:
             return
-        self._nystrom, self._omega, self.n_samples_seen_, self._reg = snap
+        (self._nystrom, self._omega, self.n_samples_seen_, self._reg,
+         self._rand) = snap
         self._pre_refine = None
         self._refined = False
         self.refine_skipped = None   # the armed pass never completed
@@ -541,7 +553,8 @@ class IPCAEstimator:
         return True
 
     def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16,
-                   consts=None, with_reg: bool = False) -> bool:
+                   consts=None, with_reg: bool = False,
+                   rand_dirs=None) -> bool:
         """Fused fit over a key-derived block stream.
 
         ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
@@ -566,6 +579,14 @@ class IPCAEstimator:
         making its separate synthesis sweep unnecessary (read them back via
         ``reg_moments``).  Raw moments are component-independent, so they
         are exact no matter what estimate the tier finally produces.
+
+        ``rand_dirs`` ([c, D], unit rows) additionally accumulates the
+        first/second raw moments of the projections ``x @ rand_dirs.T``
+        inside the scan (read back via ``rand_moments``).  Variance is
+        shift-invariant, so the caller's centered random-direction stdev
+        baselines (reference ``decomposition.py:310-316``) fall out of
+        these over the FULL stream — replacing a dedicated synthesis
+        block + [nb, D] centering with one [c]-sized readback.
         """
         if n_blocks <= 0:
             return True
@@ -592,13 +613,20 @@ class IPCAEstimator:
             self._reg = (self._placed_rows(
                 jnp.zeros((d, z_shape.shape[1]), jnp.float32)),
                 jnp.zeros((z_shape.shape[1],), jnp.float32), 0)
+        want_rand = rand_dirs is not None
+        if want_rand:
+            # [c, D]: trailing feature axis, same sharding as batches.
+            rand_dirs = self._placed(jnp.asarray(rand_dirs, jnp.float32))
+            if self._rand is None:
+                zc = jnp.zeros((rand_dirs.shape[0],), jnp.float32)
+                self._rand = (zc, zc, 0)
 
         tier = "moments" if self._moments is not None else "nystrom"
 
         @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, reg, omega, i0, consts, *, k):
+        def scan_chunk(state, reg, rand, omega, rdirs, i0, consts, *, k):
             def body(carry, i):
-                st, (rxz, rzs) = carry
+                st, (rxz, rzs), (ps, ps2) = carry
                 out = block_fn(consts, jax.random.fold_in(key, i0 + i))
                 x, z = out if with_reg else (out, None)
                 new = (_moments_update(st, x) if tier == "moments"
@@ -606,28 +634,38 @@ class IPCAEstimator:
                 if with_reg:
                     rxz = rxz + mm(x.T, z)
                     rzs = rzs + jnp.sum(z, axis=0)
-                return (new, (rxz, rzs)), None
-            (state, reg), _ = jax.lax.scan(body, (state, reg), jnp.arange(k))
-            return state, reg
+                if want_rand:
+                    p = mm(x, rdirs.T)                      # [nb, c]
+                    ps = ps + jnp.sum(p, axis=0)
+                    ps2 = ps2 + jnp.sum(p * p, axis=0)
+                return (new, (rxz, rzs), (ps, ps2)), None
+            (state, reg, rand), _ = jax.lax.scan(
+                body, (state, reg, rand), jnp.arange(k))
+            return state, reg, rand
 
         def run_pass() -> None:
             # Full chunks share one scan program; the tail gets its own
             # static length (one extra compile, disk-cached) — no block is
             # ever synthesized eagerly.
             i = 0
+            zz = (jnp.zeros((), jnp.float32),) * 2
             while i < n_blocks:
                 k = min(chunk, n_blocks - i)
-                reg_in = (self._reg[:2] if with_reg
-                          else (jnp.zeros((), jnp.float32),) * 2)
+                reg_in = self._reg[:2] if with_reg else zz
+                rand_in = self._rand[:2] if want_rand else zz
+                rdirs = rand_dirs if want_rand else 0
                 if tier == "moments":
-                    self._moments, reg_out = scan_chunk(
-                        self._moments, reg_in, 0, jnp.int32(i), consts, k=k)
+                    self._moments, reg_out, rand_out = scan_chunk(
+                        self._moments, reg_in, rand_in, 0, rdirs,
+                        jnp.int32(i), consts, k=k)
                 else:
-                    self._nystrom, reg_out = scan_chunk(
-                        self._nystrom, reg_in, self._omega, jnp.int32(i),
-                        consts, k=k)
+                    self._nystrom, reg_out, rand_out = scan_chunk(
+                        self._nystrom, reg_in, rand_in, self._omega, rdirs,
+                        jnp.int32(i), consts, k=k)
                 if with_reg:
                     self._reg = (*reg_out, self._reg[2] + k * nb)
+                if want_rand:
+                    self._rand = (*rand_out, self._rand[2] + k * nb)
                 self.n_samples_seen_ += k * nb
                 i += k
 
@@ -650,6 +688,15 @@ class IPCAEstimator:
         if self._reg is None or self._reg[2] == 0:
             return None
         return self._reg
+
+    def rand_moments(self):
+        """Random-projection moments accumulated by
+        ``fit_stream(rand_dirs=R)``: ``(sum Rx [c], sum (Rx)^2 [c], n)``
+        over the last completed pass's samples — or None when no fused
+        stream carried them."""
+        if self._rand is None or self._rand[2] == 0:
+            return None
+        return self._rand
 
     def fit(self, x):
         x = np.asarray(x)
