@@ -746,7 +746,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                           transformer.get_param_str(),
                           getattr(config, "dtype", None) or "float32",
                           "reg2" if os.environ.get("GANSPACE_FUSED_LINREG",
-                                                   "1") == "1" else "reg0"])
+                                                   "1") == "1" else "reg0",
+                          # rand-moment accumulators change the scanned
+                          # program shape exactly like the reg moments do
+                          "rand1" if os.environ.get("GANSPACE_FUSED_RAND",
+                                                    "1") == "1" else "rand0"])
     fused_on = (fused_env == "1"
                 or (fused_env == "auto"
                     and (_fused_acts_cached(fused_key)

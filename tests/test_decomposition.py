@@ -448,5 +448,10 @@ def test_fused_sentinel_keyed_by_dtype(model, tmp_path, monkeypatch, capsys):
         get_or_compute(Config(**kw, dtype="bfloat16"), inst,
                        force_recompute=True)
         assert "fused activation stream" not in capsys.readouterr().out
+        # auto + rand-moments off + small n: the scan without the
+        # projection accumulators is another distinct program -> batched
+        monkeypatch.setenv("GANSPACE_FUSED_RAND", "0")
+        get_or_compute(Config(**kw), inst, force_recompute=True)
+        assert "fused activation stream" not in capsys.readouterr().out
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
