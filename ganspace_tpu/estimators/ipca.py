@@ -623,24 +623,36 @@ class IPCAEstimator:
 
         tier = "moments" if self._moments is not None else "nystrom"
 
+        # The scanned program's carry holds ONLY live accumulators — no
+        # dead placeholder zeros (the with_reg=False variant used to thread
+        # an aliased pair of zero scalars through the carry; that variant
+        # had never executed on the tunneled TPU before the decay bench leg
+        # and is under suspicion in its worker crash).
         @partial(jax.jit, static_argnames=("k",))
         def scan_chunk(state, reg, rand, omega, rdirs, i0, consts, *, k):
             def body(carry, i):
-                st, (rxz, rzs), (ps, ps2) = carry
+                st, *acc = carry
                 out = block_fn(consts, jax.random.fold_in(key, i0 + i))
                 x, z = out if with_reg else (out, None)
                 new = (_moments_update(st, x) if tier == "moments"
                        else _nystrom_update(st, x, omega))
+                acc_out = []
                 if with_reg:
-                    rxz = rxz + mm(x.T, z)
-                    rzs = rzs + jnp.sum(z, axis=0)
+                    rxz, rzs = acc[0]
+                    acc_out.append((rxz + mm(x.T, z),
+                                    rzs + jnp.sum(z, axis=0)))
                 if want_rand:
+                    ps, ps2 = acc[-1]
                     p = mm(x, rdirs.T)                      # [nb, c]
-                    ps = ps + jnp.sum(p, axis=0)
-                    ps2 = ps2 + jnp.sum(p * p, axis=0)
-                return (new, (rxz, rzs), (ps, ps2)), None
-            (state, reg, rand), _ = jax.lax.scan(
-                body, (state, reg, rand), jnp.arange(k))
+                    acc_out.append((ps + jnp.sum(p, axis=0),
+                                    ps2 + jnp.sum(p * p, axis=0)))
+                return (new, *acc_out), None
+            init = ((state,) + ((reg,) if with_reg else ())
+                    + ((rand,) if want_rand else ()))
+            out, _ = jax.lax.scan(body, init, jnp.arange(k))
+            state = out[0]
+            reg = out[1] if with_reg else reg
+            rand = out[-1] if want_rand else rand
             return state, reg, rand
 
         def run_pass() -> None:
@@ -648,11 +660,10 @@ class IPCAEstimator:
             # static length (one extra compile, disk-cached) — no block is
             # ever synthesized eagerly.
             i = 0
-            zz = (jnp.zeros((), jnp.float32),) * 2
             while i < n_blocks:
                 k = min(chunk, n_blocks - i)
-                reg_in = self._reg[:2] if with_reg else zz
-                rand_in = self._rand[:2] if want_rand else zz
+                reg_in = self._reg[:2] if with_reg else ()
+                rand_in = self._rand[:2] if want_rand else ()
                 rdirs = rand_dirs if want_rand else 0
                 if tier == "moments":
                     self._moments, reg_out, rand_out = scan_chunk(
