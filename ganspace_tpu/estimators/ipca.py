@@ -136,72 +136,138 @@ def _nystrom_update(state: _NystromState, x: jnp.ndarray,
 
 
 @jax.jit
-def _nystrom_spectrum(state: _NystromState, omega: jnp.ndarray):
-    """(evals [l] desc, total) — the sketch's own eigenvalue estimates of the
-    centered scatter plus the EXACT centered energy, the inputs of the
-    adaptive-refine convergence statistics.  Same Nyström algebra as
-    ``_nystrom_finish`` but eigenvalues only: two [D, l] gemms + l x l
-    factorizations, negligible next to a data sweep."""
+def _sketch_grams(state: _NystromState, omega: jnp.ndarray):
+    """Device half of every sketch factorization: the centered sketch
+    Y = M2c @ Omega [D, l], its omega-Gram m = Omega^T Y [l, l], and the
+    exact centered total energy (scalar) — all the O(D) gemm work.
+
+    The l x l factorizations themselves run on HOST in float64
+    (``_pinv_sqrt_psd`` / ``_eigh_desc``).  The f32 shifted-Cholesky they
+    replace goes numerically indefinite on spectrally-shaped streams
+    (the centered Gram spans ~16 decades at D=131072), yielding an
+    all-NaN refine test matrix — and ``jnp.linalg.eigh`` on a non-finite
+    operand does not return NaN on TPU, it CRASHES the TPU runtime
+    (BENCH_r04 ``convtap_decay_error``; minimal repro pinned in
+    tests/test_nystrom_robust.py).  Host f64 with relative clamping is
+    NaN-impossible and costs one [l, l] readback once per fit."""
     n = state.count
     mu = state.s / n
     y = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
     m = mm(omega.T, y)
-    m = 0.5 * (m + m.T)
-    shift = 1e-6 * jnp.trace(m) / m.shape[0] + 1e-20
-    chol = jnp.linalg.cholesky(m + shift * jnp.eye(m.shape[0], dtype=m.dtype))
-    f = jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T  # [D, l]
-    g = mm(f.T, f)
-    evals = jnp.linalg.eigvalsh(g)[::-1]
     total = state.sq - n * jnp.sum(jnp.square(mu))
-    return jnp.maximum(evals, 0.0), total
+    return y, 0.5 * (m + m.T), total
 
 
 @jax.jit
+def _whitened_gram(y: jnp.ndarray, w: jnp.ndarray):
+    """f = Y @ W [D, l] (whitened centered sketch) and its Gram f^T f."""
+    f = mm(y, w)
+    g = mm(f.T, f)
+    return f, 0.5 * (g + g.T)
+
+
+def _check_finite_gram(m: np.ndarray) -> None:
+    """Refuse non-finite sketch Grams with a Python error.
+
+    A NaN/Inf activation stream would otherwise flow into an eigh whose
+    TPU lowering kills the worker process on non-finite input (see
+    ``_sketch_grams``); the [l, l] Gram is where any stream NaN first
+    becomes host-visible, so this is the single cheap choke point."""
+    if not np.all(np.isfinite(m)):
+        raise FloatingPointError(
+            "non-finite sketch statistics: the activation stream contains "
+            "NaN/Inf (eigh on non-finite input crashes the TPU runtime, so "
+            "the factorization is refused host-side instead)")
+
+
+def _pinv_sqrt_psd(m: np.ndarray, tol_rel: Optional[float] = None) -> np.ndarray:
+    """Symmetric pseudo-inverse square root of a noisy-PSD matrix (f64 host).
+
+    Eigendirections below ``tol_rel * max_eig`` are f32-gemm noise of the
+    sketch, not signal — they are DROPPED (scale 0), never shift-damped or
+    amplified.  Default tolerance = l * eps_f32, the Gram's accumulation
+    noise floor."""
+    _check_finite_gram(m)
+    if tol_rel is None:
+        tol_rel = m.shape[0] * float(np.finfo(np.float32).eps)
+    e, v = np.linalg.eigh(m.astype(np.float64))
+    emax = float(e[-1]) if e.size else 0.0
+    if emax <= 0.0:
+        return np.zeros_like(m, dtype=np.float64)
+    keep = e > tol_rel * emax
+    vk = v[:, keep]
+    return (vk / np.sqrt(e[keep])) @ vk.T
+
+
+def _eigh_desc(g: np.ndarray):
+    """Host f64 eigh, descending — of the [l, l] whitened Gram."""
+    _check_finite_gram(g)
+    e, v = np.linalg.eigh(np.asarray(g).astype(np.float64))
+    return e[::-1], v[:, ::-1]
+
+
+def _noise_floor_scale(e: np.ndarray) -> np.ndarray:
+    """e^{-1/2} with sub-noise eigenvalues zeroed (their columns carry no
+    f32-resolvable signal; zero columns are inert downstream)."""
+    emax = float(e[0]) if e.size else 0.0
+    return np.where(e > max(emax, 0.0) * 1e-12,
+                    1.0 / np.sqrt(np.maximum(e, 1e-300)), 0.0)
+
+
+def _nystrom_spectrum(state: _NystromState, omega: jnp.ndarray):
+    """(evals [l] desc np, total float) — the sketch's own eigenvalue
+    estimates of the centered scatter plus the EXACT centered energy, the
+    inputs of the adaptive-refine convergence statistics.  Same Nyström
+    algebra as ``_nystrom_finish`` but eigenvalues only."""
+    y, m, total = _sketch_grams(state, omega)
+    w = _pinv_sqrt_psd(np.asarray(m))
+    _, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
+    e, _ = _eigh_desc(np.asarray(g))
+    return np.maximum(e, 0.0), float(total)
+
+
 def _nystrom_range(state: _NystromState, omega: jnp.ndarray) -> jnp.ndarray:
-    """Orthonormal basis of the centered first-pass sketch, via tall-skinny
-    Cholesky QR (two gemms + one l x l factorization — no [D, l] QR, so the
-    feature axis stays sharded).  Used as the test matrix of the refine
-    pass: streaming the data once more against this basis is one power
-    iteration on the centered scatter, which squares the sketch's
-    convergence ratios (measured: l=4c goes from ~0.9 to >0.995 per-component
-    cosine on production-shape conv taps, tests/test_nystrom_production.py)."""
-    n = state.count
-    mu = state.s / n
-    yc = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
-    g = mm(yc.T, yc)
-    g = 0.5 * (g + g.T)
-    shift = 1e-6 * jnp.trace(g) / g.shape[0] + 1e-20
-    chol = jnp.linalg.cholesky(g + shift * jnp.eye(g.shape[0], dtype=g.dtype))
-    # yc = Q L^T  =>  Q = yc L^{-T}
-    return jax.scipy.linalg.solve_triangular(chol, yc.T, lower=True).T
+    """Orthonormal basis of the centered first-pass sketch — gemms on
+    device, the l x l eigendecompositions on host f64 (no [D, l] QR, so
+    the feature axis stays sharded).  Used as the test matrix of the
+    refine pass: streaming the data once more against this basis is one
+    power iteration on the centered scatter, which squares the sketch's
+    convergence ratios (measured: l=4c goes from ~0.9 to >0.995
+    per-component cosine on production-shape conv taps,
+    tests/test_nystrom_production.py)."""
+    y, m, _ = _sketch_grams(state, omega)
+    w = _pinv_sqrt_psd(np.asarray(m))
+    f, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
+    e, v = _eigh_desc(np.asarray(g))
+    proj = v * _noise_floor_scale(e)[None, :]
+    return mm(f, jnp.asarray(proj, jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("n_components",))
+@jax.jit
+def _flip_cols_to_components(u: jnp.ndarray) -> jnp.ndarray:
+    from ganspace_tpu.estimators.utils import svd_flip_vt
+    return svd_flip_vt(u.T)
+
+
 def _nystrom_finish(state: _NystromState, omega: jnp.ndarray,
                     *, n_components: int):
     """Nyström eigen-approximation of the centered covariance from the
-    sketch: C ~= Y (Omega^T Y)^-1 Y^T with Y = M2 @ Omega (Tropp et al.,
-    fixed-rank PSD approximation)."""
-    from ganspace_tpu.estimators.utils import svd_flip_vt
-    n = state.count
-    mu = state.s / n
-    # centered scatter sketch: M2 @ omega = Y_raw - n mu (mu^T omega)
-    y = state.y - n * jnp.outer(mu, mm(mu[None, :], omega)[0])
-    m = mm(omega.T, y)                               # [l, l]
-    m = 0.5 * (m + m.T)
-    shift = 1e-6 * jnp.trace(m) / m.shape[0] + 1e-20
-    chol = jnp.linalg.cholesky(m + shift * jnp.eye(m.shape[0], dtype=m.dtype))
-    f = jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T  # [D, l]
-    g = mm(f.T, f)                                   # [l, l]
-    evals, evecs = jnp.linalg.eigh(g)
-    evals, evecs = evals[::-1], evecs[:, ::-1]
-    evals = jnp.maximum(evals, 1e-30)
-    u = mm(f, evecs[:, :n_components]) / jnp.sqrt(evals[:n_components])[None, :]
-    comp = svd_flip_vt(u.T)                          # [c, D]
-    explained = evals[:n_components] / jnp.maximum(n - 1.0, 1.0)
-    total_var = (state.sq - n * jnp.sum(jnp.square(mu))) / jnp.maximum(n - 1.0, 1.0)
-    ratio = explained / jnp.maximum(total_var, 1e-30)
-    return comp, jnp.sqrt(explained), ratio, mu
+    sketch: C ~= Y (Omega^T Y)^+ Y^T with Y = M2c @ Omega (Tropp et al.,
+    fixed-rank PSD approximation).  Returns (components [c, D] device,
+    stdev [c] np, var_ratio [c] np)."""
+    y, m, total = _sketch_grams(state, omega)
+    w = _pinv_sqrt_psd(np.asarray(m))
+    f, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
+    e, v = _eigh_desc(np.asarray(g))
+    ec = e[:n_components]
+    proj = v[:, :n_components] * _noise_floor_scale(ec)[None, :]
+    u = mm(f, jnp.asarray(proj, jnp.float32))        # [D, c]
+    comp = _flip_cols_to_components(u)               # [c, D]
+    denom = max(float(state.count) - 1.0, 1.0)
+    explained = np.maximum(ec, 0.0) / denom
+    total_var = float(total) / denom
+    ratio = explained / max(total_var, 1e-30)
+    return comp, np.sqrt(explained), ratio
 
 
 class _MomentsState(NamedTuple):
@@ -229,6 +295,11 @@ def _moments_update(state: _MomentsState, x: jnp.ndarray) -> _MomentsState:
     new_mean = state.mean + delta * (n / new_count)
     new_m2 = state.m2 + gram + jnp.outer(delta, delta) * (state.count * n / new_count)
     return _MomentsState(new_count, new_mean, new_m2)
+
+
+@jax.jit
+def _all_finite(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(jnp.isfinite(x))
 
 
 @partial(jax.jit, static_argnames=("n_components",))
@@ -362,13 +433,17 @@ class IPCAEstimator:
             return None
         evals, total = _nystrom_spectrum(self._nystrom, self._omega)
         ev = np.maximum(np.asarray(evals, np.float64), 1e-30)
-        total = float(total)
         c = min(self.n_components, len(ev))
+        # Gaps among pairs (0,1)..(c-1,c): the CUT-BOUNDARY pair (c-1, c)
+        # is included — a degenerate pair straddling the component cut is
+        # exactly the rotation hazard this guard exists for (with l >= 2c
+        # the sketch always estimates ev[c]).
+        hi = min(c + 1, len(ev))
         return {
             "sketch_tail_frac":
                 float(max(total - float(ev.sum()), 0.0) / max(total, 1e-30)),
             "min_rel_gap_topc":
-                float(np.min(1.0 - ev[1:c] / ev[:c - 1])) if c > 1 else 1.0,
+                float(np.min(1.0 - ev[1:hi] / ev[:hi - 1])) if hi > 1 else 1.0,
         }
 
     def should_refine(self) -> bool:
@@ -742,11 +817,16 @@ class IPCAEstimator:
         self._pre_refine = None
         out = lambda c: jnp.asarray(c) if device else np.asarray(c)  # noqa: E731
         if self._moments is not None:
+            if not bool(_all_finite(self._moments.m2)):
+                raise FloatingPointError(
+                    "non-finite moment statistics: the activation stream "
+                    "contains NaN/Inf (eigh on non-finite input crashes the "
+                    "TPU runtime, so the factorization is refused)")
             comp, stdev, var_ratio = _moments_finish(
                 self._moments, n_components=self.n_components)
             return out(comp), np.asarray(stdev), np.asarray(var_ratio)
         if self._nystrom is not None:
-            comp, stdev, var_ratio, _ = _nystrom_finish(
+            comp, stdev, var_ratio = _nystrom_finish(
                 self._nystrom, self._omega, n_components=self.n_components)
             return out(comp), np.asarray(stdev), np.asarray(var_ratio)
         stdev = np.sqrt(np.asarray(self._state.explained_variance))  # already sorted

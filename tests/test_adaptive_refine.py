@@ -87,6 +87,25 @@ def test_plateau_at_cut_trips_the_eigengap_guard(monkeypatch):
     assert est._refined
 
 
+def test_degenerate_pair_at_cut_trips_the_eigengap_guard(monkeypatch):
+    """A degenerate pair EXACTLY at the component cut (c-1, c): the
+    boundary gap is part of min_rel_gap_topc (ADVICE r4 medium — the old
+    pairwise range stopped at (c-2, c-1) and let this case skip)."""
+    spec = (0.9 ** np.arange(D)).astype(np.float64)
+    spec[C] = spec[C - 1]
+    # 8x the default stream: a truly degenerate pair's ESTIMATED gap is
+    # eigenvalue sample noise ~ sqrt(2/n); n=32768 puts it at ~1% —
+    # decisively under the 2% guard (production n>=50k is tighter still).
+    monkeypatch.delenv("GANSPACE_IPCA_REFINE", raising=False)
+    est = IPCAEstimator(C, mode="nystrom")
+    assert est.fit_stream(_spec_stream(spec), 8 * N_BLOCKS,
+                          jax.random.PRNGKey(11), chunk=16)
+    assert est.refine_stats["sketch_tail_frac"] <= est.REFINE_TAIL_FRAC
+    assert est.refine_stats["min_rel_gap_topc"] < est.REFINE_MIN_GAP
+    assert est.refine_skipped is False
+    assert est._refined
+
+
 @pytest.mark.parametrize("mode", ["always", "1"])
 def test_explicit_always_overrides_skip(monkeypatch, mode):
     est, _, _ = _run(0.9 ** np.arange(D), monkeypatch, mode=mode)
