@@ -262,73 +262,78 @@ def _bench_convtap(n_chips: int) -> dict:
 
 
 def _bench_convtap_decay(model, n_chips: int) -> dict:
-    """Decaying-spectrum conv-tap leg: the adaptive-refine skip path plus
-    the bf16 quality statement on realistic (decaying) spectra
-    (VERDICT r3 #1/#6).
+    """Decaying-spectrum leg at production shape: the adaptive-refine skip
+    plus the bf16 quality statement on realistic (decaying) spectra
+    (VERDICT r3 #1/#6, r4 #1).
 
     Trained checkpoints have decaying tap spectra (unlike the random-init
-    plateau of the main leg); zero-egress, that regime is synthesized by
-    spectral shaping — the same convs.2 synthesis stream scaled per flat
-    feature index by r^i (r=0.96: ~4%/index eigengaps, sketch-resolvable).
-    Runs the production fused fit sweep (device RNG + synthesis + Nystrom
-    update in one scan) three ways:
+    plateau of the main conv-tap leg).  Zero-egress, that regime is
+    synthesized at production D by a rank-512 linear generator with an
+    EXACT geometric spectrum — ``x = (z * r^i) @ Q`` with Q a fixed
+    row-normalized gaussian [512, D] — streamed through the SAME fused
+    fit machinery as the conv-tap leg (device RNG + generation + Nystrom
+    update in one ``lax.scan`` program, same tier, same D/nb/c/l shapes).
+    Per-feature shaping of the real synthesis stream CANNOT attest the
+    skip: the shaping composes with the tap's own plateau covariance,
+    which produces genuinely near-degenerate pairs inside the top 80
+    (measured min relative eigengap 0.4-0.9% for r in 0.96-0.98 at
+    D=131072) that the policy *correctly* refuses to skip.  That shaped
+    real-synthesis program — the one whose NaN refine matrix crashed the
+    TPU worker in round 4 — rides along as a crash-regression stage
+    instead (``convtap_shaped_*``).
 
-    * f32, REFINE=auto   -> policy must skip the second sweep (timed leg);
+    Legs:
+    * f32, REFINE=auto   -> policy must skip the second sweep (timed);
     * f32, REFINE=always -> quality reference (one run);
-    * bf16 datapath, auto -> timed + min/mean cosine vs the f32 reference.
+    * bf16 datapath, auto -> timed + min/mean cosine vs the f32 reference;
+    * shaped conv tap, auto, f32, one run -> completes without crashing,
+      decision recorded (expected False: the policy refines).
     """
     import jax
     import jax.numpy as jnp
 
     from ganspace_tpu.estimators import get_estimator
-    from ganspace_tpu.ops.precision import synth_dtype
+    from ganspace_tpu.estimators.utils import mm
 
     n = int(os.environ.get("GANSPACE_BENCH_CONVTAP_N", 50_000))
     c = int(os.environ.get("GANSPACE_BENCH_DECAY_C", 80))
     nb = int(os.environ.get("GANSPACE_BENCH_DECAY_NB", 4096))
-    tap = os.environ.get("GANSPACE_BENCH_CONVTAP_LAYER", "convs.2")
-    n_blocks = -(-n // nb)
-    fp = model.pure_acts_fn_p(tap)
-    if fp is None:
-        return {}
-    fn, pack = fp
-    zdim = model.get_latent_dims()
-    d_dim = jax.eval_shape(
-        fn, pack, jax.ShapeDtypeStruct((nb, zdim), jnp.float32)).shape[1]
-    # r=0.96/index: ~8%/index eigengaps and a sub-0.1% tail beyond the
-    # production sketch width (l=4c=320) — resolvable in one pass.  Tiny
-    # test shapes (small l) override via env to stay inside the same
-    # tail budget.
+    d_dim = int(os.environ.get("GANSPACE_BENCH_DECAY_D", 131072))
+    rank = int(os.environ.get("GANSPACE_BENCH_DECAY_RANK", 512))
+    # r=0.96: 7.8%/index relative eigengaps (the sketch estimates them at
+    # ~6-7% after the n~5e4 sampling bias), ev[c]/ev[0] ~ 1.5e-3 (well
+    # above the f32 sketch noise floor), tail fraction ~1.3e-3 (well under
+    # the 0.012 skip threshold).  Tiny test shapes override via env to
+    # stay inside the same budgets at small l.
     r = float(os.environ.get("GANSPACE_BENCH_DECAY_R", 0.96))
-    # Floor the decay: raw r^i underflows f32 beyond i~2100 (r=0.96), giving
-    # a [D] scale spanning the whole float range into denormals/zeros — a
-    # regime no real tap spectrum occupies, and measured to crash the
-    # tunneled TPU worker inside the sketch-spectrum factorizations.  The
-    # floor keeps the leg's purpose intact (top-c eigengaps ~4%/index, tail
-    # fraction ~1e-4, well under the 0.012 skip threshold) with a healthy
-    # 4-decade dynamic range.
-    shaping = jnp.asarray(np.maximum(r ** np.arange(d_dim), 1e-4)
-                          .astype(np.float32))
+    spec = jnp.asarray((r ** np.arange(rank)).astype(np.float32))
+    q = jax.random.normal(jax.random.PRNGKey(0xDECA), (rank, d_dim),
+                          jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    n_blocks = -(-n // nb)
 
-    def make_block_fn(acts_fn, dtype):
-        # shaping rides in consts, NOT the closure: closure-captured arrays
-        # are baked into the scanned program as embedded constants, and this
-        # would be the only program in the suite carrying a ~0.5 MB one —
-        # measured to crash the tunneled TPU worker at dispatch (3/3 runs;
-        # as an operand the same program executes fine).
+    def make_block_fn(dtype):
+        # spec/Q ride in consts, NOT the closure: closure-captured arrays
+        # are baked into the scanned program as embedded constants —
+        # re-serialized per trace and, for the ~0.5 MB shaping vector of
+        # the r4 leg, measured to crash the tunneled TPU worker at
+        # dispatch (3/3 runs; as operands the same program executes fine).
+        matmul = mm if dtype == jnp.float32 else jnp.matmul
+
         def block_fn(consts, key):
-            pack, shape_vec = consts
-            z = jax.random.normal(key, (nb, zdim), jnp.float32)
-            x = acts_fn(pack, z).astype(jnp.float32) * shape_vec
-            return x.astype(dtype)
+            spec_v, q_m = consts
+            z = jax.random.normal(key, (nb, rank), jnp.float32)
+            return matmul((z * spec_v).astype(dtype), q_m.astype(dtype))
         return block_fn
 
     def run(block_fn, consts, mode, reps):
+        prev = os.environ.get("GANSPACE_IPCA_REFINE")
         os.environ["GANSPACE_IPCA_REFINE"] = mode
         try:
             times, est = [], None
             for _ in range(reps):
                 est = get_estimator("ipca", c)
+                est.mode = "nystrom"   # production tier regardless of D
                 key = jax.random.PRNGKey(5)
                 t0 = time.perf_counter()
                 assert est.fit_stream(block_fn, n_blocks, key, consts=consts)
@@ -337,17 +342,20 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
                 times.append(time.perf_counter() - t0)
             return times, np.asarray(comp), est
         finally:
-            os.environ.pop("GANSPACE_IPCA_REFINE", None)
+            # restore the caller's refine policy (ADVICE r4: popping
+            # unconditionally erased a user-supplied setting)
+            if prev is None:
+                os.environ.pop("GANSPACE_IPCA_REFINE", None)
+            else:
+                os.environ["GANSPACE_IPCA_REFINE"] = prev
 
     reps = _reps()
     t_auto, comp_auto, est_auto = run(
-        make_block_fn(fn, jnp.float32), (pack, shaping), "auto", reps)
-    t_ref, comp_ref, _ = run(make_block_fn(fn, jnp.float32), (pack, shaping),
+        make_block_fn(jnp.float32), (spec, q), "auto", reps)
+    t_ref, comp_ref, _ = run(make_block_fn(jnp.float32), (spec, q),
                              "always", 1)
-    with synth_dtype("bfloat16"):
-        fn_bf, pack_bf = model.pure_acts_fn_p(tap)
     t_bf, comp_bf, est_bf = run(
-        make_block_fn(fn_bf, jnp.bfloat16), (pack_bf, shaping), "auto", reps)
+        make_block_fn(jnp.bfloat16), (spec, q), "auto", reps)
 
     def unit(m):
         return m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -360,7 +368,7 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
     bf_spread = _spread(t_bf[1:] if len(t_bf) > 1 else t_bf,
                         "convtap_decay_bf16")
     n_eff = n_blocks * nb   # the fused stream rounds up to whole blocks
-    return {
+    out = {
         "convtap_decay_samples_s_chip":
             round(n_eff / spread["convtap_decay_median_s"] / n_chips, 1),
         **spread,
@@ -379,6 +387,63 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
         "convtap_decay_bf16_min_cos": round(float(cos_bf.min()), 4),
         "convtap_decay_bf16_mean_cos": round(float(cos_bf.mean()), 4),
     }
+    out.update(_bench_convtap_shaped(model, nb))
+    return out
+
+
+def _bench_convtap_shaped(model, nb: int) -> dict:
+    """Crash-regression stage: the round-4 worker-killing program.
+
+    Per-feature spectral shaping of the REAL convs.2 synthesis stream,
+    f32, REFINE=auto.  The shaped spectrum's near-degenerate pairs make
+    the policy arm the refine pass, whose test matrix the old f32
+    Cholesky returned as all-NaN — and eigh on a non-finite operand
+    kills the TPU worker (estimators/ipca.py `_sketch_grams`).  One run:
+    must COMPLETE with finite components; the (honestly non-skipping)
+    policy decision and wall time are recorded."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganspace_tpu.estimators import get_estimator
+
+    n = int(os.environ.get("GANSPACE_BENCH_CONVTAP_N", 50_000))
+    c = int(os.environ.get("GANSPACE_BENCH_DECAY_C", 80))
+    tap = os.environ.get("GANSPACE_BENCH_CONVTAP_LAYER", "convs.2")
+    fp = model.pure_acts_fn_p(tap)
+    if fp is None:
+        return {}
+    fn, pack = fp
+    zdim = model.get_latent_dims()
+    d_dim = jax.eval_shape(
+        fn, pack, jax.ShapeDtypeStruct((nb, zdim), jnp.float32)).shape[1]
+    r = float(os.environ.get("GANSPACE_BENCH_DECAY_R", 0.96))
+    shaping = jnp.asarray(np.maximum(r ** np.arange(d_dim), 1e-4)
+                          .astype(np.float32))
+
+    def block_fn(consts, key):
+        pk, shape_vec = consts
+        z = jax.random.normal(key, (nb, zdim), jnp.float32)
+        return fn(pk, z).astype(jnp.float32) * shape_vec
+
+    prev = os.environ.get("GANSPACE_IPCA_REFINE")
+    os.environ["GANSPACE_IPCA_REFINE"] = "auto"
+    try:
+        est = get_estimator("ipca", c)
+        t0 = time.perf_counter()
+        assert est.fit_stream(block_fn, -(-n // nb), jax.random.PRNGKey(5),
+                              consts=(pack, shaping))
+        comp = est.get_components(device=True)[0]
+        jax.block_until_ready(comp)
+        dt = time.perf_counter() - t0
+        finite = bool(np.isfinite(np.asarray(comp)).all())
+        return {"convtap_shaped_s": round(dt, 2),
+                "convtap_shaped_finite": finite,
+                "convtap_shaped_refine_skipped": est.refine_skipped}
+    finally:
+        if prev is None:
+            os.environ.pop("GANSPACE_IPCA_REFINE", None)
+        else:
+            os.environ["GANSPACE_IPCA_REFINE"] = prev
 
 
 def _bench_parity(model, n: int = 20_000, c: int = 10) -> dict:

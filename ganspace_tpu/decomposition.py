@@ -749,7 +749,8 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                                                    "1") == "1" else "reg0",
                           # rand-moment accumulators change the scanned
                           # program shape exactly like the reg moments do
-                          "rand1" if os.environ.get("GANSPACE_FUSED_RAND",
+                          # (rand2 = Chan mean/M2 carry, r5)
+                          "rand2" if os.environ.get("GANSPACE_FUSED_RAND",
                                                     "1") == "1" else "rand0"])
     fused_on = (fused_env == "1"
                 or (fused_env == "auto"
@@ -1094,13 +1095,12 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     rand_mom = (getattr(transformer, "rand_moments", lambda: None)()
                 if device_rng_used else None)
     if rand_mom is not None:
-        # The projections' raw moments rode the fused fit scan (same
+        # The projections' Chan mean/M2 rode the fused fit scan (same
         # threefry dirs, ALL n samples instead of a 5000-sample block);
         # variance is shift-invariant, so centering by the global mean
-        # falls out: Var(R(x-mean)) == Var(Rx).
-        ps, ps2, n_r = rand_mom
-        x_stdev_random = np.asarray(jnp.sqrt(jnp.maximum(
-            ps2 / n_r - (ps / n_r) ** 2, 0.0)))
+        # falls out: Var(R(x-mean)) == Var(Rx) == M2/n.
+        _, pm2, n_r = rand_mom
+        x_stdev_random = np.asarray(jnp.sqrt(jnp.maximum(pm2 / n_r, 0.0)))
     else:
         if device_rng_used:
             random_dirs = random_directions_device(config.components,

@@ -354,10 +354,13 @@ class IPCAEstimator:
         # (fit_stream with_reg=True): (sum x z^T [D, zdim], sum z [zdim], n).
         self._reg = None
         # Random-projection moments piggybacked the same way
-        # (fit_stream rand_dirs=R [c, D]): (sum Rx [c], sum (Rx)^2 [c], n).
+        # (fit_stream rand_dirs=R [c, D]): (mean Rx [c], sum-of-squared-
+        # deviations M2 [c], n), Chan-combined per block INSIDE the scan.
         # Variance is shift-invariant, so the caller's centered random-
-        # direction stdev baselines fall out of these raw moments over the
-        # FULL stream — no extra synthesis block, no [nb, D] readback.
+        # direction stdev baselines fall out over the FULL stream — and the
+        # centered accumulation never hits the raw-moment f32 cancellation
+        # (E[p]^2 can rival Var(p) along a random direction at n~1e6;
+        # ADVICE r4).
         self._rand = None
         self._sharding = feature_sharding
         assert mode in ("auto", "sklearn", "moments", "nystrom")
@@ -655,9 +658,9 @@ class IPCAEstimator:
         ``reg_moments``).  Raw moments are component-independent, so they
         are exact no matter what estimate the tier finally produces.
 
-        ``rand_dirs`` ([c, D], unit rows) additionally accumulates the
-        first/second raw moments of the projections ``x @ rand_dirs.T``
-        inside the scan (read back via ``rand_moments``).  Variance is
+        ``rand_dirs`` ([c, D], unit rows) additionally accumulates Chan-
+        stable mean/M2 of the projections ``x @ rand_dirs.T`` inside the
+        scan (read back via ``rand_moments``).  Variance is
         shift-invariant, so the caller's centered random-direction stdev
         baselines (reference ``decomposition.py:310-316``) fall out of
         these over the FULL stream — replacing a dedicated synthesis
@@ -704,7 +707,7 @@ class IPCAEstimator:
         # had never executed on the tunneled TPU before the decay bench leg
         # and is under suspicion in its worker crash).
         @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, reg, rand, omega, rdirs, i0, consts, *, k):
+        def scan_chunk(state, reg, rand, rn0, omega, rdirs, i0, consts, *, k):
             def body(carry, i):
                 st, *acc = carry
                 out = block_fn(consts, jax.random.fold_in(key, i0 + i))
@@ -717,10 +720,21 @@ class IPCAEstimator:
                     acc_out.append((rxz + mm(x.T, z),
                                     rzs + jnp.sum(z, axis=0)))
                 if want_rand:
-                    ps, ps2 = acc[-1]
+                    # Chan parallel combine per block: centered accumulation
+                    # (never the raw-moment E[p^2]-E[p]^2 cancellation).
+                    pm, pm2 = acc[-1]
                     p = mm(x, rdirs.T)                      # [nb, c]
-                    acc_out.append((ps + jnp.sum(p, axis=0),
-                                    ps2 + jnp.sum(p * p, axis=0)))
+                    bm = jnp.mean(p, axis=0)
+                    bm2 = jnp.sum(jnp.square(p - bm), axis=0)
+                    nb_f = jnp.float32(p.shape[0])
+                    # samples already combined = rn0 (before this chunk)
+                    # + i full blocks within it (i is the LOCAL scan index)
+                    cnt = rn0 + i.astype(jnp.float32) * nb_f
+                    newc = cnt + nb_f
+                    delta = bm - pm
+                    acc_out.append((pm + delta * (nb_f / newc),
+                                    pm2 + bm2 + jnp.square(delta)
+                                    * (cnt * nb_f / newc)))
                 return (new, *acc_out), None
             init = ((state,) + ((reg,) if with_reg else ())
                     + ((rand,) if want_rand else ()))
@@ -739,15 +753,16 @@ class IPCAEstimator:
                 k = min(chunk, n_blocks - i)
                 reg_in = self._reg[:2] if with_reg else ()
                 rand_in = self._rand[:2] if want_rand else ()
+                rn0 = jnp.float32(self._rand[2]) if want_rand else 0
                 rdirs = rand_dirs if want_rand else 0
                 if tier == "moments":
                     self._moments, reg_out, rand_out = scan_chunk(
-                        self._moments, reg_in, rand_in, 0, rdirs,
+                        self._moments, reg_in, rand_in, rn0, 0, rdirs,
                         jnp.int32(i), consts, k=k)
                 else:
                     self._nystrom, reg_out, rand_out = scan_chunk(
-                        self._nystrom, reg_in, rand_in, self._omega, rdirs,
-                        jnp.int32(i), consts, k=k)
+                        self._nystrom, reg_in, rand_in, rn0, self._omega,
+                        rdirs, jnp.int32(i), consts, k=k)
                 if with_reg:
                     self._reg = (*reg_out, self._reg[2] + k * nb)
                 if want_rand:
@@ -777,9 +792,10 @@ class IPCAEstimator:
 
     def rand_moments(self):
         """Random-projection moments accumulated by
-        ``fit_stream(rand_dirs=R)``: ``(sum Rx [c], sum (Rx)^2 [c], n)``
-        over the last completed pass's samples — or None when no fused
-        stream carried them."""
+        ``fit_stream(rand_dirs=R)``: ``(mean Rx [c], M2 [c], n)`` with
+        ``M2`` the Chan sum of squared deviations (``Var = M2/n``), over
+        the last completed pass's samples — or None when no fused stream
+        carried them."""
         if self._rand is None or self._rand[2] == 0:
             return None
         return self._rand

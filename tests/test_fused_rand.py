@@ -41,11 +41,11 @@ def test_rand_moments_match_direct_projection(mode):
                           rand_dirs=jnp.asarray(dirs))
     mom = est.rand_moments()
     assert mom is not None
-    ps, ps2, n = mom
+    pm, pm2, n = mom
     # moments from the LAST pass only — the sketch tier's internal refine
     # pass re-streams the same samples and must not double-count
     assert n == n_blocks * nb
-    got = np.asarray(jnp.sqrt(jnp.maximum(ps2 / n - (ps / n) ** 2, 0.0)))
+    got = np.asarray(jnp.sqrt(jnp.maximum(pm2 / n, 0.0)))
 
     # direct: regenerate the stream, center, project, std (ddof=0 — the
     # same estimator the raw-moment identity reproduces)
@@ -55,6 +55,33 @@ def test_rand_moments_match_direct_projection(mode):
     x_all -= x_all.mean(axis=0, keepdims=True)
     want = (dirs.astype(np.float64) @ x_all.T).std(axis=1)
     assert np.allclose(got, want, rtol=2e-4), (got, want)
+
+
+def test_rand_moments_survive_large_mean_offset():
+    """ADVICE r4: with (E[p])^2 >> Var(p) (big uncentered activations), raw
+    f32 moments lose the variance to cancellation (E[p^2]-E[p]^2 ~ eps*E[p]^2
+    swamps Var); the Chan mean/M2 carry must not."""
+    d, nb, c, n_blocks = 64, 256, 4, 16
+    rs = np.random.RandomState(1)
+    offset = jnp.asarray((3000.0 * rs.randn(d)).astype(np.float32))
+
+    def block_fn(key):
+        return jax.random.normal(key, (nb, d), jnp.float32) + offset
+
+    dirs = rs.randn(c, d).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(9)
+    est = IPCAEstimator(c, mode="moments")
+    assert est.fit_stream(block_fn, n_blocks, key, chunk=8,
+                          rand_dirs=jnp.asarray(dirs))
+    pm, pm2, n = est.rand_moments()
+    got = np.asarray(jnp.sqrt(jnp.maximum(pm2 / n, 0.0)))
+    xs = np.concatenate([np.asarray(block_fn(jax.random.fold_in(key, i)))
+                         for i in range(n_blocks)]).astype(np.float64)
+    want = (dirs.astype(np.float64) @ (xs - xs.mean(0)).T).std(axis=1)
+    # unit-variance isotropic stream: projections have stdev ~1 whatever
+    # the offset; raw f32 moments would be off by O(1) here
+    np.testing.assert_allclose(got, want, rtol=1e-3)
 
 
 def test_rand_moments_absent_without_dirs():
