@@ -326,7 +326,7 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
             return matmul((z * spec_v).astype(dtype), q_m.astype(dtype))
         return block_fn
 
-    def run(block_fn, consts, mode, reps):
+    def run(block_fn, consts, mode, reps, token):
         prev = os.environ.get("GANSPACE_IPCA_REFINE")
         os.environ["GANSPACE_IPCA_REFINE"] = mode
         try:
@@ -336,7 +336,8 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
                 est.mode = "nystrom"   # production tier regardless of D
                 key = jax.random.PRNGKey(5)
                 t0 = time.perf_counter()
-                assert est.fit_stream(block_fn, n_blocks, key, consts=consts)
+                assert est.fit_stream(block_fn, n_blocks, key, consts=consts,
+                                      cache_token=token)
                 comp = est.get_components(device=True)[0]
                 jax.block_until_ready(comp)
                 times.append(time.perf_counter() - t0)
@@ -350,12 +351,13 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
                 os.environ["GANSPACE_IPCA_REFINE"] = prev
 
     reps = _reps()
-    t_auto, comp_auto, est_auto = run(
-        make_block_fn(jnp.float32), (spec, q), "auto", reps)
-    t_ref, comp_ref, _ = run(make_block_fn(jnp.float32), (spec, q),
-                             "always", 1)
+    tok = f"benchdecay|D{d_dim}|rank{rank}|nb{nb}|r{r}|c{c}"
+    bf_f32 = make_block_fn(jnp.float32)
+    t_auto, comp_auto, est_auto = run(bf_f32, (spec, q), "auto", reps,
+                                      tok + "|f32")
+    t_ref, comp_ref, _ = run(bf_f32, (spec, q), "always", 1, tok + "|f32")
     t_bf, comp_bf, est_bf = run(
-        make_block_fn(jnp.bfloat16), (spec, q), "auto", reps)
+        make_block_fn(jnp.bfloat16), (spec, q), "auto", reps, tok + "|bf16")
 
     def unit(m):
         return m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -716,8 +716,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # stream — no pre-sampling or latent storage at all.
     fused = (samples_are_latents and device_rng
              and transformer.batch_support
+             and hasattr(transformer, "fit_stream")
              and getattr(transformer, "_use_moments", lambda d: False)(sample_dims)
-             and model._gaussian_latent_dim() is not None)
+             and model.device_latents_fn_p() is not None)
     # Fused ACTIVATION stream: generation + synthesis-to-tap + sketch update
     # scanned in chunk-sized units (models exposing a pure tap function).
     # Weights ride as scan-program operands (pure_acts_fn_p), not baked
@@ -811,37 +812,71 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
     # Fully-fused fast path for the samples-are-latents W-space runs:
     # generation (device RNG), the mapping network, and the exact-moments
-    # update all execute in GROUP*NB-sample units — ~20 dispatches for a
-    # 1M-sample run instead of ~750 (each dispatch is a queue round trip;
-    # on the tunneled chip that overhead alone was ~15 s).
+    # update all ride ONE lax.scan program per chunk (the same fit_stream
+    # machinery as the conv-tap path) — ~10 dispatches for a 1M-sample run
+    # instead of ~750 eager block updates (each dispatch is a queue round
+    # trip; on the tunneled chip that overhead alone was ~15 s, and the
+    # r4 per-unit generate-then-fit pairing still left ~0.1 s of
+    # dispatch-bubble drain the scan removes).  The random-direction stdev
+    # baselines ride the same scan (rand_dirs), replacing the post-fit
+    # projection pass.  The RNG stream folds the seed per NB-block, so
+    # results are invariant to the chunk/group size (the r4 unit stream
+    # depended on it).
     if fused:
+        import jax as _jax
         seed0 = config.seed or SEED_SAMPLING
-        unit = group_size * nb
-        n_stream = -(-n_total // nb) * nb          # full nb blocks, as before
-        n_units = n_stream // unit
-        n_tail = -(-(n_stream - n_units * unit) // nb)
-        unit_sh = batch_sh if unit % n_data == 0 else None
-        tail_sh = batch_sh if nb % n_data == 0 else None
+        lat_fn, lat_pack = model.device_latents_fn_p()
+        # Large stream blocks: the W mapping at nb=4096 is ~1 ms of device
+        # compute, so a scan at NB granularity pays ~6 ms/iteration of scan
+        # overhead 245 times (measured 1.5 s vs 0.2 s of real compute at
+        # n=1M).  64k-sample blocks put ~100 ms of gemms in each iteration;
+        # small runs keep >=8 blocks for partial-save granularity.
+        nb_w = min(int(os.environ.get("GANSPACE_W_STREAM_NB", 65536)),
+                   max(nb, n_total // 8))
+
+        def block_fn(pack, k):
+            lat = lat_fn(pack, k, nb_w).reshape(nb_w, -1)
+            if feat_sh is not None:
+                # batch-generated latents -> feature-sharded estimator
+                # (all-to-all over ICI, inside the same compiled program)
+                lat = _jax.lax.with_sharding_constraint(lat, feat_sh)
+            return lat
+
+        want_rand = os.environ.get("GANSPACE_FUSED_RAND", "1") == "1"
+        rdirs_dev = (random_directions_device(config.components, sample_dims)
+                     if want_rand else None)
+        n_stream_blocks = -(-n_total // nb_w)
+        key0 = _jax.random.PRNGKey(seed0)
+        print(f"Fitting fused latent stream: {n_stream_blocks} blocks of "
+              f"{nb_w}" + (" (+rand moments)" if want_rand else ""),
+              flush=True)
+        # Scan-program reuse across runs (IPCAEstimator._scan_cache): the
+        # token must pin everything the traced closure captures — workload
+        # identity (fused_key), stream block size, mesh layout, and the
+        # model knobs baked into the pure fns (truncation, s2d tail).
+        stream_token = "|".join([
+            fused_key, "Wstream", f"nbw{nb_w}",
+            f"mesh{sorted(mesh.shape.items()) if mesh is not None else None}",
+            f"tr{getattr(model, 'truncation', None)}",
+            f"s2d{getattr(model, '_s2d', None)}"])
         try:
+            if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
+                                          chunk=8, consts=lat_pack,
+                                          rand_dirs=rdirs_dev,
+                                          cache_token=stream_token):
+                raise RuntimeError(
+                    "fused latent stream unavailable for this estimator")
             x_block = None
-            for c in model.sample_latents_device(n_units, unit, seed=seed0,
-                                                 sharding=unit_sh):
-                x_block = c.reshape(unit, -1)
-                transformer.fit_partial(x_block)
-                print(f"\rFitting fused units ({unit} samples each): "
-                      f"+{unit}", end="", flush=True)
-            # tail at nb granularity under a distinct key stream
-            for c in model.sample_latents_device(n_tail, nb,
-                                                 seed=seed0 + 1_000_003,
-                                                 sharding=tail_sh):
-                x_block = c.reshape(nb, -1)
-                transformer.fit_partial(x_block)
-            print()
+            if getattr(transformer, "rand_moments", lambda: None)() is None:
+                # Baselines did not ride the scan: one jitted block for them.
+                x_block = _jax.jit(block_fn)(lat_pack,
+                                             _jax.random.fold_in(key0, 0))
         except KeyboardInterrupt:
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
             dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
             print(f'Saving current state to "{dump_name.name}" before exiting')
             canceled = True
+            x_block = None
     elif fused_acts:
         import jax as _jax
         seed0 = config.seed or SEED_SAMPLING
@@ -885,11 +920,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
               f"of {batch}" + (" (+regression moments)" if want_reg else ""),
               flush=True)
+        # Same scan-program reuse as the W stream (see stream_token above).
+        acts_token = "|".join([
+            fused_key, "ActsStream",
+            f"mesh{sorted(mesh.shape.items()) if mesh is not None else None}",
+            f"tr{getattr(model, 'truncation', None)}",
+            f"s2d{getattr(model, '_s2d', None)}"])
         try:
             if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
                                           consts=stream_pack,
                                           with_reg=want_reg,
-                                          rand_dirs=rdirs_dev):
+                                          rand_dirs=rdirs_dev,
+                                          cache_token=acts_token):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
             x_block = None
@@ -1058,10 +1100,26 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # (regression solve, projections) are device math — only the final npz
     # write needs a host copy, which is started asynchronously here so the
     # transfer overlaps the remaining post-fit compute.
-    try:
-        x_comp, x_stdev, x_var_ratio = transformer.get_components(device=True)
-    except TypeError:                 # estimators without the device path
-        x_comp, x_stdev, x_var_ratio = transformer.get_components()
+    #
+    # Samples-are-latents moments runs take the BUNDLE finish instead: one
+    # program + one [4, c] readback carries components, stdev, var_ratio,
+    # lat_stdev AND the random baselines (four separate round trips through
+    # the relay otherwise — measured ~0.13 s of the 0.56 s steady W leg).
+    rand_mom = (getattr(transformer, "rand_moments", lambda: None)()
+                if device_rng_used else None)
+    bundle_stats = None
+    if samples_are_latents:
+        bundle = getattr(transformer, "finish_latent_bundle",
+                         lambda **_k: None)(rand_moments=rand_mom)
+        if bundle is not None:
+            x_comp, bundle_stats = bundle
+            x_stdev, x_var_ratio = bundle_stats[0], bundle_stats[1]
+    if bundle_stats is None:
+        try:
+            x_comp, x_stdev, x_var_ratio = transformer.get_components(
+                device=True)
+        except TypeError:             # estimators without the device path
+            x_comp, x_stdev, x_var_ratio = transformer.get_components()
     _stamp("get_components")
 
     assert x_comp.shape[1] == sample_dims \
@@ -1092,9 +1150,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     # Device-RNG runs also DRAW the directions on device (same fixed seed,
     # threefry stream): the host path costs ~1.3 s of RandomState generation
     # plus a c*D upload for big-D taps.
-    rand_mom = (getattr(transformer, "rand_moments", lambda: None)()
-                if device_rng_used else None)
-    if rand_mom is not None:
+    if bundle_stats is not None and rand_mom is not None:
+        x_stdev_random = bundle_stats[3]
+    elif rand_mom is not None:
         # The projections' Chan mean/M2 rode the fused fit scan (same
         # threefry dirs, ALL n samples instead of a 5000-sample block);
         # variance is shift-invariant, so centering by the global mean
@@ -1131,14 +1189,28 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     z_comp = z_comp.reshape(-1, *input_shape)
     z_global_mean = z_global_mean.reshape(input_shape)
 
-    # Compute stdev in latent space if non-Gaussian; the 5000-sample W batch
-    # never leaves the device.
+    # Compute stdev in latent space if non-Gaussian.  For samples-are-
+    # latents runs the moments tier already holds the exact full-stream W
+    # covariance, so the statistic is a closed-form [c]-sized readback
+    # (Var(d.w) = d M2 d / n over ALL n samples) — no fresh 5000-sample
+    # synthesis batch (measured 0.37 s of the 0.89 s steady W leg, the
+    # single biggest post-fit phase).  Other runs keep the reference's
+    # 5000-sample estimate (decomposition.py:324-329); the W batch never
+    # leaves the device either way.
     lat_stdev = np.ones_like(x_stdev)
     if config.use_w:
-        ws = jnp.asarray(model.sample_latent(5000)).reshape(5000, input_dims)
-        coords = mm(jnp.asarray(z_comp.reshape(-1, input_dims),
-                                jnp.float32), ws.T)
-        lat_stdev = np.asarray(jnp.std(coords, axis=1))
+        if bundle_stats is not None:
+            lat_stdev = bundle_stats[2]
+        elif (pv := (getattr(transformer, "projected_variance",
+                             lambda d: None)(z_comp.reshape(-1, input_dims))
+                     if samples_are_latents else None)) is not None:
+            lat_stdev = np.sqrt(np.maximum(pv, 0.0))
+        else:
+            ws = jnp.asarray(model.sample_latent(5000)).reshape(5000,
+                                                                input_dims)
+            coords = mm(jnp.asarray(z_comp.reshape(-1, input_dims),
+                                    jnp.float32), ws.T)
+            lat_stdev = np.asarray(jnp.std(coords, axis=1))
     _stamp("lat_stdev")
 
     os.makedirs(dump_name.parent, exist_ok=True)

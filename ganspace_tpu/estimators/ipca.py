@@ -302,6 +302,32 @@ def _all_finite(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(jnp.isfinite(x))
 
 
+@jax.jit
+def _proj_variance(state: _MomentsState, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Population variance of the stream's projections onto ``dirs``
+    [k, D] rows — exact from the centered scatter: Var(d.x) = d M2 d / n."""
+    return jnp.sum(mm(dirs, state.m2) * dirs, axis=1) / state.count
+
+
+@partial(jax.jit, static_argnames=("n_components", "want_rand"))
+def _moments_finish_bundle(state: _MomentsState, rand_mean, rand_m2, rand_n,
+                           *, n_components: int, want_rand: bool):
+    """Everything a samples-are-latents run reads after the fit, in ONE
+    program: components (device), then a [4, c] stats pack — stdev,
+    var_ratio, lat_stdev (exact projection stdev of the components over
+    the full stream), random-direction stdev baselines.  One dispatch +
+    one small readback replaces four round trips (measured ~0.13 s of the
+    0.56 s steady 1M W leg through the relay)."""
+    comp, stdev, ratio = _moments_finish(state, n_components=n_components)
+    # components are unit rows, so they ARE the latent directions: their
+    # full-stream projection variance is the W-space lat_stdev.
+    pv = jnp.sum(mm(comp, state.m2) * comp, axis=1) / state.count
+    rstd = (jnp.sqrt(jnp.maximum(rand_m2 / jnp.maximum(rand_n, 1.0), 0.0))
+            if want_rand else jnp.zeros_like(stdev))
+    stats = jnp.stack([stdev, ratio, jnp.sqrt(jnp.maximum(pv, 0.0)), rstd])
+    return comp, stats
+
+
 @partial(jax.jit, static_argnames=("n_components",))
 def _moments_finish(state: _MomentsState, *, n_components: int):
     """(components [c, D], stdev [c], var_ratio [c]) from the moments."""
@@ -630,9 +656,19 @@ class IPCAEstimator:
         self.n_samples_seen_ += k * n
         return True
 
+    #: token -> (scan_chunk jit fn, wrapped block_fn): fresh closures would
+    #: retrace the scanned program on EVERY fit (measured 0.5 s warm /
+    #: 90 s first compile per run of the 1M W leg).  Callers that can attest
+    #: "same program" (model/layer/shapes/flags) pass cache_token and the
+    #: compiled scan is reused across estimator instances.  Bounded: one
+    #: entry per distinct workload in the process.
+    _scan_cache: dict = {}
+    #: token -> eval_shape result of the stream probe (same contract).
+    _probe_cache: dict = {}
+
     def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16,
                    consts=None, with_reg: bool = False,
-                   rand_dirs=None) -> bool:
+                   rand_dirs=None, cache_token=None) -> bool:
         """Fused fit over a key-derived block stream.
 
         ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
@@ -665,6 +701,15 @@ class IPCAEstimator:
         baselines (reference ``decomposition.py:310-316``) fall out of
         these over the FULL stream — replacing a dedicated synthesis
         block + [nb, D] centering with one [c]-sized readback.
+
+        ``cache_token``: hashable workload identity (model/layer/shape/
+        flag string).  When provided, the jitted scan program — AND the
+        block_fn traced into it — are reused from a class-level cache for
+        subsequent fits with the same token, eliminating the per-fit
+        retrace (~0.5 s warm on the 1M W leg).  Callers must guarantee a
+        token uniquely determines the block_fn's STRUCTURE (weights ride
+        in ``consts`` as operands and may differ; mesh layout, shapes,
+        dtypes, and all flags must be part of the token).
         """
         if n_blocks <= 0:
             return True
@@ -675,8 +720,15 @@ class IPCAEstimator:
         # meshed run each tiny op is its own collective program (measured:
         # XLA's 40 s cross-device rendezvous can time out under compile
         # load, aborting the process).  Everything streams through the
-        # jitted scans below instead.
-        shape = jax.eval_shape(block_fn, consts, jax.random.fold_in(key, 0))
+        # jitted scans below instead.  Tokened callers skip the re-probe
+        # (tracing the synthesis for shapes costs ~60 ms per run).
+        shape = (self._probe_cache.get(cache_token)
+                 if cache_token is not None else None)
+        if shape is None:
+            shape = jax.eval_shape(block_fn, consts,
+                                   jax.random.fold_in(key, 0))
+            if cache_token is not None:
+                self._probe_cache[cache_token] = shape
         if with_reg:
             shape, z_shape = shape
         nb, d = shape.shape
@@ -702,12 +754,23 @@ class IPCAEstimator:
         tier = "moments" if self._moments is not None else "nystrom"
 
         # The scanned program's carry holds ONLY live accumulators — no
-        # dead placeholder zeros (the with_reg=False variant used to thread
-        # an aliased pair of zero scalars through the carry; that variant
-        # had never executed on the tunneled TPU before the decay bench leg
-        # and is under suspicion in its worker crash).
+        # dead placeholder zeros.  Everything run-specific (PRNG key, block
+        # offset, weights, accumulator values) enters as an OPERAND so the
+        # program can be reused across fits via the class-level scan cache;
+        # the closure captures only token-determined structure (block_fn,
+        # tier, flags).
+        tok = (None if cache_token is None else
+               (cache_token, tier, with_reg, want_rand, chunk,
+                nb, d, self.n_components))
+        cached = self._scan_cache.get(tok) if tok is not None else None
+        if cached is not None:
+            scan_chunk, block_fn = cached
+            return self._run_stream(scan_chunk, n_blocks, nb, key, chunk,
+                                    consts, with_reg, want_rand, rand_dirs)
+
         @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, reg, rand, rn0, omega, rdirs, i0, consts, *, k):
+        def scan_chunk(state, reg, rand, rn0, omega, rdirs, i0, key, consts,
+                       *, k):
             def body(carry, i):
                 st, *acc = carry
                 out = block_fn(consts, jax.random.fold_in(key, i0 + i))
@@ -744,6 +807,17 @@ class IPCAEstimator:
             rand = out[-1] if want_rand else rand
             return state, reg, rand
 
+        if tok is not None:
+            self._scan_cache[tok] = (scan_chunk, block_fn)
+        return self._run_stream(scan_chunk, n_blocks, nb, key, chunk,
+                                consts, with_reg, want_rand, rand_dirs)
+
+    def _run_stream(self, scan_chunk, n_blocks, nb, key, chunk,
+                    consts, with_reg, want_rand, rand_dirs) -> bool:
+        """Drive a (possibly cache-reused) scanned stream program: the main
+        pass, then — sketch tier only — the adaptive refine pass."""
+        tier = "moments" if self._moments is not None else "nystrom"
+
         def run_pass() -> None:
             # Full chunks share one scan program; the tail gets its own
             # static length (one extra compile, disk-cached) — no block is
@@ -758,11 +832,11 @@ class IPCAEstimator:
                 if tier == "moments":
                     self._moments, reg_out, rand_out = scan_chunk(
                         self._moments, reg_in, rand_in, rn0, 0, rdirs,
-                        jnp.int32(i), consts, k=k)
+                        jnp.int32(i), key, consts, k=k)
                 else:
                     self._nystrom, reg_out, rand_out = scan_chunk(
                         self._nystrom, reg_in, rand_in, rn0, self._omega,
-                        rdirs, jnp.int32(i), consts, k=k)
+                        rdirs, jnp.int32(i), key, consts, k=k)
                 if with_reg:
                     self._reg = (*reg_out, self._reg[2] + k * nb)
                 if want_rand:
@@ -789,6 +863,40 @@ class IPCAEstimator:
         if self._reg is None or self._reg[2] == 0:
             return None
         return self._reg
+
+    def finish_latent_bundle(self, rand_moments=None):
+        """Samples-are-latents finish: ``(components [c, D] device,
+        stats np [4, c])`` with rows (stdev, var_ratio, lat_stdev,
+        random_stdevs — zeros unless ``rand_moments`` is passed).  One
+        dispatch + one readback (see ``_moments_finish_bundle``); None off
+        the moments tier."""
+        if self._moments is None or float(self._moments.count) == 0.0:
+            return None
+        if not bool(_all_finite(self._moments.m2)):
+            raise FloatingPointError(
+                "non-finite moment statistics: the activation stream "
+                "contains NaN/Inf (eigh on non-finite input crashes the "
+                "TPU runtime, so the factorization is refused)")
+        self._pre_refine = None
+        want_rand = rand_moments is not None
+        zc = jnp.zeros((self.n_components,), jnp.float32)
+        rm, rm2, rn = (rand_moments if want_rand else (zc, zc, 0))
+        comp, stats = _moments_finish_bundle(
+            self._moments, rm, rm2, jnp.float32(rn),
+            n_components=self.n_components, want_rand=want_rand)
+        return comp, np.asarray(stats)
+
+    def projected_variance(self, dirs) -> Optional[np.ndarray]:
+        """Exact population variance of the FULL stream's projections onto
+        ``dirs`` [k, D], from the moments tier's centered scatter — the
+        closed form behind the W-space ``lat_stdev`` (reference
+        ``decomposition.py:324-329`` re-synthesizes 5000 samples for the
+        same statistic; here it is one [k]-sized readback over all n
+        samples).  None on the sketch/sklearn tiers."""
+        if self._moments is None or float(self._moments.count) == 0.0:
+            return None
+        return np.asarray(_proj_variance(
+            self._moments, self._placed(jnp.asarray(dirs, jnp.float32))))
 
     def rand_moments(self):
         """Random-projection moments accumulated by
@@ -840,7 +948,9 @@ class IPCAEstimator:
                     "TPU runtime, so the factorization is refused)")
             comp, stdev, var_ratio = _moments_finish(
                 self._moments, n_components=self.n_components)
-            return out(comp), np.asarray(stdev), np.asarray(var_ratio)
+            # one [2, c] readback instead of two round trips
+            stats = np.asarray(jnp.stack([stdev, var_ratio]))
+            return out(comp), stats[0], stats[1]
         if self._nystrom is not None:
             comp, stdev, var_ratio = _nystrom_finish(
                 self._nystrom, self._omega, n_components=self.n_components)

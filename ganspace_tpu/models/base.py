@@ -175,7 +175,15 @@ class BaseGenerator(ABC):
         return "Z"
 
     def get_latent_shape(self) -> Tuple[int, ...]:
-        return tuple(np.asarray(self.sample_latent(1)).shape)
+        # Cached per latent space: the probe costs a sample_latent round
+        # trip (~50 ms through a remote chip) and callers re-ask every run.
+        key = (self.latent_space_name(), self.outclass)
+        cache = getattr(self, "_latent_shape_cache", None)
+        if cache is None:
+            cache = self._latent_shape_cache = {}
+        if key not in cache:
+            cache[key] = tuple(np.asarray(self.sample_latent(1)).shape)
+        return cache[key]
 
     def get_latent_dims(self) -> int:
         return int(np.prod(self.get_latent_shape()))

@@ -286,12 +286,35 @@ def test_interrupt_partial_save_activation_path(model, tmp_path, monkeypatch):
     assert np.allclose(comp @ comp.T, np.eye(3), atol=1e-3)
 
 
+def _interrupt_fused_stream(monkeypatch, after_blocks):
+    """Wrap decomposition.get_estimator so the produced estimator's
+    fit_stream absorbs ``after_blocks`` blocks and then raises
+    KeyboardInterrupt — simulating Ctrl-C mid-scan on the fused paths."""
+    from ganspace_tpu import decomposition as deco
+
+    real_get = deco.get_estimator
+
+    def wrapped_get(*a, **kw):
+        est = real_get(*a, **kw)
+        real_stream = est.fit_stream
+
+        def fit_stream(block_fn, n_blocks, key, **kws):
+            real_stream(block_fn, min(after_blocks, n_blocks), key, **kws)
+            raise KeyboardInterrupt
+
+        est.fit_stream = fit_stream
+        return est
+
+    monkeypatch.setattr(deco, "get_estimator", wrapped_get)
+
+
 def test_interrupt_partial_save_fused_w_path(model, tmp_path, monkeypatch):
     """Same contract on the fused W-space stream (device-RNG latents
-    regenerated inside the fit loop)."""
+    regenerated inside the scanned fit stream): the interrupt lands in
+    fit_stream and the absorbed block count names the partial cache."""
     monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
     monkeypatch.delenv("GANSPACE_DEVICE_RNG", raising=False)
-    _interrupt_on_nth_fit(monkeypatch, 2)
+    _interrupt_fused_stream(monkeypatch, 1)
     inst = InstrumentedModel(model)
     model.use_w()
     cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
@@ -304,10 +327,14 @@ def test_interrupt_partial_save_fused_w_path(model, tmp_path, monkeypatch):
         model.use_z()
     cache = tmp_path / "cache" / "components"
     full = cache / component_cache_name(cfg)
-    partial = cache / full.name.replace("_n2100", "_n2000")
-    assert not full.exists()
-    assert partial.is_file()
-    data = np.load(partial)
+    assert not full.exists(), "partial run must not claim the full-n cache"
+    partials = list(cache.glob("*.npz"))
+    assert len(partials) == 1
+    # the corrected _n token reflects the absorbed samples (1 block)
+    import re
+    n_tok = int(re.search(r"_n(\d+)", partials[0].name).group(1))
+    assert 0 < n_tok < 2100
+    data = np.load(partials[0])
     assert data["act_comp"].shape == (4, 1, 512)
     assert np.all(np.isfinite(data["lat_comp"]))
 

@@ -116,3 +116,25 @@ def test_pipeline_fused_rand_matches_block_baseline(tmp_path, monkeypatch):
     assert with_scan.shape == legacy.shape
     assert np.all(with_scan > 0)
     np.testing.assert_allclose(with_scan, legacy, rtol=1e-3)
+
+
+def test_projected_variance_matches_sampled_projection_std():
+    """lat_stdev closed form: Var(d.x) from the moments scatter must match
+    the sampled projection variance (exactly, same stream)."""
+    d, nb, c, n_blocks = 64, 256, 4, 8
+    block_fn = _make_stream(d=d, nb=nb, zdim=16)
+    key = jax.random.PRNGKey(3)
+    est = IPCAEstimator(c, mode="moments")
+    assert est.fit_stream(block_fn, n_blocks, key, chunk=4)
+    dirs = np.random.RandomState(5).randn(c, d).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pv = est.projected_variance(dirs)
+    assert pv is not None
+    xs = np.concatenate([np.asarray(block_fn(jax.random.fold_in(key, i)))
+                         for i in range(n_blocks)]).astype(np.float64)
+    want = (dirs.astype(np.float64) @ (xs - xs.mean(0)).T).var(axis=1)
+    np.testing.assert_allclose(pv, want, rtol=1e-4)
+    # sketch tier: no closed form
+    est2 = IPCAEstimator(c, mode="nystrom")
+    assert est2.fit_stream(block_fn, 2, key, chunk=2)
+    assert est2.projected_variance(dirs) is None
