@@ -74,6 +74,7 @@ def test_segment_visualization():
     assert multi.shape == (4, 4, 3)
 
 
+@pytest.mark.slow
 def test_dissection_cli(tmp_path):
     from ganspace_tpu.dissection.__main__ import main
     rc = main(["--model", "DCGAN", "--layer", "deconv1",

@@ -75,6 +75,7 @@ def test_activation_path_with_regression(model, tmp_path, monkeypatch):
     assert data["random_stdevs"].max() < data["act_stdev"][0]
 
 
+@pytest.mark.slow
 def test_determinism(model, tmp_path, monkeypatch):
     monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
     inst = InstrumentedModel(model)
@@ -390,6 +391,7 @@ def test_corrupt_component_cache_recomputes(model, tmp_path, monkeypatch):
     model.use_z()
 
 
+@pytest.mark.slow
 def test_biggan_fused_stream(tmp_path, monkeypatch):
     """BigGAN rides the fused activation stream via its in-trace truncnorm
     sampler (device_latents_fn_p): forced on, the full pipeline (fit ->
@@ -449,6 +451,7 @@ def test_bf16_dtype_activation_path(model, tmp_path, monkeypatch):
         assert meta["fused_linreg"] is True
 
 
+@pytest.mark.slow
 def test_fused_sentinel_keyed_by_dtype(model, tmp_path, monkeypatch, capsys):
     """An f32 run's fused-scan sentinel must NOT auto-enable the fused path
     for the same workload under --dtype bfloat16: the precision is baked

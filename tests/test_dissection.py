@@ -154,6 +154,7 @@ def test_iqr_max_scores_synthetic():
     assert out["max_iqr"][:, 1].max() == 0.0         # label never observed
 
 
+@pytest.mark.slow
 def test_stats_cache_roundtrip(inst, tmp_path):
     """save_stats_cache/load_stats_cache reproduce the sketches exactly and
     refuse a provenance mismatch (the reference reuses per-pass npz files

@@ -106,6 +106,7 @@ def test_pipeline_fused_linreg_skips_regression_sweep(tmp_path, monkeypatch):
     assert meta["fused_linreg"] is True
 
 
+@pytest.mark.slow
 def test_pipeline_fused_linreg_matches_exact_regression(tmp_path, monkeypatch):
     """End-to-end: the fused-moments lat_comp must match an exact
     least-squares regression (explicit G) computed over the same fused-stream
@@ -202,6 +203,7 @@ def test_fused_linreg_production_shape_error_bound(tmp_path, monkeypatch):
     assert cos.min() > 0.999, cos
 
 
+@pytest.mark.slow
 def test_fused_linreg_opt_out(tmp_path, monkeypatch):
     """GANSPACE_FUSED_LINREG=0 restores the separate regression sweep
     (reference-style fresh SEED_LINREG samples) and records it."""

@@ -90,6 +90,7 @@ def test_rand_moments_absent_without_dirs():
     assert est.rand_moments() is None
 
 
+@pytest.mark.slow
 def test_pipeline_fused_rand_matches_block_baseline(tmp_path, monkeypatch):
     """End-to-end: with the whole stream fitting in one block of <=5000
     samples, the scan-accumulated baseline and the legacy last-block

@@ -31,14 +31,17 @@ def test_pca_illustration():
     _run("figure_pca_illustration", [])
 
 
+@pytest.mark.slow
 def test_teaser():
     _run("figure_teaser")
 
 
+@pytest.mark.slow
 def test_first_20_pcs():
     _run("figure_first_20_pcs")
 
 
+@pytest.mark.slow
 def test_biggan_style_resampling():
     _run("figure_biggan_style_resampling")
 

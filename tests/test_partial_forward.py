@@ -71,6 +71,7 @@ def test_partial_forward(model_name, layers):
             assert diff < 1e-5, f"{layer}: partial and full forward differ by {diff}"
 
 
+@pytest.mark.slow
 def test_batch_composition_invariance():
     """Eval-mode normalization discipline: a sample's activations and image
     must not depend on its batch-mates (the reference runs every generator

@@ -34,6 +34,7 @@ def brute_force_pool(feat, x1, y1, x2, y2, ph, pw, n_grid=64):
     return out
 
 
+@pytest.mark.slow
 def test_matches_numeric_integration():
     rs = np.random.RandomState(0)
     feat = rs.randn(1, 2, 8, 8).astype(np.float32)
@@ -62,6 +63,7 @@ def test_degenerate_roi_is_zero():
 
 
 @pytest.mark.parametrize("wrt", ["features", "coords"])
+@pytest.mark.slow
 def test_gradients_finite_difference(wrt):
     with jax.enable_x64(True):
         _check_gradients(wrt)

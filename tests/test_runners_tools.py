@@ -113,6 +113,7 @@ def test_ganseg_cli(tmp_path):
     assert len(list(tmp_path.glob("ganseg_*.png"))) == 4
 
 
+@pytest.mark.slow
 def test_allunitsample_cli(tmp_path):
     from ganspace_tpu.tools.allunitsample import main
     rc = main(["--model", "DCGAN", "--layer", "deconv1", "--samples", "8",
@@ -121,6 +122,7 @@ def test_allunitsample_cli(tmp_path):
     assert len(list(tmp_path.glob("unit_*.png"))) > 0
 
 
+@pytest.mark.slow
 def test_custom_model_registration(tmp_path):
     """register_model: a user generator drives the whole pipeline
     (reference analog: torch.hub GAN-zoo / colab custom-model import)."""
@@ -166,6 +168,7 @@ def test_package_entry_point(tmp_path, capsys):
     assert len(list(tmp_path.glob("image_*.png"))) == 2
 
 
+@pytest.mark.slow
 def test_custom_model_example(tmp_path, monkeypatch):
     """examples/custom_model.py: a from-scratch pure-function generator
     registered and driven through decomposition + the edit engine

@@ -27,6 +27,7 @@ def seg():
     return UnifiedParsingSegmenter(cfg=TINY, segsizes=(32,), seed=0)
 
 
+@pytest.mark.slow
 def test_upernet_shapes():
     params = init_upernet_params(TINY, seed=0)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 32, 32), jnp.float32)

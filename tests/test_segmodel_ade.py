@@ -95,6 +95,7 @@ def _build_pair(decoder_arch, dilate_scale=8, seed=0):
 
 
 @pytest.mark.parametrize("dilate", [8, 16])
+@pytest.mark.slow
 def test_dilated_encoder_stage_parity(dilate):
     encoder, _, params, cfg = _build_pair("c1_bilinear", dilate_scale=dilate)
     x = np.random.RandomState(3).randn(1, 3, 96, 96).astype(np.float32) * 20

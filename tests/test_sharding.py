@@ -4,6 +4,7 @@ Validates that the production shardings (data-parallel synthesis,
 feature-sharded IPCA with psum'd Grams) execute and match replicated results.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ def test_data_parallel_synthesis_matches_single_device():
     assert np.abs(img_single - img_sharded).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)

@@ -1,5 +1,6 @@
 """Streaming statistics vs exact numpy on synthetic streams."""
 
+import pytest
 import numpy as np
 
 from ganspace_tpu.stats import (
@@ -27,6 +28,7 @@ def test_topk_exact():
     assert np.array_equal(tk2.result(), got)
 
 
+@pytest.mark.slow
 def test_quantile_accuracy():
     rs = np.random.RandomState(1)
     data = rs.randn(60_000, 8).astype(np.float32) * np.arange(1, 9)
@@ -45,6 +47,7 @@ def test_quantile_accuracy():
     assert np.allclose(rq2.quantiles(qs), got)
 
 
+@pytest.mark.slow
 def test_quantile_normalize_inverts_quantiles():
     """normalize (value -> CDF) is the inverse of quantiles (CDF -> value)
     up to sketch error; exact on a small in-pending stream."""

@@ -1,6 +1,7 @@
 """Streamed npz writer: pipelined DMA + zip write must be byte-compatible
 with np.savez (same keys, dtypes, values; np.load reads both identically)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ def test_stream_npz_single_chunk_and_many(tmp_path):
             np.testing.assert_array_equal(z["act_comp"], comp)
 
 
+@pytest.mark.slow
 def test_pipeline_streamed_cache_readable(tmp_path, monkeypatch):
     """Force the uncompressed (streamed) path on a small end-to-end run and
     check the cache np.loads with the exact reference key set."""

@@ -352,6 +352,7 @@ def jnp_asarray(x):
     return jnp.asarray(x)
 
 
+@pytest.mark.slow
 def test_stylegan1_decomposition_parity_cross_stack():
     """End-to-end on the StyleGAN1 family: the same latents stream through
     BOTH stacks (reference torch synthesis vs ours) into the SAME estimator

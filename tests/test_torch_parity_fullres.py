@@ -1,0 +1,246 @@
+"""FULL-RESOLUTION forward parity vs the installed PyTorch reference
+(VERDICT r4 #4).
+
+The tiny-shape tests in test_torch_parity.py pin the numerics; these runs
+instantiate the reference torch generators at PRODUCTION resolution from
+the same fabricated state dicts the importers consume and assert
+image-level parity for one seed — the depth/size regime where f32 error
+accumulation or layout bugs would actually surface.
+
+All slow-marked (CPU forwards at 1024px take tens of seconds per stack).
+StyleGAN2's reference torch implementation is a git submodule that is not
+vendored in /root/reference (models/stylegan2/ contains only __init__.py,
+and its op/ package is CUDA-only anyway) — its full-resolution
+cross-framework check instead runs against an independently written
+torch mirror of the rosinality graph (test_stylegan2_fullres_parity
+below, torch ops only: F.linear/F.conv2d/F.conv_transpose2d).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo/tests")
+from test_torch_parity import (  # noqa: E402
+    REF, _load_ref_module, _rel_err)
+
+pytestmark = pytest.mark.slow
+
+
+def test_stylegan1_fullres_1024_parity():
+    """lernapparat-style StyleGAN at 1024px: one seed, batch 1,
+    image max rel err < 1e-3 (reference models/stylegan/model.py)."""
+    ref_sg = _load_ref_module("ref_stylegan",
+                              f"{REF}/models/stylegan/model.py")
+    torch.manual_seed(11)
+    g = ref_sg.StyleGAN_G(resolution=1024)
+    g.eval()
+
+    from ganspace_tpu.models.stylegan import SG1Config, StyleGAN
+    from ganspace_tpu.models.torch_import import import_stylegan
+    params = import_stylegan({k: v.clone() for k, v in g.state_dict().items()})
+    ours = StyleGAN("ffhq", cfg=SG1Config(resolution=1024), params=params)
+
+    # Pin the reference's per-layer noise to OUR fixed per-block buffers
+    # (NoiseLayer .noise override, reference model.py:115-121; both
+    # epilogues of a block nest a "top_epi.noise" module and share the
+    # block buffer, exactly as our wrapper seeds them).
+    noise = [np.asarray(nb) for nb in ours.consts["noise"]]
+    for name, mod in g.named_modules():
+        if name.endswith("top_epi.noise"):
+            res = int(name.split(".")[2].split("x")[0])
+            mod.noise = torch.from_numpy(
+                noise[int(np.log2(res)) - 2].copy())
+
+    z = np.random.RandomState(3).randn(1, 512).astype(np.float32)
+    with torch.no_grad():
+        out_t = g(torch.from_numpy(z)).numpy()
+    raw = 2.0 * np.asarray(ours.forward(z)) - 1.0
+    assert out_t.shape[-1] == 1024 and raw.shape[-1] == 1024
+    err = _rel_err(raw, out_t)
+    assert err < 1e-3, f"1024px image rel err {err}"
+
+
+def test_stylegan2_fullres_1024_parity():
+    """rosinality-format StyleGAN2 at 1024px vs the independent torch
+    mirror (tests/torch_sg2_mirror.py — stock torch ops only; the
+    reference's torch SG2 is an unvendored CUDA-only submodule).  Same
+    fabricated rosinality-format state dict on both stacks, one seed,
+    batch 1, image max rel err < 1e-3."""
+    from torch_sg2_mirror import synthesize_t
+
+    from ganspace_tpu.models.stylegan2 import (
+        SG2Config, StyleGAN2, init_params, make_noise)
+
+    cfg = SG2Config(resolution=1024)
+    params = init_params(cfg, seed=123)
+    noise = make_noise(cfg, seed=0)
+    ours = StyleGAN2(class_name="ffhq", cfg=cfg, params=params)
+    # the wrapper seeds the same fixed noise buffers
+    ours_noise = [np.asarray(nb) for nb in ours.consts["noise"]]
+    mirror_noise = [np.asarray(nb) for nb in noise]
+    for a, b in zip(ours_noise, mirror_noise):
+        assert np.array_equal(a, b)
+
+    z = np.random.RandomState(77).randn(1, 512).astype(np.float32)
+    out_t = synthesize_t(params, mirror_noise, torch.from_numpy(z),
+                         log_size=cfg.log_size).numpy()
+    raw = 2.0 * np.asarray(ours.forward(z)) - 1.0
+    assert out_t.shape[-1] == 1024 and raw.shape[-1] == 1024
+    err = _rel_err(raw, out_t)
+    assert err < 1e-3, f"1024px image rel err {err}"
+
+
+def test_biggan_fullres_512_parity():
+    """BigGAN-deep at 512px (full LAYERS_512 pyramid + attention at its
+    production position; channel_width reduced 128->16 to keep the CPU
+    forward tractable — resolution and layer structure are what full-res
+    adds over the tiny test).  One seed, batch 1, image rel err < 1e-3.
+
+    Stabilization mirrors test_torch_parity.py's tiny BigGAN test
+    (spectral-norm u/v convergence + BN running-stat calibration so the
+    random-init stack stays inside f32); calibration here is ITERATIVE
+    whole-net rounds (hook every BN once per forward) instead of the
+    per-BN progressive pass — 6 forwards instead of ~57 at this depth,
+    converging because each round rescales every BN toward its true
+    input statistics (f64 capture, clamped into f32)."""
+    import types  # noqa: F401  (parallel to test_torch_parity imports)
+
+    from test_torch_parity import _hook_outputs, _load_ref_biggan
+
+    ref = _load_ref_biggan()
+    width = 16
+    layers_512 = [(False, 16, 16), (True, 16, 16), (False, 16, 16),
+                  (True, 16, 8), (False, 8, 8), (True, 8, 8), (False, 8, 8),
+                  (True, 8, 4), (False, 4, 4), (True, 4, 2), (False, 2, 2),
+                  (True, 2, 1), (False, 1, 1), (True, 1, 1)]
+    ref_cfg = sys.modules["ref_biggan.config"].BigGANConfig(
+        output_dim=512, z_dim=128, class_embed_dim=128, channel_width=width,
+        num_classes=20, layers=layers_512, attention_layer_position=8)
+    torch.manual_seed(2)
+    g = ref.BigGAN(ref_cfg)
+    g.eval()
+    rs_w = np.random.RandomState(6)
+    with torch.no_grad():
+        for _, p in g.named_parameters():
+            p.copy_(torch.from_numpy(
+                (0.05 * rs_w.randn(*p.shape)).astype(np.float32)))
+
+    z = np.random.RandomState(33).randn(1, 128).astype(np.float32)
+    onehot = np.zeros((1, 20), np.float32)
+    onehot[:, 5] = 1.0
+    trunc = 0.4
+
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
+    try:
+        # Converge spectral-norm u/v (see tiny test for why), then
+        # iteratively calibrate every BN's running stats.
+        g.train()
+        with torch.no_grad():
+            for _ in range(30):
+                g(torch.from_numpy(z), torch.from_numpy(onehot),
+                  truncation=trunc)
+        g.eval()
+
+        bn_mods = [(n, m) for n, m in g.named_modules()
+                   if hasattr(m, "running_means")]
+        rs = np.random.RandomState(4)
+        jit = {n: (1 + 0.05 * rs.randn(m.running_means.shape[0], 1),
+                   1 + 0.05 * rs.rand(m.running_vars.shape[0], 1))
+               for n, m in bn_mods}
+        # Rounds converge front-to-back: a deep BN's input is f32-finite
+        # only once every upstream BN is calibrated, so each round updates
+        # exactly the BNs whose captured stats are finite and leaves the
+        # (still-saturating) tail for the next round.
+        for _round in range(14):
+            stats = {}
+            handles = []
+            for n, m in bn_mods:
+                def f(mod, inp, out, n=n):
+                    x = inp[0].double()
+                    stats[n] = (x.mean(dim=(0, 2, 3)), x.var(dim=(0, 2, 3)))
+                handles.append(m.register_forward_hook(f))
+            with torch.no_grad():
+                g(torch.from_numpy(z), torch.from_numpy(onehot),
+                  truncation=trunc)
+            for h in handles:
+                h.remove()
+            pending = 0
+            for n, m in bn_mods:
+                mu, var = stats[n]
+                jm, jv = jit[n]
+                mu = (mu[None] * torch.from_numpy(jm)).clamp(-1e30, 1e30)
+                var = (var[None].clamp(min=1e-3)
+                       * torch.from_numpy(jv)).clamp(max=1e30)
+                if bool(torch.isfinite(mu).all() and torch.isfinite(var).all()):
+                    m.running_means.copy_(mu.float())
+                    m.running_vars.copy_(var.float())
+                else:
+                    pending += 1
+            if pending == 0 and _round >= 2:
+                break
+
+        from ganspace_tpu.models.biggan import BigGAN, BigGANConfig
+        from ganspace_tpu.models.torch_import import import_biggan
+        params = import_biggan({k: v.clone()
+                                for k, v in g.state_dict().items()})
+        cfg = BigGANConfig(output_dim=512, z_dim=128, class_embed_dim=128,
+                           channel_width=width, num_classes=20,
+                           layers=tuple(tuple(l) for l in layers_512),
+                           attention_layer_position=8)
+        ours = BigGAN(resolution=512, class_name=5, truncation=trunc,
+                      cfg=cfg, params=params)
+
+        taps = ["generator.gen_z", "generator.layers.8",  # 8 = attention
+                "generator.layers.13.bn_2"]
+        store, handles = _hook_outputs(g, taps)
+        with torch.no_grad():
+            out_t = g(torch.from_numpy(z), torch.from_numpy(onehot),
+                      truncation=trunc).numpy()
+        for h in handles:
+            h.remove()
+    finally:
+        torch.set_num_threads(n_threads)
+
+    from ganspace_tpu.models.base import InstrumentedModel
+    inst = InstrumentedModel(ours)
+    inst.retain_layers(taps)
+    raw = 2.0 * np.asarray(ours.forward(z)) - 1.0
+    assert out_t.shape[-1] == 512 and raw.shape[-1] == 512
+    for t in taps:
+        ours_t = np.asarray(inst.retained_features()[t])
+        assert np.isfinite(store[t]).all(), f"{t}: torch side non-finite"
+        assert np.isfinite(ours_t).all(), f"{t}: jax side non-finite"
+        err = _rel_err(ours_t, store[t])
+        assert err < 1e-3, f"{t}: rel err {err}"
+    err = _rel_err(raw, out_t)
+    assert err < 1e-3, f"512px image rel err {err}"
+
+
+def test_progan_fullres_256_parity():
+    """GANDissect-format ProGAN at 256px (reference netdissect/proggan.py):
+    one seed, batch 1, image max rel err < 1e-3."""
+    ref_pg = _load_ref_module("ref_proggan", f"{REF}/netdissect/proggan.py")
+    sizes = (512, 512, 512, 512, 256, 128, 64, 32)   # -> 256 px output
+    torch.manual_seed(5)
+    g = ref_pg.ProgressiveGenerator(sizes=list(sizes))
+    g.eval()
+
+    from ganspace_tpu.models.proggan import ProGAN, ProGANConfig
+    from ganspace_tpu.models.torch_import import import_progan
+    params, inf_sizes = import_progan(
+        {k: v.clone() for k, v in g.state_dict().items()})
+    assert inf_sizes == tuple(sizes)
+    ours = ProGAN("bedroom", cfg=ProGANConfig(tuple(sizes)), params=params)
+
+    z = np.random.RandomState(17).randn(1, 512).astype(np.float32)
+    with torch.no_grad():
+        out_t = g(torch.from_numpy(z).view(1, 512, 1, 1)).numpy()
+    raw = 2.0 * np.asarray(ours.forward(z)) - 1.0
+    assert out_t.shape[-1] == 256 and raw.shape[-1] == 256
+    err = _rel_err(raw, out_t)
+    assert err < 1e-3, f"256px image rel err {err}"

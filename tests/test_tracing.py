@@ -1,5 +1,6 @@
 """Profiling utilities (SURVEY.md §5 tracing/profiling replacement)."""
 
+import pytest
 import time
 
 import jax.numpy as jnp
@@ -19,6 +20,7 @@ def test_step_timer():
     assert t.totals()["a"] >= 0.02
 
 
+@pytest.mark.slow
 def test_trace_writes_files(tmp_path):
     with trace(str(tmp_path)) as d:
         with annotate("matmul"):

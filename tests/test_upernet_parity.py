@@ -124,6 +124,7 @@ def _rel_err(a, b):
     return np.abs(a - b).max() / max(np.abs(b).max(), 1e-8)
 
 
+@pytest.mark.slow
 def test_upernet_logits_match_torch_reference():
     encoder, decoder, params, cfg = _build_ref_pair()
 
@@ -160,6 +161,7 @@ def test_upernet_logits_match_torch_reference():
         head += n
 
 
+@pytest.mark.slow
 def test_resnet_encoder_stage_parity():
     """Each encoder stage (c2..c5) matches torch, catching stem/stride/
     downsample translation bugs at the stage they occur."""
