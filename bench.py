@@ -223,9 +223,18 @@ def _bench_convtap(n_chips: int) -> dict:
                     runs_bf.append(time.perf_counter() - t0)
                 with np.load(path_bf) as d:
                     comp_bf = d["act_comp"].reshape(80, -1)
+                    meta_bf = json.loads(d["_meta"].item().decode())
                 cos = np.abs(np.sum(comp_f32 * comp_bf, axis=1))
                 bf_spread = _spread(runs_bf[1:], "convtap_bf16")
+                bf_bounds = meta_bf.get("bf16_cos_bounds")
                 bf16 = {
+                    # spectrum-derived per-component grading (VERDICT r4
+                    # #6): expected NOT analysis-grade on this flat
+                    # random-init spectrum
+                    "convtap_bf16_grade": meta_bf.get("bf16_analysis_grade"),
+                    "convtap_bf16_bound_min":
+                        (round(float(min(bf_bounds)), 4)
+                         if bf_bounds else None),
                     "convtap_bf16_samples_s_chip":
                         round(n / bf_spread["convtap_bf16_median_s"]
                               / n_chips, 1),
@@ -389,6 +398,15 @@ def _bench_convtap_decay(model, n_chips: int) -> dict:
         "convtap_decay_bf16_min_cos": round(float(cos_bf.min()), 4),
         "convtap_decay_bf16_mean_cos": round(float(cos_bf.mean()), 4),
     }
+    # Spectrum-derived bf16 grading (VERDICT r4 #6): the decaying spectrum's
+    # eigengaps should certify analysis grade, and the bound must hold
+    # against the measured cosines above.
+    spec_ev = est_bf.component_spectrum()
+    if spec_ev is not None:
+        from ganspace_tpu.decomposition import bf16_component_bounds
+        b = bf16_component_bounds(spec_ev, c)
+        out["convtap_decay_bf16_grade"] = bool((b >= 0.99).all())
+        out["convtap_decay_bf16_bound_min"] = round(float(b.min()), 4)
     out.update(_bench_convtap_shaped(model, nb))
     return out
 

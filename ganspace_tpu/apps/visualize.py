@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import sys
 from os import makedirs
 from pathlib import Path
 from types import SimpleNamespace
@@ -119,8 +120,16 @@ def main(args=None):
     if "_meta" in data.files:
         import json as _json
         try:
-            cache_device_rng = _json.loads(
-                bytes(data["_meta"].item()).decode()).get("device_rng")
+            _meta = _json.loads(bytes(data["_meta"].item()).decode())
+            cache_device_rng = _meta.get("device_rng")
+            # Surface the spectrum-derived bf16 grading (written at
+            # decomposition time) to anyone visualizing a _bf16 cache.
+            if _meta.get("bf16_analysis_grade") is False:
+                bad = sum(b < 0.99
+                          for b in _meta.get("bf16_cos_bounds", []))
+                print(f"WARNING: visualizing NON-analysis-grade bfloat16 "
+                      f"components ({bad}/{n_comp} below the 0.99 cosine "
+                      f"bound; see _meta bf16_cos_bounds)", file=sys.stderr)
         except (ValueError, AttributeError):
             pass
     data.close()

@@ -448,6 +448,41 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
     return z_comp, z_mean
 
 
+#: bf16-datapath sensitivity constant.  Activation rounding is RELATIVE
+#: noise (bf16 half-ulp = 2^-9), so the covariance perturbation couples
+#: component i to a neighbor j as E_ij ~ eps * sqrt(lambda_i lambda_j) and
+#: the rotation angle is theta_i ~ eps_rel / rel_gap_i — the ABSOLUTE-gap
+#: model fails by 100x across spectrum shapes, the relative-gap model
+#: holds within ~10x.  2e-3 conservatively covers the CPU calibration
+#: sweep (5 spectrum shapes x 3 seeds, measured eps_rel 1e-5..2.4e-4) AND
+#: both production TPU datapoints (flat conv tap min cos 0.9891 at rel
+#: gap ~0.9% -> eps_rel 1.3e-3; decay leg 0.9999 at 7.8% -> 1.1e-3, both
+#: inflated by sketch/sample noise the bound must also absorb).
+BF16_EPS_REL = 2e-3
+
+
+def bf16_component_bounds(evals, n_components: int) -> np.ndarray:
+    """Per-component |cos| lower-bound estimates for bf16-datapath runs.
+
+    ``evals``: descending eigenvalue estimates of the fitted scatter
+    (ideally >= n_components + 1 of them).  Component i's bound is
+    cos(min(BF16_EPS_REL / rel_gap_i, pi/2)) with rel_gap_i the smaller
+    adjacent relative eigengap; components whose neighbors are unresolved
+    get bound 0 (no information — not analysis grade)."""
+    ev = np.maximum(np.asarray(evals, np.float64), 1e-300)
+    n = len(ev)
+    c = n_components
+    bounds = np.zeros(c)
+    for i in range(min(c, n)):
+        rel_lo = 1.0 - ev[i] / ev[i - 1] if i > 0 else np.inf
+        rel_hi = 1.0 - ev[i + 1] / ev[i] if i + 1 < n else np.nan
+        if np.isnan(rel_hi):          # spectrum stops at c: no lower gap
+            continue
+        rel_gap = max(min(rel_lo, rel_hi), 1e-12)
+        bounds[i] = np.cos(min(BF16_EPS_REL / rel_gap, np.pi / 2.0))
+    return bounds
+
+
 def regression_from_moments(comp_np, mean_np, stdev_np, reg):
     """Closed-form latent regression from cross-moments accumulated INSIDE
     the fit sweeps (``IPCAEstimator.fit_stream(with_reg=True)``) — zero
@@ -1214,6 +1249,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     _stamp("lat_stdev")
 
     os.makedirs(dump_name.parent, exist_ok=True)
+    # bf16 datapath: predict each component's sensitivity to the activation
+    # rounding FROM THE FITTED SPECTRUM ITSELF and grade the cache
+    # (VERDICT r4 #6) — see bf16_component_bounds.
+    bf16_meta = {}
+    if getattr(config, "dtype", None) == "bfloat16":
+        spec_ev = getattr(transformer, "component_spectrum", lambda: None)()
+        if spec_ev is not None:
+            bounds = bf16_component_bounds(spec_ev, config.components)
+            bf16_meta = {
+                "bf16_cos_bounds": [round(float(b), 4) for b in bounds],
+                "bf16_analysis_grade": bool((bounds >= 0.99).all()),
+            }
     # Provenance sidecar key (reference keys stay untouched): the filename
     # encodes model/layer/estimator/n, but NOT which RNG stream produced the
     # samples — record it so mixed-provenance caches are detectable
@@ -1228,6 +1275,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         # True = the calibrated policy skipped the second data sweep.
         "refine_skipped": getattr(transformer, "refine_skipped", None),
         "refine_stats": getattr(transformer, "refine_stats", None),
+        **bf16_meta,
     })
     # Atomic write (temp + rename): an interrupt mid-savez must never leave
     # a truncated zip at the cache path get_or_compute would blindly reuse.
@@ -1243,16 +1291,29 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         else cache_bytes <= 8 * 1024 * 1024
     _savez = np.savez_compressed if use_zlib else np.savez
     if getattr(config, "dtype", None) == "bfloat16":
-        # Measured quality bound for the bf16 datapath (bench convtap_bf16 /
-        # convtap_decay_bf16 legs): min per-component cosine vs the f32 run
-        # can dip to ~0.989 on flat (random-init) spectra; decaying trained
-        # spectra hold >=0.99.  The _bf16 filename tag keeps these out of
-        # f32 cache hits; warn so downstream quality-sensitive use is a
-        # conscious choice.
-        print("Note: bfloat16-datapath components (preview precision) — "
-              "per-component cosine vs float32 can dip to ~0.989 on "
-              "flat-spectrum models; re-run without --dtype bfloat16 for "
-              "analysis-grade components", file=sys.stderr)
+        # The _bf16 filename tag keeps these out of f32 cache hits; the
+        # spectrum-derived per-component bounds (written to _meta above)
+        # decide whether the warning is advisory or a refusal of
+        # analysis-grade labeling.
+        if bf16_meta.get("bf16_analysis_grade") is True:
+            print("Note: bfloat16-datapath components — the fitted "
+                  "spectrum's eigengaps bound every component's cosine vs "
+                  "float32 at >= 0.99 (per-component bounds in _meta "
+                  "bf16_cos_bounds)", file=sys.stderr)
+        elif bf16_meta:
+            bad = sum(b < 0.99 for b in bf16_meta["bf16_cos_bounds"])
+            print(f"WARNING: bfloat16-datapath components are NOT "
+                  f"analysis-grade here: {bad}/{config.components} "
+                  f"components sit on eigengaps too small to bound their "
+                  f"rotation under bf16 rounding (per-component bounds in "
+                  f"_meta bf16_cos_bounds; measured dips to ~0.989 on such "
+                  f"spectra).  Re-run without --dtype bfloat16 for "
+                  f"analysis-grade components", file=sys.stderr)
+        else:
+            print("Note: bfloat16-datapath components (preview precision) — "
+                  "per-component cosine vs float32 can dip to ~0.989 on "
+                  "flat-spectrum models; re-run without --dtype bfloat16 "
+                  "for analysis-grade components", file=sys.stderr)
     _stamp("save_prep")
     small_arrays = {
         "act_mean": x_global_mean.astype(np.float32),

@@ -309,6 +309,13 @@ def _proj_variance(state: _MomentsState, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(mm(dirs, state.m2) * dirs, axis=1) / state.count
 
 
+@jax.jit
+def _moments_evals(state: _MomentsState) -> jnp.ndarray:
+    """All eigenvalues of the fitted covariance, descending."""
+    cov = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    return jnp.linalg.eigvalsh(cov)[::-1]
+
+
 @partial(jax.jit, static_argnames=("n_components", "want_rand"))
 def _moments_finish_bundle(state: _MomentsState, rand_mean, rand_m2, rand_n,
                            *, n_components: int, want_rand: bool):
@@ -885,6 +892,21 @@ class IPCAEstimator:
             self._moments, rm, rm2, jnp.float32(rn),
             n_components=self.n_components, want_rand=want_rand)
         return comp, np.asarray(stats)
+
+    def component_spectrum(self) -> Optional[np.ndarray]:
+        """Descending eigenvalue estimates of the fitted scatter, at least
+        ``n_components + 1`` of them where the tier resolves that many —
+        the input of per-component sensitivity bounds (bf16 datapath
+        grading).  Moments tier: exact covariance eigenvalues; sketch
+        tier: the l-dim Nyström estimates.  None on the sklearn tier
+        (its singular values stop at c) or before any data."""
+        if self._moments is not None and float(self._moments.count) > 0.0:
+            ev = np.asarray(_moments_evals(self._moments), np.float64)
+            return np.maximum(ev, 0.0)
+        if self._nystrom is not None and float(self._nystrom.count) > 0.0:
+            ev, _ = _nystrom_spectrum(self._nystrom, self._omega)
+            return np.maximum(np.asarray(ev, np.float64), 0.0)
+        return None
 
     def projected_variance(self, dirs) -> Optional[np.ndarray]:
         """Exact population variance of the FULL stream's projections onto
