@@ -13,10 +13,14 @@ Differences from the reference, by design:
   with none given the net is randomly initialized with generic label names —
   the full dissection pipeline stays runnable and testable offline.
 * Multi-resolution inference jits one function per requested size and
-  averages softmax probabilities on device; the reference's quad-subdivision
-  trick (for >2x training resolution inputs) is replaced by evaluating at
-  the extra scales directly — XLA recompiles per static shape, which is the
-  TPU-native way to handle the small fixed set of eval sizes.
+  averages softmax probabilities on device — XLA recompiles per static
+  shape, which is the TPU-native way to handle the small fixed set of
+  eval sizes.  The reference's ``segdiv='quad'`` connected-component
+  quadrant subdivision (``segmenter.py:257-285``) is implemented as the
+  same host-side post-pass (``expand_segment_quad`` below) behind the
+  same flag, with one intended divergence: the reference's
+  ``component_masks`` drops the last connected component of every image
+  (``range(1, num)`` over 1..num ids) — ours processes all of them.
 """
 
 from __future__ import annotations
@@ -63,12 +67,15 @@ class UnifiedParsingSegmenter(SegmenterBase):
     def __init__(self, cfg: Optional[UPerNetConfig] = None,
                  params: Optional[Params] = None,
                  label_data: Optional[Dict[str, List[str]]] = None,
-                 segsizes: Sequence[int] = (256,), seed: int = 0):
+                 segsizes: Sequence[int] = (256,), seed: int = 0,
+                 segdiv: str = "undivided"):
         self.cfg = cfg or UPerNetConfig()
         self.params = jax.tree.map(
             jnp.asarray,
             params if params is not None else init_upernet_params(self.cfg, seed))
         self.segsizes = tuple(segsizes)
+        assert segdiv in ("undivided", "quad")
+        self.segdiv = segdiv
         ld = label_data or default_label_data(self.cfg)
         self._cat_labels = {c: list(ld[c]) for c in CATEGORIES}
         self.scene_names = list(ld.get("scene", []))
@@ -81,6 +88,26 @@ class UnifiedParsingSegmenter(SegmenterBase):
             self._flat_offset[c] = len(self.labels) - 1
             self.labels.extend(self._cat_labels[c][1:])
             self.categories.extend([c] * (len(self._cat_labels[c]) - 1))
+
+        # segdiv='quad': reference-style per-quadrant object pseudo-labels
+        # (netdissect/segmenter.py:257-285) — each connected object
+        # component is split at its bounding-box midlines and its pixels
+        # additionally labeled '<object>-<quadrant>', giving the IoU
+        # tallies location-sensitive concepts ("sky-t", "building-l").
+        # The divided labels are APPENDED to the flat space (the reference
+        # interleaves them after the objects, renumbering materials/parts
+        # by divmult — our existing flat numbering stays stable).  The
+        # quadrant->suffix blocks follow the reference name table
+        # ['t','l','b','r'] (+1N..+4N), which matches its mask geometry —
+        # the "# right"/"# left" comments in its expand are swapped, the
+        # masks themselves keep left for +2N and right for +4N.
+        self._div_base = len(self.labels)
+        self._n_obj = len(self._cat_labels["object"]) - 1
+        if segdiv == "quad":
+            for suffix in ("t", "l", "b", "r"):
+                self.labels.extend(
+                    f"{lab}-{suffix}" for lab in self._cat_labels["object"][1:])
+                self.categories.extend(["part"] * self._n_obj)
 
         self._probs_jit = partial(
             jax.jit, static_argnames=("size",))(self._probs)
@@ -121,7 +148,8 @@ class UnifiedParsingSegmenter(SegmenterBase):
         return {k: v / len(self.segsizes) for k, v in acc.items()}
 
     def segment_batch(self, images, downsample: int = 1) -> jnp.ndarray:
-        """images [B,3,H,W] in [0,1] -> flat labels [B, n_categories, H', W']."""
+        """images [B,3,H,W] in [0,1] -> flat labels [B, C, H', W'] with
+        C = n_categories (+2 quadrant channels under ``segdiv='quad'``)."""
         probs = self.category_probabilities(jnp.asarray(images))
         maps = []
         for c in CATEGORIES:
@@ -129,12 +157,21 @@ class UnifiedParsingSegmenter(SegmenterBase):
             lab = jnp.argmax(p, axis=1)
             flat = jnp.where(lab == 0, 0, lab + self._flat_offset[c])
             maps.append(flat)
-        return jnp.stack(maps, axis=1)
+        segs = jnp.stack(maps, axis=1)
+        if self.segdiv == "quad":
+            obj_local = np.asarray(segs[:, 0]) - self._flat_offset["object"]
+            obj_local = np.where(np.asarray(segs[:, 0]) == 0, 0, obj_local)
+            div = expand_segment_quad(obj_local, self._n_obj)
+            # local quadrant pseudo-label q*N + o  ->  flat appended block
+            div = np.where(div > 0, div - self._n_obj - 1 + self._div_base, 0)
+            segs = jnp.concatenate([segs, jnp.asarray(div)], axis=1)
+        return segs
 
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
         """Differentiable per-pixel probability of one flat label
         (``SegmenterBase.class_probability`` protocol, used by ACE)."""
         self._check_classnum(classnum)
+        self._check_not_divided(classnum)
         cat = self.categories[classnum]
         local = classnum - self._flat_offset[cat]
         return self.category_probabilities(jnp.asarray(images))[cat][:, local]
@@ -145,6 +182,7 @@ class UnifiedParsingSegmenter(SegmenterBase):
         signal (reference ``segmenter.predict_single_class``).  One network
         pass: the label map derives from the same probabilities."""
         self._check_classnum(classnum)
+        self._check_not_divided(classnum)
         cat = self.categories[classnum]
         local = classnum - self._flat_offset[cat]
         probs = self.category_probabilities(jnp.asarray(images))
@@ -153,6 +191,57 @@ class UnifiedParsingSegmenter(SegmenterBase):
         lab = jnp.argmax(pc, axis=1)
         flat = jnp.where(lab == 0, 0, lab + self._flat_offset[cat])
         return p, flat == classnum
+
+
+def component_masks(seg_map: np.ndarray):
+    """Yield boolean masks of the connected same-valued regions of a 2-D
+    integer label map (background 0 excluded), 8-connected — the semantics
+    of the reference's skimage ``component_masks``
+    (netdissect/segmenter.py:472-481).  One intended divergence: the
+    reference iterates ``range(1, num)`` over skimage's 1..num component
+    ids, silently dropping the last component of every image — all
+    components are yielded here."""
+    from scipy import ndimage
+    eight = np.ones((3, 3), dtype=bool)
+    for value in np.unique(seg_map):
+        if value == 0:
+            continue
+        labeled, num = ndimage.label(seg_map == value, structure=eight)
+        for comp in range(1, num + 1):
+            yield labeled == comp
+
+
+def expand_segment_quad(obj_maps: np.ndarray, num_labels: int) -> np.ndarray:
+    """Reference quad subdivision (netdissect/segmenter.py:257-285) on a
+    batch of LOCAL object maps [B, H, W] (labels 1..num_labels, 0 = none).
+
+    Every connected component is split at its bounding-box midlines; the
+    two returned channels [B, 2, H, W] carry the component's label offset
+    by its quadrant block — channel 0: top (+1*N) / bottom (+3*N),
+    channel 1: right (+2*N) / left (+4*N) — i.e. value ``o + q*N``.
+    Pixels that received no offset (background) are zeroed, mirroring the
+    reference's too-small-component cleanup.  Host-side on purpose:
+    connected-component labeling is data-dependent sequential work the
+    reference also runs on CPU."""
+    b, h, w = obj_maps.shape
+    out = np.repeat(obj_maps[:, None].astype(np.int64), 2, axis=1)
+    for i in range(b):
+        for mask in component_masks(obj_maps[i]):
+            rows = np.flatnonzero(mask.any(axis=1))
+            cols = np.flatnonzero(mask.any(axis=0))
+            top, bottom = rows[0], rows[-1]
+            left, right = cols[0], cols[-1]
+            vmid = (top + bottom + 1) // 2
+            hmid = (left + right + 1) // 2
+            quad = np.repeat(mask[None], 4, axis=0)
+            quad[0, vmid:, :] = False   # keeps rows < vmid: top    (+1*N)
+            quad[1, :, hmid:] = False   # keeps cols < hmid: left   (+2*N)
+            quad[2, :vmid, :] = False   # keeps rows >= vmid: bottom (+3*N)
+            quad[3, :, :hmid] = False   # keeps cols >= hmid: right  (+4*N)
+            out[i, 0] += quad[0] * num_labels + quad[2] * (3 * num_labels)
+            out[i, 1] += quad[1] * (2 * num_labels) + quad[3] * (4 * num_labels)
+    out[out <= num_labels] = 0          # never-offset pixels carry no concept
+    return out
 
 
 def import_torch_upernet(encoder_state, decoder_state,
@@ -246,7 +335,7 @@ class SemanticSegmenter(SegmenterBase):
                  params=None, labels: Optional[List[str]] = None,
                  num_class: Optional[int] = None,
                  segsizes: Sequence[int] = (256,), category: str = "object",
-                 seed: int = 0):
+                 seed: int = 0, segdiv: str = "undivided"):
         from ganspace_tpu.dissection import segmodel as _sm
         if num_class is None:
             num_class = (len(labels) if labels else 150)
@@ -257,9 +346,19 @@ class SemanticSegmenter(SegmenterBase):
         self.params = jax.tree.map(jnp.asarray,
                                    params if params is not None else init)
         self.segsizes = tuple(segsizes)
+        assert segdiv in ("undivided", "quad")
+        self.segdiv = segdiv
         names = list(labels) if labels else [f"class-{i}" for i in range(num_class)]
         self.labels = ["-"] + names
         self.categories = ["-"] + [category] * num_class
+        # naive quad subdivision (reference segmenter.py:348-361): divided
+        # pseudo-labels appended per quadrant block t/l/b/r
+        self._div_base = len(self.labels)
+        self._n_base = num_class
+        if segdiv == "quad":
+            for suffix in ("t", "l", "b", "r"):
+                self.labels.extend(f"{n}-{suffix}" for n in names)
+                self.categories.extend([category] * num_class)
         self._probs_jit = partial(jax.jit, static_argnames=("size",))(self._probs)
 
     def get_label_and_category_names(self) -> Tuple[List[str], List[str]]:
@@ -284,17 +383,24 @@ class SemanticSegmenter(SegmenterBase):
         return acc / len(self.segsizes)
 
     def segment_batch(self, images, downsample: int = 1) -> jnp.ndarray:
-        """images [B,3,H,W] in [0,1] -> flat labels [B, 1, H', W']."""
+        """images [B,3,H,W] in [0,1] -> flat labels [B, 1(+2 quad), H', W']."""
         p = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
-        return (jnp.argmax(p, axis=1) + 1)[:, None]
+        segs = (jnp.argmax(p, axis=1) + 1)[:, None]
+        if self.segdiv == "quad":
+            div = expand_segment_quad(np.asarray(segs[:, 0]), self._n_base)
+            div = np.where(div > 0, div - self._n_base - 1 + self._div_base, 0)
+            segs = jnp.concatenate([segs, jnp.asarray(div)], axis=1)
+        return segs
 
     def class_probability(self, images, classnum: int) -> jnp.ndarray:
         self._check_classnum(classnum)
+        self._check_not_divided(classnum)
         return self.class_probabilities(images)[:, classnum - 1]
 
     def predict_single_class(self, images, classnum: int,
                              downsample: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
         self._check_classnum(classnum)
+        self._check_not_divided(classnum)
         probs = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
         p = probs[:, classnum - 1]
         mask = jnp.argmax(probs, axis=1) + 1 == classnum

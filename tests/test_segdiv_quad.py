@@ -1,0 +1,137 @@
+"""segdiv='quad' — reference-style quadrant subdivision
+(netdissect/segmenter.py:257-285, VERDICT r4 #7).
+
+The torch reference cannot be instantiated offline (its constructor
+downloads the CSAIL checkpoint and calls .cuda()), so parity is pinned
+two ways: (a) ``expand_segment_quad`` against a direct TORCH
+transcription of the reference's expansion loop (same bbox/midline/
+offset arithmetic, torch ops), and (b) end-to-end label-space and
+channel semantics through the segmenter wrappers.
+"""
+
+import numpy as np
+import pytest
+
+from ganspace_tpu.dissection.segmenter import (
+    SemanticSegmenter, UnifiedParsingSegmenter, component_masks,
+    expand_segment_quad)
+from ganspace_tpu.dissection.segmodel import ResNetConfig, UPerNetConfig
+
+TINY = UPerNetConfig(
+    resnet=ResNetConfig(blocks=(1, 1, 1, 1), width=16),
+    fpn_dim=32, ppm_scales=(1, 2), n_objects=5, n_parts=4, n_materials=3,
+    n_scenes=2)
+
+
+def _synthetic_map(h=24, w=24):
+    """Multi-component object map: two blobs of label 1, one of label 2."""
+    m = np.zeros((h, w), np.int64)
+    m[2:10, 3:12] = 1          # component A (label 1)
+    m[14:22, 14:23] = 1        # component B (label 1, disconnected)
+    m[4:9, 16:22] = 2          # component C (label 2)
+    return m
+
+
+def _torch_reference_expand(obj_map, num_labels):
+    """Direct torch transcription of the reference expand_segment_quad
+    body (netdissect/segmenter.py:257-285) over ALL components."""
+    torch = pytest.importorskip("torch")
+    segs = torch.from_numpy(obj_map)[None]
+    out = segs[None].repeat(1, 2, 1, 1).clone()
+    for mask_np in component_masks(obj_map):
+        mask = torch.from_numpy(mask_np)
+        top, bottom = mask.any(dim=1).nonzero()[[0, -1], 0]
+        left, right = mask.any(dim=0).nonzero()[[0, -1], 0]
+        vmid = (top + bottom + 1) // 2
+        hmid = (left + right + 1) // 2
+        quad_mask = mask[None, :, :].repeat(4, 1, 1)
+        quad_mask[0, vmid:, :] = 0
+        quad_mask[1, :, hmid:] = 0
+        quad_mask[2, :vmid, :] = 0
+        quad_mask[3, :, :hmid] = 0
+        quad_mask = quad_mask.long()
+        out[0, 0] += quad_mask[0] * num_labels
+        out[0, 1] += quad_mask[1] * (2 * num_labels)
+        out[0, 0] += quad_mask[2] * (3 * num_labels)
+        out[0, 1] += quad_mask[3] * (4 * num_labels)
+    cleanup = out <= num_labels
+    out[cleanup] = 0
+    return out[0].numpy()
+
+
+def test_expand_matches_torch_transcription():
+    m = _synthetic_map()
+    ours = expand_segment_quad(m[None], num_labels=4)[0]
+    ref = _torch_reference_expand(m, num_labels=4)
+    assert np.array_equal(ours, ref)
+
+
+def test_expand_quadrant_geometry():
+    m = np.zeros((16, 16), np.int64)
+    m[4:12, 2:14] = 3                      # one centered blob, label 3
+    div = expand_segment_quad(m[None], num_labels=4)[0]
+    n = 4
+    # vmid = (4+11+1)//2 = 8, hmid = (2+13+1)//2 = 8
+    assert div[0, 5, 5] == 3 + 1 * n       # top rows < 8
+    assert div[0, 10, 5] == 3 + 3 * n      # bottom rows >= 8
+    assert div[1, 5, 5] == 3 + 2 * n       # left cols < 8
+    assert div[1, 5, 12] == 3 + 4 * n      # right cols >= 8
+    assert div[0, 0, 0] == 0               # background carries nothing
+
+
+def test_component_masks_multivalue_and_disconnection():
+    m = _synthetic_map()
+    comps = list(component_masks(m))
+    assert len(comps) == 3                 # the reference would drop one
+    assert sum(c.sum() for c in comps) == (m > 0).sum()
+
+
+def test_unified_quad_label_space_and_channels():
+    seg = UnifiedParsingSegmenter(cfg=TINY, segsizes=(32,), segdiv="quad")
+    base = UnifiedParsingSegmenter(cfg=TINY, segsizes=(32,))
+    labels, cats = seg.get_label_and_category_names()
+    n_obj = 4
+    assert len(labels) == len(base.labels) + 4 * n_obj
+    assert labels[seg._div_base] == base.labels[1] + "-t"
+    assert labels[seg._div_base + n_obj] == base.labels[1] + "-l"
+    assert cats[seg._div_base] == "part"
+
+    imgs = np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+    segs = np.asarray(seg.segment_batch(imgs))
+    assert segs.shape[1] == 5              # 3 categories + 2 quad channels
+    base_segs = np.asarray(base.segment_batch(imgs))
+    assert np.array_equal(segs[:, :3], base_segs)
+    div = segs[:, 3:]
+    on = div > 0
+    assert on.any(), "some quadrant labels must fire"
+    assert div[on].min() >= seg._div_base
+    assert div.max() < len(labels)
+    # every divided pixel decodes to the object the base channel predicts
+    obj = segs[:, 0]
+    dec = (div - seg._div_base) % n_obj + 1
+    for ch in range(2):
+        mask = on[:, ch]
+        assert np.array_equal(dec[:, ch][mask], obj[mask])
+
+
+def test_divided_labels_refuse_class_probability():
+    seg = UnifiedParsingSegmenter(cfg=TINY, segsizes=(32,), segdiv="quad")
+    imgs = np.zeros((1, 3, 32, 32), np.float32)
+    with pytest.raises(ValueError, match="subdivided"):
+        seg.class_probability(imgs, seg._div_base + 1)
+    with pytest.raises(ValueError, match="subdivided"):
+        seg.predict_single_class(imgs, seg._div_base + 1)
+    # base labels still work
+    p, m = seg.predict_single_class(imgs, 1)
+    assert p.shape == (1, 32, 32)
+
+
+def test_semantic_segmenter_quad():
+    seg = SemanticSegmenter(arch_decoder="c1_bilinear", num_class=6,
+                            segsizes=(32,), segdiv="quad")
+    assert len(seg.labels) == 1 + 6 * 5
+    imgs = np.random.RandomState(1).rand(1, 3, 32, 32).astype(np.float32)
+    segs = np.asarray(seg.segment_batch(imgs))
+    assert segs.shape[1] == 3
+    div = segs[:, 1:]
+    assert div[div > 0].min() >= seg._div_base if (div > 0).any() else True
