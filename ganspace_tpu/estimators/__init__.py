@@ -22,16 +22,19 @@ from ganspace_tpu.estimators.spca import SPCAEstimator
 
 
 def get_estimator(name: str, n_components: int, alpha: float = 1.0,
-                  feature_sharding=None):
+                  feature_sharding=None, refine=None):
     """Name -> estimator factory (reference ``estimators.py:206-218``).
 
     ``feature_sharding`` (a NamedSharding over the feature axis) turns the
     streaming estimator's statistics into mesh-sharded state; the full-batch
-    estimators run host-side and ignore it."""
+    estimators run host-side and ignore it.  ``refine`` pins the sketch
+    tier's refine policy ("auto"/"always"/"never") per instance; None
+    reads GANSPACE_IPCA_REFINE once at construction."""
     if name == "pca":
         return PCAEstimator(n_components)
     if name == "ipca":
-        return IPCAEstimator(n_components, feature_sharding=feature_sharding)
+        return IPCAEstimator(n_components, feature_sharding=feature_sharding,
+                             refine=refine)
     if name == "fbpca":
         return FacebookPCAEstimator(n_components)
     if name == "ica":

@@ -366,8 +366,19 @@ class IPCAEstimator:
     REFINE_MIN_GAP = 0.02
 
     def __init__(self, n_components: int, whiten: bool = False,
-                 feature_sharding=None, mode: str = "auto"):
+                 feature_sharding=None, mode: str = "auto",
+                 refine: Optional[str] = None):
         self.n_components = n_components
+        # Refine policy is INSTANCE state, fixed at construction: ``refine``
+        # ("auto" / "always"/"1" / "never"/"0") wins, else the
+        # GANSPACE_IPCA_REFINE env var is read ONCE here — ambient env
+        # mutations after construction no longer change estimator behavior
+        # mid-fit (ADVICE/VERDICT r4: call-time env reads were a library
+        # footgun and made provenance the only reliable record).
+        import os
+        self.refine_policy = (refine if refine is not None
+                              else os.environ.get("GANSPACE_IPCA_REFINE",
+                                                  "auto")).strip().lower()
         self.whiten = whiten  # reference always runs whiten=False
         self.batch_support = True
         self.n_samples_seen_ = 0
@@ -495,8 +506,7 @@ class IPCAEstimator:
         conv-tap spectra decay and typically qualify; random-init plateau
         spectra do not and keep the second pass.  Records the decision in
         ``refine_skipped`` / ``refine_stats`` for provenance and bench."""
-        import os
-        mode = os.environ.get("GANSPACE_IPCA_REFINE", "auto").strip().lower()
+        mode = self.refine_policy
         if self._nystrom is None or self._refined:
             return False
         if mode in ("0", "never", "off", "false"):
@@ -524,10 +534,9 @@ class IPCAEstimator:
         storage cost, one extra synthesis sweep) should gate the sweep on
         ``should_refine()`` — the adaptive policy that skips it when the
         first-pass sketch is already converged; the moments and sklearn
-        tiers never need it.  ``GANSPACE_IPCA_REFINE=0`` forces the
-        single-pass sketch everywhere."""
-        import os
-        mode = os.environ.get("GANSPACE_IPCA_REFINE", "auto").strip().lower()
+        tiers never need it.  ``refine="never"`` (or GANSPACE_IPCA_REFINE=0
+        at construction) forces the single-pass sketch everywhere."""
+        mode = self.refine_policy
         if (self._nystrom is None or self._refined
                 or mode in ("0", "never", "off", "false")):
             return False

