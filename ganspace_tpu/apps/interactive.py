@@ -175,6 +175,21 @@ class Session:
             latent_types=[self.model.latent_space_name()] * n_comp,
             ranges=[(0, self.model.get_max_latents())] * n_comp,
         )
+        # Spectrum-derived bf16 grading from the cache's provenance
+        # sidecar, surfaced in the viewer header (VERDICT r4 #6).
+        self.component_quality_note = ""
+        if "_meta" in data.files:
+            try:
+                meta = json.loads(bytes(data["_meta"].item()).decode())
+                if meta.get("bf16_analysis_grade") is False:
+                    bad = sum(b < 0.99
+                              for b in meta.get("bf16_cos_bounds", []))
+                    self.component_quality_note = (
+                        f"preview-precision components: {bad}/{n_comp} "
+                        f"below the 0.99 bf16 cosine bound (re-run without "
+                        f"--dtype bfloat16 for analysis grade)")
+            except (ValueError, AttributeError):
+                pass
         data.close()
         self.state.component_class = class_name
         self.use_named_latents = False
@@ -535,6 +550,7 @@ input, select, button {{ margin: 2px 0; }}
 </style></head><body>
 <div id="panel">
   <h3>ganspace-tpu</h3>
+  <div style="color:#f5a97a">{quality_note}</div>
   <div>mode:
     <select id="mode"><option>latent</option><option>activation</option><option>both</option></select>
   </div>
@@ -622,7 +638,9 @@ def make_server(session: Session, host: str = "127.0.0.1", port: int = 8080):
                     n_sliders=session.n_sliders,
                     names_json=json.dumps(session.components.names[:session.n_sliders]),
                     max_lat_m1=session.model.get_max_latents(),
-                    outclass=str(session.model.outclass))
+                    outclass=str(session.model.outclass),
+                    quality_note=getattr(session, "component_quality_note",
+                                         ""))
                 self._send(200, page.encode())
             elif url.path == "/frame.jpg":
                 session._user_waiting.set()
