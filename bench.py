@@ -56,39 +56,20 @@ def main():
         cfg = Config(model="StyleGAN2", output_class="ffhq", layer="style",
                      estimator="ipca", components=80, n=n, use_w=True)
 
-        # Build + warm up every jit signature the pipeline hits OUTSIDE the
-        # timed region: XLA compilation is one-time (and, in this
-        # environment, a remote-compile round trip), so the meaningful
-        # number is steady-state throughput.
+        # Warm up every jit signature the pipeline hits OUTSIDE the timed
+        # region by running the REAL path once untimed: the W leg rides
+        # fit_stream's scanned program (r5), whose compile is disk-cached
+        # after the first-ever run and whose in-process retrace is
+        # eliminated by the estimator scan cache — one get_or_compute
+        # compiles exactly the programs the timed runs execute (the r4
+        # warm block compiled fit_partial_blocks/unit signatures the
+        # pipeline no longer uses).
         inst = get_instrumented_model(cfg, use_w=True)
         inst.model.use_w()
         t_warm = time.perf_counter()
         model = inst.model
         np.random.seed(1)
-        jax.block_until_ready(model.sample_latent(4096, seed=0))   # B batch
-        jax.block_until_ready(model.sample_latent(5000, seed=0))   # lat_stdev
-        inst.retain_layer("style")
-        model.partial_forward(model.sample_latent(1, seed=0), "style")  # probe
-        from ganspace_tpu.estimators import get_estimator
-        warm_est = get_estimator("ipca", cfg.components)
-        wblock = np.random.RandomState(0).randn(4096, 512).astype(np.float32)
-        warm_est.fit_partial(wblock)   # first-block signature
-        warm_est.fit_partial(wblock)   # streaming signature
-        group = int(os.environ.get("GANSPACE_IPCA_GROUP", 25))
-        warm_est.fit_partial_blocks(   # fused-scan signature
-            np.broadcast_to(wblock, (group, *wblock.shape)))
-        # fused-unit signatures (generation+mapping and moments at unit size)
-        unit = group * 4096
-        zunit = model.sample_latents_device(1, unit, seed=0)[0]
-        warm_est.fit_partial(zunit.reshape(unit, -1))
-        warm_est.get_components()      # final eigh signature
-        # post-fit stdev-baseline signatures (device-side projections)
-        import jax.numpy as jnp
-        from ganspace_tpu.estimators.utils import mm
-        dirs = jnp.zeros((cfg.components, 512))
-        jax.block_until_ready(jnp.std(mm(dirs, jnp.zeros((4096, 512)).T), axis=1))
-        jax.block_until_ready(jnp.std(mm(dirs, jnp.zeros((5000, 512)).T), axis=1))
-        jax.block_until_ready(warm_est._moments or warm_est._state)
+        get_or_compute(cfg, inst, force_recompute=True)
         warmup_s = time.perf_counter() - t_warm
 
         # Median-of-N timed runs: run 1 is the COLD number (fresh dispatch
