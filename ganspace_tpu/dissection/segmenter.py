@@ -386,7 +386,8 @@ class SemanticSegmenter(SegmenterBase):
         """images [B,3,H,W] in [0,1] -> flat labels [B, 1(+2 quad), H', W']."""
         p = self.class_probabilities(images)[:, :, ::downsample, ::downsample]
         segs = (jnp.argmax(p, axis=1) + 1)[:, None]
-        if self.segdiv == "quad":
+        # getattr: tolerate instances wired without __init__ (tests/pickles)
+        if getattr(self, "segdiv", "undivided") == "quad":
             div = expand_segment_quad(np.asarray(segs[:, 0]), self._n_base)
             div = np.where(div > 0, div - self._n_base - 1 + self._div_base, 0)
             segs = jnp.concatenate([segs, jnp.asarray(div)], axis=1)

@@ -242,11 +242,11 @@ def test_abort_refine_restores_reg_moments(monkeypatch):
     # a zero-block stream is a no-op, not an error
     assert IPCAEstimator(c, mode="nystrom").fit_stream(
         block_fn, 0, key, with_reg=True) is True
-    est2 = IPCAEstimator(c, mode="nystrom")
     # run only the first pass by disabling refine, then arm/abort manually
-    monkeypatch.setenv("GANSPACE_IPCA_REFINE", "0")
+    # (the policy is instance state fixed at construction — r5)
+    est2 = IPCAEstimator(c, mode="nystrom", refine="never")
     assert est2.fit_stream(block_fn, 6, key, chunk=4, with_reg=True)
-    monkeypatch.delenv("GANSPACE_IPCA_REFINE")   # re-arm for begin_refine
+    est2.refine_policy = "auto"                  # re-arm for begin_refine
     xz0, zs0, n0 = est2.reg_moments()
     assert est2.begin_refine()
     xz1, zs1, n1 = est2._reg
