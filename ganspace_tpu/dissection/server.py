@@ -444,6 +444,15 @@ class DissectionSession:
             out.append(json.loads(f.read_text()))
         return out
 
+    def apply_recipe(self, name: str) -> List[Dict]:
+        """Restore a saved recipe's interventions as the persistent set —
+        the load half of the project-state round trip."""
+        for r in self.recipes():
+            if r.get("name") == name:
+                self.set_interventions(r.get("interventions") or [])
+                return self.interventions
+        raise ValueError(f"no recipe named {name!r}")
+
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>dissect: {model}/{layer}</title><style>
@@ -636,6 +645,18 @@ def serve(session: DissectionSession, host: str = "127.0.0.1",
             elif url.path == "/api/recipes":
                 self._send(200, json.dumps(
                     {"recipes": session.recipes()}).encode(),
+                    "application/json")
+            elif url.path == "/api/recipe/apply":
+                try:
+                    with lock:
+                        ivs = session.apply_recipe(
+                            q.get("name", [""])[0])
+                except ValueError as e:
+                    self._send(400, f"bad request: {e}".encode(),
+                               "text/plain")
+                    return
+                self._send(200, json.dumps(
+                    {"ok": True, "interventions": ivs}).encode(),
                     "application/json")
             elif url.path.startswith("/image/") and session.outdir:
                 f = session.outdir / "image" / Path(url.path).name

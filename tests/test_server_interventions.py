@@ -135,6 +135,18 @@ def test_gantester_edit_roundtrip(tmp_path):
         assert recipes[0]["interventions"] == iv
         assert recipes[0]["note"] == "unit 0 -> 5.0"
 
+        # 5b. restore the recipe into a cleared session (the load half)
+        post("/api/interventions", {"interventions": []})
+        r = json.loads(urllib.request.urlopen(
+            f"{base}/api/recipe/apply?name=ablate_u0").read())
+        assert r["interventions"] == iv
+        got = json.loads(urllib.request.urlopen(
+            f"{base}/api/interventions").read())
+        assert got["interventions"] == iv
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/api/recipe/apply?name=missing")
+        assert exc.value.code == 400
+
         # 6. bad recipe names / malformed interventions -> 400
         for bad in ({"name": "../evil", "interventions": iv},
                     {"name": "x", "interventions": 3}):
