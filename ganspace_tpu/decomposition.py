@@ -1257,8 +1257,11 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         spec_ev = getattr(transformer, "component_spectrum", lambda: None)()
         if spec_ev is not None:
             bounds = bf16_component_bounds(spec_ev, config.components)
+            # full precision: rounding to 4 decimals could turn a 0.98996
+            # bound into a stored 0.99, contradicting the grade that
+            # consumers (viewer/visualize) recompute from the list
             bf16_meta = {
-                "bf16_cos_bounds": [round(float(b), 4) for b in bounds],
+                "bf16_cos_bounds": [float(b) for b in bounds],
                 "bf16_analysis_grade": bool((bounds >= 0.99).all()),
             }
     # Provenance sidecar key (reference keys stay untouched): the filename

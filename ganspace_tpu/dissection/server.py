@@ -83,14 +83,18 @@ def mask_to_numpy(mask_record: Dict) -> np.ndarray:
         [0] * len(result.shape) + list(result.shape))
     start, end = bitbounds[:len(result.shape)], bitbounds[len(result.shape):]
     if bitnumpy is not None:
-        if bitnumpy.ndim == 3 and bitnumpy.shape[2] == 4:
+        if bitnumpy.ndim == 2:          # grayscale PNG: nonwhite = masked
+            result[start[0]:end[0], start[1]:end[1]] = bitnumpy < 255
+        elif bitnumpy.shape[2] == 4:
             result[start[0]:end[0], start[1]:end[1]] = bitnumpy[:, :, 3] > 0
         else:
             result[start[0]:end[0], start[1]:end[1]] = bitnumpy[:, :, 0] < 255
         return result
     bits = np.frombuffer(bitstring.encode(), np.uint8) != ord("0")
     h, w = end[0] - start[0], end[1] - start[1]
-    assert bits.size == h * w, "bitstring length must match bitbounds"
+    if bits.size != h * w:              # ValueError -> HTTP 400, never a
+        raise ValueError(               # dropped connection (and survives -O)
+            f"bitstring length {bits.size} != bitbounds area {h}x{w}")
     result[start[0]:end[0], start[1]:end[1]] = \
         bits.reshape(h, w).astype(np.float32)
     return result
@@ -116,6 +120,10 @@ def decode_intervention(intervention: Optional[Dict],
             continue
         if layer not in layer_shapes:
             raise ValueError(f"unknown layer {layer!r}")
+        n_ch = layer_shapes[layer][1]
+        if not 0 <= unit < n_ch:        # negative units would silently wrap
+            raise ValueError(
+                f"unit {unit} out of range [0, {n_ch}) for layer {layer!r}")
         if layer not in channels:
             channels[layer] = np.zeros((2, *layer_shapes[layer][1:]),
                                        np.float32)
@@ -379,6 +387,12 @@ class DissectionSession:
         if ids is not None:
             assert zs is None
             ids = [int(i) for i in ids]
+            for i in ids:
+                # negative ids would silently index from the end; huge ids
+                # would drive standard_z into an unbounded allocation
+                if not 0 <= i < 10_000:
+                    raise ValueError(
+                        f"standard-z id {i} out of range [0, 10000)")
             zs = self.standard_z(max(ids) + 1)[np.asarray(ids)]
         zs = np.asarray(zs, np.float32)
         if interventions is None:

@@ -114,7 +114,9 @@ def run_stage(stage: str) -> None:
               f"inf={np.isinf(qn).sum()} min|.|={tiny.min():.3e} "
               f"denormal={(tiny < 1.1754944e-38).sum()}", flush=True)
         if stage == "refine_scan":
-            os.environ["GANSPACE_IPCA_REFINE"] = "always"
+            # policy is instance state pinned at construction (r5): re-arm
+            # the already-fitted estimator directly
+            est.refine_policy = "always"
             assert est.begin_refine()
             est2_t0 = time.perf_counter()
             assert est.fit_stream(block_fn, n_blocks, key, consts=consts)

@@ -43,37 +43,30 @@ def main() -> None:
     inst.model.use_w()
     model = inst.model
 
-    # Instrument the fused unit stream: wrap the device sampler and the
-    # estimator's fit_partial to stamp dispatch-side boundaries, and sync
-    # the moments state after the loop to split "host dispatch time" from
-    # "device drain".
+    # Instrument the scanned W stream (r5 path): wrap fit_stream to split
+    # host dispatch time from device drain, and the bundle finish to stamp
+    # its program+readback cost.  (The r4 hooks — sample_latents_device /
+    # fit_partial / get_components — never fire on this path anymore.)
     from ganspace_tpu.estimators.ipca import IPCAEstimator
 
-    orig_sample = type(model).sample_latents_device
-    orig_fitp = IPCAEstimator.fit_partial
-    orig_getc = IPCAEstimator.get_components
+    orig_stream = IPCAEstimator.fit_stream
+    orig_bundle = IPCAEstimator.finish_latent_bundle
 
-    def sample_latents_device(self, n_batches, batch_size, seed, sharding=None):
-        stamp(f"gen_dispatch:enter[{n_batches}x{batch_size}]")
-        out = orig_sample(self, n_batches, batch_size, seed, sharding)
-        stamp("gen_dispatch:done")
-        return out
-
-    def fit_partial(self, x):
-        ok = orig_fitp(self, x)
-        stamp(f"fit_partial:dispatched[{x.shape[0]}]")
+    def fit_stream(self, block_fn, n_blocks, key, **kw):
+        stamp(f"fit_stream:enter[{n_blocks}blk]")
+        ok = orig_stream(self, block_fn, n_blocks, key, **kw)
+        stamp("fit_stream:dispatched")
+        jax.block_until_ready(self._moments or self._nystrom or self._state)
+        stamp("fit:device_drained")
         return ok
 
-    def get_components(self, device=False):
-        jax.block_until_ready(self._moments or self._state)
-        stamp("fit:device_drained")
-        out = orig_getc(self, device=device)
-        stamp("get_components:done")
+    def finish_latent_bundle(self, rand_moments=None):
+        out = orig_bundle(self, rand_moments=rand_moments)
+        stamp("finish_bundle:done")
         return out
 
-    type(model).sample_latents_device = sample_latents_device
-    IPCAEstimator.fit_partial = fit_partial
-    IPCAEstimator.get_components = get_components
+    IPCAEstimator.fit_stream = fit_stream
+    IPCAEstimator.finish_latent_bundle = finish_latent_bundle
 
     with tempfile.TemporaryDirectory() as tmp:
         os.environ["GANSPACE_OUTPUT_DIR"] = tmp
