@@ -97,15 +97,16 @@ def main():
     if os.environ.get("GANSPACE_BENCH_SYNTH", "1") == "1":
         # batch 8 = legacy fields (round-over-round comparable); batch 32
         # amortizes the relay's ~30 ms dispatch round trip per call; bf16
-        # batch 64 is the measured HBM sweet spot at 1024px (f32 b64 fails
-        # to compile: activations exceed HBM; bf16 b128 adds only ~7% over
-        # b64 for 2x the latency).  img_s_1024_best = peak steady
+        # batch 96 is the measured throughput peak at 1024px (r5 sweep:
+        # b64 337, b96 369, b128 306 img/s — f32 b64 fails to compile,
+        # activations exceed HBM).  img_s_1024_best = peak steady
         # throughput across legs, the headline driver number.
         img_s = {"img_s_1024_f32": _bench_synthesis("highest"),
                  "img_s_1024_bf16": _bench_synthesis("default"),
                  "img_s_1024_f32_b32": _bench_synthesis("highest", batch=32),
                  "img_s_1024_bf16_b32": _bench_synthesis("default", batch=32),
-                 "img_s_1024_bf16_b64": _bench_synthesis("default", batch=64)}
+                 "img_s_1024_bf16_b64": _bench_synthesis("default", batch=64),
+                 "img_s_1024_bf16_b96": _bench_synthesis("default", batch=96)}
         img_s["img_s_1024_best"] = max(img_s.values())
 
     # Driver metric #3: PC cosine similarity vs the reference's estimator
