@@ -184,8 +184,12 @@ def _bench_convtap(n_chips: int) -> dict:
             # Adaptive-refine decision on this (random-init, flat-spectrum)
             # model — expected False: the policy keeps the load-bearing
             # second sweep here and skips it only on decaying spectra
-            # (see the convtap_decay_* leg).
+            # (see the convtap_decay_* leg).  bf16_pass1: whether the run
+            # streamed the bf16 first pass (sentinel-driven, kicks in from
+            # the second run of the workload; the estimate stays f32-grade
+            # via the mandatory f32 refine).
             refine_skipped = meta.get("refine_skipped")
+            bf16_pass1 = meta.get("bf16_pass1")
 
             # bf16-datapath variant (--dtype bfloat16): synthesis sweeps on
             # the MXU's native bf16, estimator statistics still accumulate
@@ -249,6 +253,7 @@ def _bench_convtap(n_chips: int) -> dict:
             "convtap_steady_s": round(steady_s, 2),
             **spread,
             "convtap_refine_skipped": refine_skipped,
+            "convtap_bf16_pass1": bf16_pass1,
             "convtap_D": d_dim, "convtap_n": n, **bf16, **decay}
 
 

@@ -78,25 +78,38 @@ def _fused_acts_registry() -> Optional[str]:
     return os.path.join(cache_dir, "ganspace_fused_acts.json")
 
 
+def _fused_acts_info(key: str) -> dict:
+    """Recorded facts about a fused-stream workload: {} when unseen,
+    else at least {"compiled": True}, plus "policy_refines" (bool/None) —
+    whether the adaptive policy kept the refine sweep the last time this
+    exact workload ran (the signal behind the bf16-first-pass choice).
+    Legacy True entries (pre-r5) decode as {"compiled": True}."""
+    import json
+    path = _fused_acts_registry()
+    if path is None or not os.path.isfile(path):
+        return {}
+    try:
+        with open(path) as f:
+            v = json.load(f).get(key)
+    except (OSError, ValueError):
+        return {}
+    if v is True:
+        return {"compiled": True}
+    return v if isinstance(v, dict) else {}
+
+
 def _fused_acts_cached(key: str) -> bool:
     """True when THIS workload's fused scan program has compiled to
     completion on this machine before: re-tracing it is then a disk hit in
     the persistent compile cache, so the per-block dispatch saving is pure
     profit.  Keyed by model/layer/shape/estimator — a cached scan for a
     different workload says nothing about this one's compile cost."""
-    import json
-    path = _fused_acts_registry()
-    if path is None or not os.path.isfile(path):
-        return False
-    try:
-        with open(path) as f:
-            return key in json.load(f)
-    except (OSError, ValueError):
-        return False
+    return bool(_fused_acts_info(key))
 
 
-def _record_fused_acts(key: str) -> None:
-    """Mark a fused-stream workload as compiled (see _fused_acts_cached)."""
+def _record_fused_acts(key: str, info: Optional[dict] = None) -> None:
+    """Mark a fused-stream workload as compiled, merging any extra facts
+    (see _fused_acts_info)."""
     import json
     path = _fused_acts_registry()
     if path is None:
@@ -106,7 +119,12 @@ def _record_fused_acts(key: str) -> None:
         if os.path.isfile(path):
             with open(path) as f:
                 entries = json.load(f)
-        entries[key] = True
+        prev = entries.get(key)
+        merged = {"compiled": True}
+        if isinstance(prev, dict):
+            merged.update(prev)
+        merged.update(info or {})
+        entries[key] = merged
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -832,6 +850,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
     canceled = False
     gi = 0
+    bf16_pass1 = False   # set by the fused_acts branch; lands in _meta
     # Fuse up to GROUP streaming blocks into one lax.scan dispatch
     # (bit-identical update order; see IPCAEstimator.fit_partial_blocks).
     # Dispatch latency — not FLOPs — dominates the tiny per-block SVD, so
@@ -925,21 +944,26 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         # the separate sweep (reference-style fresh SEED_LINREG samples).
         want_reg = os.environ.get("GANSPACE_FUSED_LINREG", "1") == "1"
 
-        def block_fn(pack, k):
-            lpk, apk = pack
-            # primary-space latents drawn in-trace by the model (gaussian +
-            # mapping for W models, truncnorm for BigGAN), weights as operands
-            lat = lat_fn(lpk, k, batch)
-            if batch_sh is not None:
-                lat = _jax.lax.with_sharding_constraint(lat, batch_sh)
-            a = acts_pure(apk, lat)
-            if feat_sh is not None:
-                # batch-sharded synthesis -> feature-sharded estimator
-                # (all-to-all over ICI, inside the same compiled program)
-                a = _jax.lax.with_sharding_constraint(a, feat_sh)
-            if want_reg:
-                return a, lat.reshape(lat.shape[0], -1)
-            return a
+        def make_stream_fn(acts_fn):
+            def _fn(pack, k):
+                lpk, apk = pack
+                # primary-space latents drawn in-trace by the model
+                # (gaussian + mapping for W models, truncnorm for BigGAN),
+                # weights as operands
+                lat = lat_fn(lpk, k, batch)
+                if batch_sh is not None:
+                    lat = _jax.lax.with_sharding_constraint(lat, batch_sh)
+                a = acts_fn(apk, lat)
+                if feat_sh is not None:
+                    # batch-sharded synthesis -> feature-sharded estimator
+                    # (all-to-all over ICI, inside the same compiled program)
+                    a = _jax.lax.with_sharding_constraint(a, feat_sh)
+                if want_reg:
+                    return a, lat.reshape(lat.shape[0], -1)
+                return a
+            return _fn
+
+        block_fn = make_stream_fn(acts_pure)
 
         n_stream_blocks = -(-n_total // batch)
         key0 = _jax.random.PRNGKey(seed0)
@@ -961,12 +985,47 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             f"mesh{sorted(mesh.shape.items()) if mesh is not None else None}",
             f"tr{getattr(model, 'truncation', None)}",
             f"s2d{getattr(model, '_s2d', None)}"])
+        # Reduced-precision first pass (r5): when a PRIOR run of this exact
+        # workload recorded that the adaptive policy keeps the refine sweep
+        # (flat/random-init spectrum), pass 1 streams bf16-synthesized
+        # activations to find the sketch basis ~3x cheaper and the
+        # MANDATORY f32 refine pass determines the estimate — measured min
+        # per-component cosine 0.99998 vs the all-f32 two-pass at
+        # D=131072 (the power iteration on exact data washes out the
+        # basis's rounding; docs/PERFORMANCE.md).  Skip-eligible workloads
+        # (decaying spectra) keep the faster f32 single pass, and the
+        # first-ever run is all-f32 (safe).  GANSPACE_BF16_PASS1=0 opts
+        # out; an explicit never-refine policy also disables it (the f32
+        # refine pass is load-bearing here).
+        bf16_pass1 = (
+            os.environ.get("GANSPACE_BF16_PASS1", "1") == "1"
+            and (getattr(config, "dtype", None) or "float32") == "float32"
+            and getattr(transformer, "_use_nystrom",
+                        lambda d: False)(sample_dims)
+            and getattr(transformer, "refine_policy", "auto")
+            not in ("0", "never", "off", "false")
+            and _fused_acts_info(fused_key).get("policy_refines") is True)
+        refine_stream = None
+        if bf16_pass1:
+            from ganspace_tpu.ops.precision import synth_dtype
+            with synth_dtype("bfloat16"):
+                acts_bf, acts_bf_pack = model.pure_acts_fn_p(layer_key)
+            pass1_fn = make_stream_fn(acts_bf)
+            pass1_pack = (lat_pack, acts_bf_pack)
+            pass1_token = acts_token + "|bf16pass1"
+            refine_stream = (block_fn, stream_pack, acts_token)
+            print("bf16 first pass (subspace discovery); f32 refine pass "
+                  "determines the estimate", flush=True)
+        else:
+            pass1_fn, pass1_pack, pass1_token = (block_fn, stream_pack,
+                                                 acts_token)
         try:
-            if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
-                                          consts=stream_pack,
+            if not transformer.fit_stream(pass1_fn, n_stream_blocks, key0,
+                                          consts=pass1_pack,
                                           with_reg=want_reg,
                                           rand_dirs=rdirs_dev,
-                                          cache_token=acts_token):
+                                          cache_token=pass1_token,
+                                          refine_stream=refine_stream):
                 raise RuntimeError(
                     "fused activation stream unavailable for this estimator")
             x_block = None
@@ -980,9 +1039,16 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                 if want_reg:
                     x_block = x_block[0]
             # The scan program is now in the persistent compile cache:
-            # future runs of this exact workload may auto-enable the
-            # fused path (GANSPACE_FUSED_ACTS=auto).
-            _record_fused_acts(fused_key)
+            # future runs of this exact workload may auto-enable the fused
+            # path (GANSPACE_FUSED_ACTS=auto).  Also record the adaptive
+            # policy's decision so the NEXT run can pick its pass-1
+            # precision (bf16_pass1 above): policy_refines=True means the
+            # refine sweep is load-bearing here and a cheap bf16 first
+            # pass pays for itself.
+            pws = getattr(transformer, "policy_would_skip", None)
+            _record_fused_acts(
+                fused_key,
+                {} if pws is None else {"policy_refines": not pws})
         except KeyboardInterrupt:
             # fit_stream refines internally: if the interrupt landed in its
             # second pass, fall back to the completed first-pass sketch.
@@ -1278,6 +1344,10 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         # True = the calibrated policy skipped the second data sweep.
         "refine_skipped": getattr(transformer, "refine_skipped", None),
         "refine_stats": getattr(transformer, "refine_stats", None),
+        # True when pass 1 streamed bf16-synthesized activations and the
+        # (mandatory) f32 refine pass determined the estimate — still
+        # f32-grade components (min cos 0.99998 vs all-f32 two-pass).
+        "bf16_pass1": bf16_pass1,
         **bf16_meta,
     })
     # Atomic write (temp + rename): an interrupt mid-savez must never leave

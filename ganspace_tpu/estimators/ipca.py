@@ -394,6 +394,10 @@ class IPCAEstimator:
         self.refine_skipped = None
         #: Convergence statistics the auto decision was made from.
         self.refine_stats = None
+        #: What the AUTO policy decided/would decide (True = skip-eligible),
+        #: independent of whether a refine actually ran — the signal callers
+        #: persist to choose next run's pass-1 precision.  None = undecided.
+        self.policy_would_skip = None
         # Regression cross-moments piggybacked on the fit sweeps
         # (fit_stream with_reg=True): (sum x z^T [D, zdim], sum z [zdim], n).
         self._reg = None
@@ -521,10 +525,11 @@ class IPCAEstimator:
         skip = (stats["sketch_tail_frac"] <= self.REFINE_TAIL_FRAC
                 and stats["min_rel_gap_topc"] >= self.REFINE_MIN_GAP)
         self.refine_skipped = bool(skip)
+        self.policy_would_skip = bool(skip)
         self.refine_stats = stats
         return not skip
 
-    def begin_refine(self) -> bool:
+    def begin_refine(self, force: bool = False) -> bool:
         """Arm the sketch tier's second data pass (power iteration).
 
         Returns True when re-streaming the SAME activation stream through
@@ -535,10 +540,13 @@ class IPCAEstimator:
         ``should_refine()`` — the adaptive policy that skips it when the
         first-pass sketch is already converged; the moments and sklearn
         tiers never need it.  ``refine="never"`` (or GANSPACE_IPCA_REFINE=0
-        at construction) forces the single-pass sketch everywhere."""
+        at construction) forces the single-pass sketch everywhere —
+        except under ``force=True`` (the mandatory full-precision pass of
+        the reduced-precision-first-pass contract, see fit_stream)."""
         mode = self.refine_policy
-        if (self._nystrom is None or self._refined
-                or mode in ("0", "never", "off", "false")):
+        if self._nystrom is None or self._refined:
+            return False
+        if not force and mode in ("0", "never", "off", "false"):
             return False
         if self.refine_skipped is None:
             self.refine_skipped = False   # direct callers bypass the policy
@@ -682,9 +690,64 @@ class IPCAEstimator:
     #: token -> eval_shape result of the stream probe (same contract).
     _probe_cache: dict = {}
 
+    def _build_scan(self, block_fn, tier, with_reg, want_rand, chunk,
+                    nb, d, cache_token):
+        """(scan_chunk, block_fn) for one stream program — cache-reused by
+        token (see fit_stream's cache_token contract)."""
+        tok = (None if cache_token is None else
+               (cache_token, tier, with_reg, want_rand, chunk,
+                nb, d, self.n_components))
+        cached = self._scan_cache.get(tok) if tok is not None else None
+        if cached is not None:
+            return cached
+
+        @partial(jax.jit, static_argnames=("k",))
+        def scan_chunk(state, reg, rand, rn0, omega, rdirs, i0, key, consts,
+                       *, k):
+            def body(carry, i):
+                st, *acc = carry
+                out = block_fn(consts, jax.random.fold_in(key, i0 + i))
+                x, z = out if with_reg else (out, None)
+                new = (_moments_update(st, x) if tier == "moments"
+                       else _nystrom_update(st, x, omega))
+                acc_out = []
+                if with_reg:
+                    rxz, rzs = acc[0]
+                    acc_out.append((rxz + mm(x.T, z),
+                                    rzs + jnp.sum(z, axis=0)))
+                if want_rand:
+                    # Chan parallel combine per block: centered accumulation
+                    # (never the raw-moment E[p^2]-E[p]^2 cancellation).
+                    pm, pm2 = acc[-1]
+                    p = mm(x, rdirs.T)                      # [nb, c]
+                    bm = jnp.mean(p, axis=0)
+                    bm2 = jnp.sum(jnp.square(p - bm), axis=0)
+                    nb_f = jnp.float32(p.shape[0])
+                    # samples already combined = rn0 (before this chunk)
+                    # + i full blocks within it (i is the LOCAL scan index)
+                    cnt = rn0 + i.astype(jnp.float32) * nb_f
+                    newc = cnt + nb_f
+                    delta = bm - pm
+                    acc_out.append((pm + delta * (nb_f / newc),
+                                    pm2 + bm2 + jnp.square(delta)
+                                    * (cnt * nb_f / newc)))
+                return (new, *acc_out), None
+            init = ((state,) + ((reg,) if with_reg else ())
+                    + ((rand,) if want_rand else ()))
+            out, _ = jax.lax.scan(body, init, jnp.arange(k))
+            state = out[0]
+            reg = out[1] if with_reg else reg
+            rand = out[-1] if want_rand else rand
+            return state, reg, rand
+
+        if tok is not None:
+            self._scan_cache[tok] = (scan_chunk, block_fn)
+        return scan_chunk, block_fn
+
     def fit_stream(self, block_fn, n_blocks: int, key, *, chunk: int = 16,
                    consts=None, with_reg: bool = False,
-                   rand_dirs=None, cache_token=None) -> bool:
+                   rand_dirs=None, cache_token=None,
+                   refine_stream=None) -> bool:
         """Fused fit over a key-derived block stream.
 
         ``block_fn(key) -> [nb, D]`` must be pure/traceable (generation +
@@ -726,6 +789,18 @@ class IPCAEstimator:
         token uniquely determines the block_fn's STRUCTURE (weights ride
         in ``consts`` as operands and may differ; mesh layout, shapes,
         dtypes, and all flags must be part of the token).
+
+        ``refine_stream``: ``(block_fn2, consts2, cache_token2)`` — a
+        DIFFERENT program for the sketch tier's second pass, which then
+        runs UNCONDITIONALLY (the adaptive skip is bypassed; its decision
+        is still computed and recorded in ``policy_would_skip`` /
+        ``refine_stats``).  This is the reduced-precision-first-pass
+        contract: pass 1 may stream bf16-synthesized activations to find
+        the subspace cheaply, and the mandatory full-precision refine pass
+        determines the final estimate — measured min per-component cosine
+        0.99998 vs an all-f32 two-pass at D=131072 (the power iteration on
+        exact data washes out the sketch basis's rounding).  Both block
+        fns must derive the SAME sample stream from the key.
         """
         if n_blocks <= 0:
             return True
@@ -775,66 +850,28 @@ class IPCAEstimator:
         # program can be reused across fits via the class-level scan cache;
         # the closure captures only token-determined structure (block_fn,
         # tier, flags).
-        tok = (None if cache_token is None else
-               (cache_token, tier, with_reg, want_rand, chunk,
-                nb, d, self.n_components))
-        cached = self._scan_cache.get(tok) if tok is not None else None
-        if cached is not None:
-            scan_chunk, block_fn = cached
-            return self._run_stream(scan_chunk, n_blocks, nb, key, chunk,
-                                    consts, with_reg, want_rand, rand_dirs)
-
-        @partial(jax.jit, static_argnames=("k",))
-        def scan_chunk(state, reg, rand, rn0, omega, rdirs, i0, key, consts,
-                       *, k):
-            def body(carry, i):
-                st, *acc = carry
-                out = block_fn(consts, jax.random.fold_in(key, i0 + i))
-                x, z = out if with_reg else (out, None)
-                new = (_moments_update(st, x) if tier == "moments"
-                       else _nystrom_update(st, x, omega))
-                acc_out = []
-                if with_reg:
-                    rxz, rzs = acc[0]
-                    acc_out.append((rxz + mm(x.T, z),
-                                    rzs + jnp.sum(z, axis=0)))
-                if want_rand:
-                    # Chan parallel combine per block: centered accumulation
-                    # (never the raw-moment E[p^2]-E[p]^2 cancellation).
-                    pm, pm2 = acc[-1]
-                    p = mm(x, rdirs.T)                      # [nb, c]
-                    bm = jnp.mean(p, axis=0)
-                    bm2 = jnp.sum(jnp.square(p - bm), axis=0)
-                    nb_f = jnp.float32(p.shape[0])
-                    # samples already combined = rn0 (before this chunk)
-                    # + i full blocks within it (i is the LOCAL scan index)
-                    cnt = rn0 + i.astype(jnp.float32) * nb_f
-                    newc = cnt + nb_f
-                    delta = bm - pm
-                    acc_out.append((pm + delta * (nb_f / newc),
-                                    pm2 + bm2 + jnp.square(delta)
-                                    * (cnt * nb_f / newc)))
-                return (new, *acc_out), None
-            init = ((state,) + ((reg,) if with_reg else ())
-                    + ((rand,) if want_rand else ()))
-            out, _ = jax.lax.scan(body, init, jnp.arange(k))
-            state = out[0]
-            reg = out[1] if with_reg else reg
-            rand = out[-1] if want_rand else rand
-            return state, reg, rand
-
-        if tok is not None:
-            self._scan_cache[tok] = (scan_chunk, block_fn)
+        scan_chunk, block_fn = self._build_scan(
+            block_fn, tier, with_reg, want_rand, chunk, nb, d, cache_token)
+        refine = None
+        if refine_stream is not None and tier == "nystrom":
+            bf2, consts2, tok2 = refine_stream
+            if consts2 is None:
+                consts2, bf2 = (), (lambda _c, k, _fn=bf2: _fn(k))
+            refine = (self._build_scan(bf2, tier, with_reg, want_rand,
+                                       chunk, nb, d, tok2)[0], consts2)
         return self._run_stream(scan_chunk, n_blocks, nb, key, chunk,
-                                consts, with_reg, want_rand, rand_dirs)
+                                consts, with_reg, want_rand, rand_dirs,
+                                refine=refine)
 
     def _run_stream(self, scan_chunk, n_blocks, nb, key, chunk,
-                    consts, with_reg, want_rand, rand_dirs) -> bool:
+                    consts, with_reg, want_rand, rand_dirs,
+                    refine=None) -> bool:
         """Drive a (possibly cache-reused) scanned stream program: the main
-        pass, then — sketch tier only — the adaptive refine pass."""
+        pass, then — sketch tier only — the adaptive refine pass (or the
+        MANDATORY refine program when ``refine=(scan2, consts2)``)."""
         tier = "moments" if self._moments is not None else "nystrom"
 
-        def run_pass() -> None:
+        def run_pass(scan, cs) -> None:
             # Full chunks share one scan program; the tail gets its own
             # static length (one extra compile, disk-cached) — no block is
             # ever synthesized eagerly.
@@ -846,13 +883,13 @@ class IPCAEstimator:
                 rn0 = jnp.float32(self._rand[2]) if want_rand else 0
                 rdirs = rand_dirs if want_rand else 0
                 if tier == "moments":
-                    self._moments, reg_out, rand_out = scan_chunk(
+                    self._moments, reg_out, rand_out = scan(
                         self._moments, reg_in, rand_in, rn0, 0, rdirs,
-                        jnp.int32(i), key, consts, k=k)
+                        jnp.int32(i), key, cs, k=k)
                 else:
-                    self._nystrom, reg_out, rand_out = scan_chunk(
+                    self._nystrom, reg_out, rand_out = scan(
                         self._nystrom, reg_in, rand_in, rn0, self._omega,
-                        rdirs, jnp.int32(i), key, consts, k=k)
+                        rdirs, jnp.int32(i), key, cs, k=k)
                 if with_reg:
                     self._reg = (*reg_out, self._reg[2] + k * nb)
                 if want_rand:
@@ -860,15 +897,31 @@ class IPCAEstimator:
                 self.n_samples_seen_ += k * nb
                 i += k
 
-        run_pass()
+        run_pass(scan_chunk, consts)
+        if self._nystrom is None:
+            return True
+        if refine is not None:
+            # Reduced-precision-first-pass contract: the full-precision
+            # refine pass is LOAD-BEARING (it determines the estimate), so
+            # the adaptive skip is bypassed — but its decision is still
+            # computed and recorded for provenance/the caller's sentinel.
+            stats = self.sketch_convergence()
+            self.refine_stats = stats
+            self.policy_would_skip = bool(
+                stats is not None
+                and stats["sketch_tail_frac"] <= self.REFINE_TAIL_FRAC
+                and stats["min_rel_gap_topc"] >= self.REFINE_MIN_GAP)
+            if self.begin_refine(force=True):
+                self.refine_skipped = False
+                run_pass(*refine)
+            return True
         # Sketch tier: the key-derived stream is regenerable, so a second
         # sweep buys a power iteration on the scatter — but only when the
         # adaptive policy says the first-pass sketch isn't already resolved
         # (should_refine; skipping saves the whole second synthesis sweep,
         # ~1.4x end-to-end on decaying-spectrum conv taps).
-        if (self._nystrom is not None and self.should_refine()
-                and self.begin_refine()):
-            run_pass()
+        if self.should_refine() and self.begin_refine():
+            run_pass(scan_chunk, consts)
         return True
 
     def reg_moments(self):
