@@ -51,10 +51,10 @@ def main() -> None:
         stamp("fit_stream:enter")
         orig_begin = self.begin_refine
 
-        def begin_refine():
+        def begin_refine(*a, **kw):
             jax.block_until_ready(self._nystrom.y)
             stamp("pass1:device_done")
-            r = orig_begin()
+            r = orig_begin(*a, **kw)
             stamp("begin_refine:done")
             return r
 
