@@ -1056,6 +1056,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
             dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
             print(f'Saving current state to "{dump_name.name}" before exiting')
+            if bf16_pass1 and not getattr(transformer, "_refined", False):
+                # the f32 refine pass was the load-bearing one: an abort
+                # that fell back to the bf16 first-pass sketch leaves a
+                # PREVIEW-grade partial save
+                print("WARNING: interrupted before the f32 refine pass "
+                      "completed — the partial save derives from the bf16 "
+                      "first pass (preview grade; _meta bf16_pass1 records "
+                      "this)", file=sys.stderr)
             canceled = True
             x_block = None
 
