@@ -221,6 +221,57 @@ def test_biggan_fullres_512_parity():
     assert err < 1e-3, f"512px image rel err {err}"
 
 
+def test_stylegan2_decomposition_parity_cross_stack():
+    """North star on the FLAGSHIP family: the same latents stream through
+    the torch mirror and our StyleGAN2 synthesis into the SAME estimator
+    arithmetic (sklearn-mirror IPCA tier), and the components must
+    coincide.  Complements the SG1/ProGAN cross-stack tests in
+    test_torch_parity.py — SG2's reference torch source is unvendored, so
+    the independent mirror (torch_sg2_mirror.py) is the other stack."""
+    from torch_sg2_mirror import synthesize_t
+
+    from ganspace_tpu.estimators import IPCAEstimator
+    from ganspace_tpu.models.base import InstrumentedModel
+    from ganspace_tpu.models.stylegan2 import (
+        SG2Config, StyleGAN2, init_params)
+
+    cfg = SG2Config(resolution=64,
+                    channels=((4, 64), (8, 64), (16, 64), (32, 32),
+                              (64, 16)))
+    params = init_params(cfg, seed=5)
+    ours = StyleGAN2(class_name="ffhq", cfg=cfg, params=params)
+    mirror_noise = [np.asarray(nb) for nb in ours.consts["noise"]]
+
+    tap = "convs.2"                    # 16x16 x 64ch -> D = 16384
+    n, batch, c = 1024, 256, 6
+    # Anisotropic z shapes the leading directions (see the SG1 test); the
+    # mapping net's pixel norm removes scale but not direction structure.
+    zs = (np.random.RandomState(19).randn(n, 512)
+          * np.linspace(2.0, 0.2, 512)).astype(np.float32)
+
+    est_t = IPCAEstimator(c, mode="sklearn")   # torch-mirror activations
+    est_o = IPCAEstimator(c, mode="sklearn")   # our stack
+    inst = InstrumentedModel(ours)
+    inst.retain_layer(tap)
+    for i in range(0, n, batch):
+        zb = zs[i:i + batch]
+        _, taps = synthesize_t(params, mirror_noise, torch.from_numpy(zb),
+                               log_size=cfg.log_size, capture=(tap,))
+        est_t.fit_partial(taps[tap].numpy().reshape(batch, -1))
+        ours.partial_forward(zb, tap)
+        est_o.fit_partial(
+            np.asarray(inst.retained_features()[tap]).reshape(batch, -1))
+
+    comp_t, stdev_t, vr_t = est_t.get_components()
+    comp_o, stdev_o, vr_o = est_o.get_components()
+    cos = np.abs(np.sum(comp_t * comp_o, -1))
+    # North star (BASELINE.md): component cosine > 0.99 vs the reference
+    # stack, on the flagship model family.
+    assert cos.min() > 0.99, f"per-comp |cos| {cos}"
+    assert np.allclose(stdev_t, stdev_o, rtol=1e-3)
+    assert np.allclose(vr_t, vr_o, rtol=1e-3)
+
+
 def test_progan_fullres_256_parity():
     """GANDissect-format ProGAN at 256px (reference netdissect/proggan.py):
     one seed, batch 1, image max rel err < 1e-3."""

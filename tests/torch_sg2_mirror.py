@@ -122,22 +122,33 @@ def to_rgb_t(params, name, x, w_lat, skip, blur_k):
 
 
 @torch.no_grad()
-def synthesize_t(params, noise_buffers, z, log_size, n_mlp=8):
+def synthesize_t(params, noise_buffers, z, log_size, n_mlp=8, capture=()):
     """Full rosinality forward from Z, single broadcast style; returns the
-    raw [-1, 1]-scale image [B, 3, R, R]."""
+    raw [-1, 1]-scale image [B, 3, R, R] — or ``(img, taps)`` when
+    ``capture`` names styled-conv outputs ('conv1', 'convs.i': the
+    post-activate maps, matching ganspace_tpu's tap semantics)."""
     blur_k = fir_kernel()
     w = mapping_t(params, z, n_mlp)
     batch = z.shape[0]
     const = _t(params["input.input"])
     x = const.expand(batch, -1, -1, -1)
+    taps = {}
+
+    def tap(name, val):
+        if name in capture:
+            taps[name] = val
+
     x = styled_conv_t(params, "conv1", x, w, noise_buffers[0], blur_k)
+    tap("conv1", x)
     skip = to_rgb_t(params, "to_rgb1", x, w, None, blur_k)
     ci = 0
     for res_log in range(3, log_size + 1):
         x = styled_conv_t(params, f"convs.{ci}", x, w,
                           noise_buffers[1 + ci], blur_k, upsample=True)
+        tap(f"convs.{ci}", x)
         x = styled_conv_t(params, f"convs.{ci + 1}", x, w,
                           noise_buffers[1 + ci + 1], blur_k)
+        tap(f"convs.{ci + 1}", x)
         skip = to_rgb_t(params, f"to_rgbs.{res_log - 3}", x, w, skip, blur_k)
         ci += 2
-    return skip
+    return (skip, taps) if capture else skip
