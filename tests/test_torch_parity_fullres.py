@@ -107,8 +107,6 @@ def test_biggan_fullres_512_parity():
     per-BN progressive pass — 6 forwards instead of ~57 at this depth,
     converging because each round rescales every BN toward its true
     input statistics (f64 capture, clamped into f32)."""
-    import types  # noqa: F401  (parallel to test_torch_parity imports)
-
     from test_torch_parity import _hook_outputs, _load_ref_biggan
 
     ref = _load_ref_biggan()
