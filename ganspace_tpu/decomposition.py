@@ -83,16 +83,11 @@ def _fused_acts_info(key: str) -> dict:
     else at least {"compiled": True}, plus "policy_refines" (bool/None) —
     whether the adaptive policy kept the refine sweep the last time this
     exact workload ran (the signal behind the bf16-first-pass choice).
-    Legacy True entries (pre-r5) decode as {"compiled": True}."""
-    import json
-    path = _fused_acts_registry()
-    if path is None or not os.path.isfile(path):
-        return {}
-    try:
-        with open(path) as f:
-            v = json.load(f).get(key)
-    except (OSError, ValueError):
-        return {}
+    Legacy True entries (pre-r5) decode as {"compiled": True}.  Reads and
+    writes go through the shared JSON registry helpers (_registry_get /
+    _registry_put — same atomic tmp+replace discipline as the batch-size
+    memo)."""
+    v = _registry_get(_fused_acts_registry(), key)
     if v is True:
         return {"compiled": True}
     return v if isinstance(v, dict) else {}
@@ -110,28 +105,11 @@ def _fused_acts_cached(key: str) -> bool:
 def _record_fused_acts(key: str, info: Optional[dict] = None) -> None:
     """Mark a fused-stream workload as compiled, merging any extra facts
     (see _fused_acts_info)."""
-    import json
     path = _fused_acts_registry()
     if path is None:
         return
-    try:
-        entries = {}
-        if os.path.isfile(path):
-            with open(path) as f:
-                entries = json.load(f)
-        prev = entries.get(key)
-        merged = {"compiled": True}
-        if isinstance(prev, dict):
-            merged.update(prev)
-        merged.update(info or {})
-        entries[key] = merged
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(entries, f)
-        os.replace(tmp, path)
-    except (OSError, ValueError):
-        pass  # best-effort: losing the sentinel only costs the heuristic
+    _registry_put(path, key, {**_fused_acts_info(key), "compiled": True,
+                              **(info or {})})
 
 
 #: Device-kind -> HBM bytes (per chip).  memory_stats() is empty on some
@@ -417,7 +395,8 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
                 if batch_sh is not None:
                     lat = _jax.lax.with_sharding_constraint(lat, batch_sh)
                 a = fn(pack, lat)
-                coords = mm(a - mean[None, :], comp_flat.T) / stdev[None, :]
+                coords = (mm(a - mean[None, :], comp_flat.T)
+                          / jnp.where(stdev > 0, stdev, 1.0)[None, :])
                 zf = lat.reshape(lat.shape[0], -1)
                 return (gg + mm(coords.T, coords), rr + mm(coords.T, zf),
                         zs + jnp.sum(zf, axis=0)), None
@@ -439,7 +418,8 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
             # One program per batch (project + three reductions): on a mesh
             # the whole step is a single collective program instead of six
             # eager ops, each its own cross-device rendezvous.
-            coords = mm(act - mean.reshape(1, -1), comp_flat.T) / stdev[None, :]
+            coords = (mm(act - mean.reshape(1, -1), comp_flat.T)
+                      / jnp.where(stdev > 0, stdev, 1.0)[None, :])
             zf = z.reshape(z.shape[0], -1)
             return (g + mm(coords.T, coords), r + mm(coords.T, zf),
                     z_sum + jnp.sum(zf, axis=0))
@@ -460,7 +440,12 @@ def linreg_lstsq(comp_np, mean_np, stdev_np, inst: InstrumentedModel, config):
                 _jax.block_until_ready(g)
 
     # M^T = (A^T A)^-1 A^T Z ; rows of M^T are the latent-space directions.
-    m_t = np.asarray(jnp.linalg.solve(g, r))
+    # Tiny relative ridge: a zero-variance component makes G singular
+    # (guarded coords above are ~0 there) — 1e-10*mean-diag is invisible
+    # for healthy spectra and keeps the solve finite for degenerate ones.
+    ridge = 1e-10 * jnp.trace(g) / g.shape[0]
+    m_t = np.asarray(jnp.linalg.solve(
+        g + ridge * jnp.eye(g.shape[0], dtype=g.dtype), r))
     z_comp = m_t[:n_comp, :]
     z_mean = np.asarray(z_sum)[None, :] / n_samp
     return z_comp, z_mean
@@ -540,8 +525,11 @@ def _reg_solve(comp, mean, stdev, xz, z_sum):
     """One program for the whole closed-form solve (+ the gram for the
     orthonormality check): each eager op costs a dispatch round trip
     (~30 ms through a relay), and there are six of them here."""
+    # zero-stdev components (rank-deficient stream) carry no direction:
+    # divide by 1 instead of 0 so their rows stay finite (and end up ~0)
+    safe = jnp.where(stdev > 0, stdev, 1.0)
     r = (mm(comp, xz)
-         - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / stdev[:, None]
+         - jnp.outer(mm(comp, mean[:, None])[:, 0], z_sum)) / safe[:, None]
     return r, mm(comp, comp.T)
 
 
@@ -685,13 +673,20 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     input_shape = model.get_latent_shape()
     input_dims = model.get_latent_dims()
 
-    config.components = min(config.components, sample_dims)
+    # LOCAL clamp: mutating config.components here would desync the cache
+    # filename (computed from the unclamped value in get_or_compute) and
+    # change the cache key between calls on the same config object.
+    n_components = min(config.components, sample_dims)
+    if n_components < config.components:
+        print(f"WARNING: clamping components {config.components} -> "
+              f"{n_components} (feature dim {sample_dims}); the cache "
+              f"filename keeps the requested count")
     # Feature-sharded estimator state when D splits evenly over the mesh
     # (uneven D falls back to replicated state; the batch stays sharded).
     feat_sh = None
     if mesh is not None and sample_dims % mesh.devices.size == 0:
         feat_sh = feature_sharding(mesh)
-    transformer = get_estimator(config.estimator, config.components,
+    transformer = get_estimator(config.estimator, n_components,
                                 config.sparsity, feature_sharding=feat_sh)
 
     x_global_mean = None
@@ -733,7 +728,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         batch, n_total, sample_dims, n_total / sample_dims), flush=True)
 
     # Must not depend on chosen batch size (reproducibility)
-    nb = max(batch, max(2_000, 3 * config.components))
+    nb = max(batch, max(2_000, 3 * n_components))
 
     samples = None
     if not transformer.batch_support:
@@ -814,7 +809,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                   and acts_fp is not None and device_rng and streamable
                   and hasattr(transformer, "fit_stream")
                   and model.device_latents_fn_p() is not None
-                  and batch >= config.components)
+                  and batch >= n_components)
     latent_chunks = []
     host_latents = None if (on_device or fused or fused_acts) else np.zeros(
         (n_lat, *input_shape[1:]), dtype=np.float32)
@@ -850,7 +845,8 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
 
     canceled = False
     gi = 0
-    bf16_pass1 = False   # set by the fused_acts branch; lands in _meta
+    bf16_pass1 = False          # set by the fused_acts branch; lands in _meta
+    bf16_pass1_aborted = False  # interrupted before the f32 refine completed
     # Fuse up to GROUP streaming blocks into one lax.scan dispatch
     # (bit-identical update order; see IPCAEstimator.fit_partial_blocks).
     # Dispatch latency — not FLOPs — dominates the tiny per-block SVD, so
@@ -897,13 +893,28 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             return lat
 
         want_rand = os.environ.get("GANSPACE_FUSED_RAND", "1") == "1"
-        rdirs_dev = (random_directions_device(config.components, sample_dims)
+        rdirs_dev = (random_directions_device(n_components, sample_dims)
                      if want_rand else None)
-        n_stream_blocks = -(-n_total // nb_w)
+        # FLOOR to whole nb_w blocks; the remainder streams at the
+        # original NB granularity under a distinct key stream.  A plain
+        # ceil at nb_w would fit up to nb_w-1 (~6%) EXTRA samples beyond
+        # the advertised N — the non-fused paths' contract is an overshoot
+        # strictly under one NB block.
+        n_stream_blocks = n_total // nb_w
+        rem = n_total - n_stream_blocks * nb_w
+        n_tail_blocks = -(-rem // nb) if rem else 0
         key0 = _jax.random.PRNGKey(seed0)
+        key_tail = _jax.random.PRNGKey(seed0 + 1_000_003)
         print(f"Fitting fused latent stream: {n_stream_blocks} blocks of "
-              f"{nb_w}" + (" (+rand moments)" if want_rand else ""),
-              flush=True)
+              f"{nb_w}"
+              + (f" + {n_tail_blocks} of {nb}" if n_tail_blocks else "")
+              + (" (+rand moments)" if want_rand else ""), flush=True)
+
+        def tail_block_fn(pack, k):
+            lat = lat_fn(pack, k, nb).reshape(nb, -1)
+            if feat_sh is not None:
+                lat = _jax.lax.with_sharding_constraint(lat, feat_sh)
+            return lat
         # Scan-program reuse across runs (IPCAEstimator._scan_cache): the
         # token must pin everything the traced closure captures — workload
         # identity (fused_key), stream block size, mesh layout, and the
@@ -914,12 +925,18 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             f"tr{getattr(model, 'truncation', None)}",
             f"s2d{getattr(model, '_s2d', None)}"])
         try:
-            if not transformer.fit_stream(block_fn, n_stream_blocks, key0,
-                                          chunk=8, consts=lat_pack,
-                                          rand_dirs=rdirs_dev,
-                                          cache_token=stream_token):
+            if n_stream_blocks and not transformer.fit_stream(
+                    block_fn, n_stream_blocks, key0,
+                    chunk=8, consts=lat_pack, rand_dirs=rdirs_dev,
+                    cache_token=stream_token):
                 raise RuntimeError(
                     "fused latent stream unavailable for this estimator")
+            if n_tail_blocks and not transformer.fit_stream(
+                    tail_block_fn, n_tail_blocks, key_tail,
+                    chunk=8, consts=lat_pack, rand_dirs=rdirs_dev,
+                    cache_token=stream_token + f"|tail{nb}"):
+                raise RuntimeError(
+                    "fused latent tail stream unavailable for this estimator")
             x_block = None
             if getattr(transformer, "rand_moments", lambda: None)() is None:
                 # Baselines did not ride the scan: one jitted block for them.
@@ -974,7 +991,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         # the conv-tap tail).  GANSPACE_FUSED_RAND=0 restores the separate
         # 5000-sample baseline for A/B.
         want_rand = os.environ.get("GANSPACE_FUSED_RAND", "1") == "1"
-        rdirs_dev = (random_directions_device(config.components, sample_dims)
+        rdirs_dev = (random_directions_device(n_components, sample_dims)
                      if want_rand else None)
         print(f"Fitting fused activation stream: {n_stream_blocks} blocks "
               f"of {batch}" + (" (+regression moments)" if want_reg else ""),
@@ -1055,15 +1072,23 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             getattr(transformer, "abort_refine", lambda: None)()
             n_fitted = getattr(transformer, "n_samples_seen_", 0)
             dump_name = _partial_dump_name(dump_name, config.n, n_fitted)
-            print(f'Saving current state to "{dump_name.name}" before exiting')
             if bf16_pass1 and not getattr(transformer, "_refined", False):
-                # the f32 refine pass was the load-bearing one: an abort
+                # The f32 refine pass was the load-bearing one: an abort
                 # that fell back to the bf16 first-pass sketch leaves a
-                # PREVIEW-grade partial save
+                # PREVIEW-grade result.  Tag the filename with the
+                # established _bf16 preview marker — when n_fitted equals
+                # config.n the _n token does NOT change, and an untagged
+                # save would land at the exact analysis-grade cache path
+                # for every later f32 run to silently reuse.
+                bf16_pass1_aborted = True
+                dump_name = dump_name.with_name(
+                    dump_name.name.replace(".npz", "_bf16.npz"))
                 print("WARNING: interrupted before the f32 refine pass "
                       "completed — the partial save derives from the bf16 "
-                      "first pass (preview grade; _meta bf16_pass1 records "
-                      "this)", file=sys.stderr)
+                      "first pass (preview grade; saved under the _bf16 "
+                      "tag, _meta records bf16_pass1_aborted)",
+                      file=sys.stderr)
+            print(f'Saving current state to "{dump_name.name}" before exiting')
             canceled = True
             x_block = None
 
@@ -1185,6 +1210,14 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         assert np.all(np.abs(transformer.mean_) < 1e-3), \
             "Mean of normalized data should be zero"
     else:
+        if canceled and getattr(transformer, "n_samples_seen_", 0) == 0:
+            # Interrupt before ANY data was absorbed (e.g. mid-compile of
+            # the first scan chunk): there is nothing to save — the tier
+            # state is all-zero and would NaN in mean_/get_components
+            # (count=0 divisions) instead of producing a partial cache.
+            print("Nothing fitted before the interrupt — exiting without "
+                  "a partial save")
+            sys.exit(1)
         x_global_mean = transformer.mean_.reshape((1, sample_dims))
         # last block, for stdev baselines — stays on device (for conv taps
         # it can be a 1 GB array; only the [c]-sized stdevs come home)
@@ -1232,9 +1265,9 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     _stamp("get_components")
 
     assert x_comp.shape[1] == sample_dims \
-        and x_comp.shape[0] == config.components \
+        and x_comp.shape[0] == n_components \
         and x_global_mean.shape[1] == sample_dims \
-        and x_stdev.shape[0] == config.components, "Invalid shape"
+        and x_stdev.shape[0] == n_components, "Invalid shape"
 
     # 'Activations' are really latents in a secondary latent space
     fused_linreg_used = False
@@ -1252,7 +1285,8 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
                                                x_stdev, inst, config)
     _stamp("regression")
 
-    z_comp = z_comp / np.linalg.norm(z_comp, axis=-1, keepdims=True)
+    z_comp = z_comp / np.maximum(
+        np.linalg.norm(z_comp, axis=-1, keepdims=True), 1e-30)
 
     # Random-direction stdev baselines (reference decomposition.py:310-316);
     # the projection contracts over D on device, only [c] stdevs read back.
@@ -1270,10 +1304,10 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         x_stdev_random = np.asarray(jnp.sqrt(jnp.maximum(pm2 / n_r, 0.0)))
     else:
         if device_rng_used:
-            random_dirs = random_directions_device(config.components,
+            random_dirs = random_directions_device(n_components,
                                                    int(np.prod(sample_shape)))
         else:
-            random_dirs = get_random_dirs(config.components,
+            random_dirs = get_random_dirs(n_components,
                                           np.prod(sample_shape))
         n_rand_samples = min(5000, x_data.shape[0])
         x_stdev_random = np.asarray(jnp.std(
@@ -1330,7 +1364,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
     if getattr(config, "dtype", None) == "bfloat16":
         spec_ev = getattr(transformer, "component_spectrum", lambda: None)()
         if spec_ev is not None:
-            bounds = bf16_component_bounds(spec_ev, config.components)
+            bounds = bf16_component_bounds(spec_ev, n_components)
             # full precision: rounding to 4 decimals could turn a 0.98996
             # bound into a stored 0.99, contradicting the grade that
             # consumers (viewer/visualize) recompute from the list
@@ -1354,8 +1388,12 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         "refine_stats": getattr(transformer, "refine_stats", None),
         # True when pass 1 streamed bf16-synthesized activations and the
         # (mandatory) f32 refine pass determined the estimate — still
-        # f32-grade components (min cos 0.99998 vs all-f32 two-pass).
+        # f32-grade components (min cos 0.99998 vs all-f32 two-pass)
+        # UNLESS bf16_pass1_aborted is also True (interrupt before the
+        # refine completed: the save derives from the bf16 first pass and
+        # is filed under the _bf16 preview tag).
         "bf16_pass1": bf16_pass1,
+        "bf16_pass1_aborted": bf16_pass1_aborted,
         **bf16_meta,
     })
     # Atomic write (temp + rename): an interrupt mid-savez must never leave
@@ -1384,7 +1422,7 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
         elif bf16_meta:
             bad = sum(b < 0.99 for b in bf16_meta["bf16_cos_bounds"])
             print(f"WARNING: bfloat16-datapath components are NOT "
-                  f"analysis-grade here: {bad}/{config.components} "
+                  f"analysis-grade here: {bad}/{n_components} "
                   f"components sit on eigengaps too small to bound their "
                   f"rotation under bf16 rounding (per-component bounds in "
                   f"_meta bf16_cos_bounds; measured dips to ~0.989 on such "

@@ -214,16 +214,28 @@ def _noise_floor_scale(e: np.ndarray) -> np.ndarray:
                     1.0 / np.sqrt(np.maximum(e, 1e-300)), 0.0)
 
 
+def _sketch_factor(state: _NystromState, omega: jnp.ndarray):
+    """The shared factorization behind spectrum/range/finish:
+    ``(f [D, l] device, e desc f64, v desc f64, total float)`` with
+    f = Yc W the whitened centered sketch and (e, v) the eigenpairs of
+    f^T f — two [D, l] gemms + host f64 l x l eigendecompositions.
+    Estimator methods reach it through ``_sketch_factor_cached`` so the
+    should_refine -> begin_refine -> finish sequence on an UNCHANGED
+    sketch factorizes once, not three times."""
+    y, m, total = _sketch_grams(state, omega)
+    w = _pinv_sqrt_psd(np.asarray(m))
+    f, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
+    e, v = _eigh_desc(np.asarray(g))
+    return f, e, v, float(total)
+
+
 def _nystrom_spectrum(state: _NystromState, omega: jnp.ndarray):
     """(evals [l] desc np, total float) — the sketch's own eigenvalue
     estimates of the centered scatter plus the EXACT centered energy, the
     inputs of the adaptive-refine convergence statistics.  Same Nyström
     algebra as ``_nystrom_finish`` but eigenvalues only."""
-    y, m, total = _sketch_grams(state, omega)
-    w = _pinv_sqrt_psd(np.asarray(m))
-    _, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
-    e, _ = _eigh_desc(np.asarray(g))
-    return np.maximum(e, 0.0), float(total)
+    _, e, _, total = _sketch_factor(state, omega)
+    return np.maximum(e, 0.0), total
 
 
 def _nystrom_range(state: _NystromState, omega: jnp.ndarray) -> jnp.ndarray:
@@ -235,10 +247,11 @@ def _nystrom_range(state: _NystromState, omega: jnp.ndarray) -> jnp.ndarray:
     convergence ratios (measured: l=4c goes from ~0.9 to >0.995
     per-component cosine on production-shape conv taps,
     tests/test_nystrom_production.py)."""
-    y, m, _ = _sketch_grams(state, omega)
-    w = _pinv_sqrt_psd(np.asarray(m))
-    f, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
-    e, v = _eigh_desc(np.asarray(g))
+    f, e, v, _ = _sketch_factor(state, omega)
+    return _range_from_factor(f, e, v)
+
+
+def _range_from_factor(f, e, v) -> jnp.ndarray:
     proj = v * _noise_floor_scale(e)[None, :]
     return mm(f, jnp.asarray(proj, jnp.float32))
 
@@ -255,17 +268,19 @@ def _nystrom_finish(state: _NystromState, omega: jnp.ndarray,
     sketch: C ~= Y (Omega^T Y)^+ Y^T with Y = M2c @ Omega (Tropp et al.,
     fixed-rank PSD approximation).  Returns (components [c, D] device,
     stdev [c] np, var_ratio [c] np)."""
-    y, m, total = _sketch_grams(state, omega)
-    w = _pinv_sqrt_psd(np.asarray(m))
-    f, g = _whitened_gram(y, jnp.asarray(w, jnp.float32))
-    e, v = _eigh_desc(np.asarray(g))
+    f, e, v, total = _sketch_factor(state, omega)
+    return _finish_from_factor(f, e, v, total, float(state.count),
+                               n_components)
+
+
+def _finish_from_factor(f, e, v, total, count, n_components):
     ec = e[:n_components]
     proj = v[:, :n_components] * _noise_floor_scale(ec)[None, :]
     u = mm(f, jnp.asarray(proj, jnp.float32))        # [D, c]
     comp = _flip_cols_to_components(u)               # [c, D]
-    denom = max(float(state.count) - 1.0, 1.0)
+    denom = max(count - 1.0, 1.0)
     explained = np.maximum(ec, 0.0) / denom
-    total_var = float(total) / denom
+    total_var = total / denom
     ratio = explained / max(total_var, 1e-30)
     return comp, np.sqrt(explained), ratio
 
@@ -466,6 +481,18 @@ class IPCAEstimator:
             x, NamedSharding(self._sharding.mesh,
                              P(*((axis,) + (None,) * (x.ndim - 1)))))
 
+    def _sketch_factor_cached(self):
+        """Memoized _sketch_factor for the CURRENT sketch state: the
+        should_refine -> begin_refine -> get_components sequence reads the
+        same unchanged sketch, so the [D, l] gemms + host eighs run once.
+        Keyed by buffer identity (strong ref held, so no id recycling)."""
+        c = getattr(self, "_sf_cache", None)
+        if c is not None and c[0] is self._nystrom.y:
+            return c[1]
+        out = _sketch_factor(self._nystrom, self._omega)
+        self._sf_cache = (self._nystrom.y, out)
+        return out
+
     def sketch_convergence(self) -> Optional[dict]:
         """Convergence statistics of the first-pass sketch, from its own
         l x l spectrum (no extra data pass):
@@ -482,7 +509,7 @@ class IPCAEstimator:
         None when no sketch is live or it has seen no data."""
         if self._nystrom is None or float(self._nystrom.count) == 0.0:
             return None
-        evals, total = _nystrom_spectrum(self._nystrom, self._omega)
+        _, evals, _, total = self._sketch_factor_cached()
         ev = np.maximum(np.asarray(evals, np.float64), 1e-30)
         c = min(self.n_components, len(ev))
         # Gaps among pairs (0,1)..(c-1,c): the CUT-BOUNDARY pair (c-1, c)
@@ -556,7 +583,8 @@ class IPCAEstimator:
         # strictly-worse partial second pass.
         self._pre_refine = (self._nystrom, self._omega, self.n_samples_seen_,
                             self._reg, self._rand)
-        self._omega = _nystrom_range(self._nystrom, self._omega)
+        f, e, v, _ = self._sketch_factor_cached()
+        self._omega = _range_from_factor(f, e, v)
         self._nystrom = _NystromState(
             jnp.asarray(0.0),
             self._placed(jnp.zeros((d,), jnp.float32)),
@@ -1036,8 +1064,10 @@ class IPCAEstimator:
             stats = np.asarray(jnp.stack([stdev, var_ratio]))
             return out(comp), stats[0], stats[1]
         if self._nystrom is not None:
-            comp, stdev, var_ratio = _nystrom_finish(
-                self._nystrom, self._omega, n_components=self.n_components)
+            f, e, v, total = self._sketch_factor_cached()
+            comp, stdev, var_ratio = _finish_from_factor(
+                f, e, v, total, float(self._nystrom.count),
+                self.n_components)
             return out(comp), np.asarray(stdev), np.asarray(var_ratio)
         stdev = np.sqrt(np.asarray(self._state.explained_variance))  # already sorted
         var_ratio = np.asarray(self._state.explained_variance_ratio)
