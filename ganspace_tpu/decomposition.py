@@ -623,6 +623,7 @@ def compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedMo
 def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedModel]):
     timestamp = lambda: datetime.datetime.now().strftime("%d.%m %H:%M")  # noqa: E731
     print(f"[{timestamp()}] Computing", dump_name.name)
+    canonical_name = dump_name.name   # the full-run cache filename
 
     np.random.seed(0)
     layer_key = config.layer
@@ -1356,6 +1357,17 @@ def _compute(config, dump_name: Path, instrumented_model: Optional[InstrumentedM
             lat_stdev = np.asarray(jnp.std(coords, axis=1))
     _stamp("lat_stdev")
 
+    if canceled and dump_name.name == canonical_name:
+        # An interrupted run must NEVER claim the canonical cache path:
+        # when the absorbed count happens to equal config.n (e.g. an
+        # abort_refine fallback after a complete first pass, with n a
+        # batch multiple), the _n{N} partial rename is a no-op and an
+        # untagged save would be silently reused as the full-quality
+        # result by every later run.
+        dump_name = dump_name.with_name(
+            dump_name.name.replace(".npz", "_partial.npz"))
+        print(f'Interrupted result claims the full-run name — saving as '
+              f'"{dump_name.name}" instead', file=sys.stderr)
     os.makedirs(dump_name.parent, exist_ok=True)
     # bf16 datapath: predict each component's sensitivity to the activation
     # rounding FROM THE FITTED SPECTRUM ITSELF and grade the cache

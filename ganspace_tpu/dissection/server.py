@@ -387,6 +387,8 @@ class DissectionSession:
         if ids is not None:
             assert zs is None
             ids = [int(i) for i in ids]
+            if not 1 <= len(ids) <= 64:
+                raise ValueError("ids batch must have 1..64 entries")
             for i in ids:
                 # negative ids would silently index from the end; huge ids
                 # would drive standard_z into an unbounded allocation
@@ -394,7 +396,17 @@ class DissectionSession:
                     raise ValueError(
                         f"standard-z id {i} out of range [0, 10000)")
             zs = self.standard_z(max(ids) + 1)[np.asarray(ids)]
-        zs = np.asarray(zs, np.float32)
+        try:
+            zs = np.asarray(zs, np.float32)
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"zs must be a numeric array: {e}")
+        zdim = int(np.prod(model.get_latent_shape()))
+        if zs.ndim != 2 or zs.shape[1] != zdim:
+            raise ValueError(f"zs must be [n, {zdim}], got {zs.shape}")
+        if not 1 <= zs.shape[0] <= 64:
+            raise ValueError("zs batch must have 1..64 rows")
+        if not np.isfinite(zs).all():
+            raise ValueError("zs must be finite")
         if interventions is None:
             interventions = self.interventions
         try:

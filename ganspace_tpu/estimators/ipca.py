@@ -585,6 +585,11 @@ class IPCAEstimator:
                             self._reg, self._rand)
         f, e, v, _ = self._sketch_factor_cached()
         self._omega = _range_from_factor(f, e, v)
+        # Free the whitened [D, l] factor before the refine sweep runs: at
+        # production shape it pins ~170 MB of HBM the second synthesis
+        # pass can use (the pass-1 state itself stays alive via
+        # _pre_refine for abort fallback).
+        self._sf_cache = None
         self._nystrom = _NystromState(
             jnp.asarray(0.0),
             self._placed(jnp.zeros((d,), jnp.float32)),
@@ -942,6 +947,11 @@ class IPCAEstimator:
             if self.begin_refine(force=True):
                 self.refine_skipped = False
                 run_pass(*refine)
+                # The refine COMPLETED: drop the fallback snapshot so a
+                # later abort_refine (e.g. an interrupt landing in the
+                # caller's post-fit work, still inside its try) cannot
+                # roll the finished pass back to the first-pass sketch.
+                self._pre_refine = None
             return True
         # Sketch tier: the key-derived stream is regenerable, so a second
         # sweep buys a power iteration on the scatter — but only when the
@@ -950,6 +960,7 @@ class IPCAEstimator:
         # ~1.4x end-to-end on decaying-spectrum conv taps).
         if self.should_refine() and self.begin_refine():
             run_pass(scan_chunk, consts)
+            self._pre_refine = None      # completed: see above
         return True
 
     def reg_moments(self):
@@ -994,7 +1005,8 @@ class IPCAEstimator:
             ev = np.asarray(_moments_evals(self._moments), np.float64)
             return np.maximum(ev, 0.0)
         if self._nystrom is not None and float(self._nystrom.count) > 0.0:
-            ev, _ = _nystrom_spectrum(self._nystrom, self._omega)
+            # reuses the factor get_components just computed (memoized)
+            _, ev, _, _ = self._sketch_factor_cached()
             return np.maximum(np.asarray(ev, np.float64), 0.0)
         return None
 

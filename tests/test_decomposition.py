@@ -485,3 +485,35 @@ def test_fused_sentinel_keyed_by_dtype(model, tmp_path, monkeypatch, capsys):
         assert "fused activation stream" not in capsys.readouterr().out
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_interrupt_after_fit_never_claims_canonical_name(
+        model, tmp_path, monkeypatch):
+    """An interrupt landing AFTER the fit completed (e.g. in the sentinel
+    write, still inside the try) used to save at the exact canonical cache
+    path when n_fitted == config.n — poisoning every later run.  The save
+    must carry a _partial tag instead, and a completed in-stream refine
+    must NOT be rolled back by the handler's abort_refine."""
+    from ganspace_tpu import decomposition as deco
+
+    monkeypatch.setenv("GANSPACE_OUTPUT_DIR", str(tmp_path))
+    monkeypatch.setenv("GANSPACE_FUSED_ACTS", "1")
+
+    def boom(*a, **k):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(deco, "_record_fused_acts", boom)
+    inst = InstrumentedModel(model)
+    model.use_z()
+    cfg = Config(model="StyleGAN2", output_class="ffhq", layer="conv1",
+                 estimator="ipca", components=3, n=1024, batch_size=128)
+    with pytest.raises(SystemExit):
+        get_or_compute(cfg, inst)
+    cache = tmp_path / "cache" / "components"
+    canonical = cache / component_cache_name(cfg)
+    assert not canonical.exists(), \
+        "interrupted run must never claim the canonical cache name"
+    partials = list(cache.glob("*_partial.npz"))
+    assert len(partials) == 1
+    data = np.load(partials[0])
+    assert np.all(np.isfinite(data["act_comp"]))
